@@ -1,0 +1,65 @@
+"""FASTA reading and symbol encoding parity tests (ref test.py:13-17)."""
+
+import numpy as np
+import pytest
+
+from weightedld_tpu.core.encode import encode_alignment
+from weightedld_tpu.io.fasta import read_fasta, read_fasta_with_names
+
+from .fixtures import ALL_FASTAS, EXAMPLE, write_fasta
+
+
+def test_t1_checksum(tmp_path):
+    # The reference's encoding checksum: t1 sums to 65 (test.py:13-17).
+    path = tmp_path / "t1.fasta"
+    write_fasta(path, ALL_FASTAS["t1"])
+    aln = read_fasta(path)
+    assert aln.shape == (5, 7)
+    assert int(aln.sum()) == 65
+
+
+def test_example_shape_and_sum(tmp_path):
+    path = tmp_path / "example.fasta"
+    write_fasta(path, EXAMPLE)
+    aln = read_fasta(path)
+    assert aln.shape == (10, 4)
+    assert int(aln.sum()) == 54  # verified against the reference encoder
+
+
+def test_encoding_table():
+    aln = encode_alignment([b"acgt-nACGT"])
+    assert aln.tolist() == [[0, 1, 2, 3, 4, 5, 0, 1, 2, 3]]
+
+
+def test_multiline_records(tmp_path):
+    # BioPython concatenates wrapped lines (WeightedLD.py:25); so do we.
+    path = tmp_path / "wrapped.fasta"
+    path.write_text(">s1\nAC\nGT\n>s2\nACGT\n")
+    aln = read_fasta(path)
+    assert aln.shape == (2, 4)
+    assert (aln[0] == aln[1]).all()
+
+
+def test_names(tmp_path):
+    path = tmp_path / "n.fasta"
+    path.write_text(">alpha desc\nAC\n>beta\nGT\n")
+    aln, names = read_fasta_with_names(path)
+    assert names == ["alpha desc", "beta"]
+    assert aln.shape == (2, 2)
+
+
+def test_ragged_rejected(tmp_path):
+    path = tmp_path / "bad.fasta"
+    path.write_text(">a\nACG\n>b\nAC\n")
+    with pytest.raises(ValueError, match="ragged"):
+        read_fasta(path)
+
+
+@pytest.mark.parametrize("name", sorted(ALL_FASTAS))
+def test_fixture_shapes(tmp_path, name):
+    seqs = ALL_FASTAS[name]
+    path = tmp_path / f"{name}.fasta"
+    write_fasta(path, seqs)
+    aln = read_fasta(path)
+    assert aln.shape == (len(seqs), len(seqs[0]))
+    assert aln.dtype == np.int8

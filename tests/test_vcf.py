@@ -1,0 +1,107 @@
+"""VCF ingestion parity (ref WeightedLD.py:311-379, SURVEY.md A.8)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from weightedld_tpu.core.henikoff import henikoff_weights
+from weightedld_tpu.io.vcf import VcfError, read_vcf
+
+from .fixtures import T7_GOLDEN, T7_PATH
+
+SAMPLES = 16
+
+HEADER = (
+    "##fileformat=VCFv4.1\n"
+    "##contig=<ID=1>\n"
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+    + "\t".join(f"s{i}" for i in range(SAMPLES))
+)
+
+
+def _mk_vcf(tmp_path, rows):
+    path = tmp_path / "x.vcf"
+    path.write_text(HEADER + "\n" + "\n".join(rows) + "\n")
+    return path
+
+
+def _row(pos, gts):
+    return f"1\t{pos}\trs{pos}\tA\tT\t100\tPASS\t.\tGT\t" + "\t".join(gts)
+
+
+def test_basic_phased(tmp_path):
+    gts = ["0|1"] * 8 + ["1|1"] * 4 + ["0|0"] * 4
+    path = _mk_vcf(tmp_path, [_row(1000, gts), _row(2000, list(reversed(gts)))])
+    aln, site_map = read_vcf(path)
+    assert aln.shape == (2 * SAMPLES, 2)
+    assert site_map.tolist() == [1000, 2000]
+    # rot90 parity: first row is the LAST haplotype (sample 15, second allele).
+    assert aln[0, 0] == 0 and aln[-1, 0] == 0
+    assert int((aln[:, 0] == 1).sum()) == 8 + 8  # eight 0|1 + four 1|1
+
+
+def test_unphased_becomes_missing(tmp_path):
+    gts = ["0/1"] * SAMPLES
+    path = _mk_vcf(tmp_path, [_row(5, gts)])
+    aln, _ = read_vcf(path)
+    assert (aln == 4).all()  # WeightedLD.py:355
+
+
+def test_half_call_keeps_known_allele(tmp_path):
+    gts = [".|1"] * SAMPLES
+    path = _mk_vcf(tmp_path, [_row(5, gts)])
+    aln, _ = read_vcf(path)
+    assert int((aln == 4).sum()) == SAMPLES
+    assert int((aln == 1).sum()) == SAMPLES
+
+
+def test_format_subfields_ignored(tmp_path):
+    gts = ["0|1:35:99"] * SAMPLES
+    path = _mk_vcf(tmp_path, [_row(5, gts)])
+    aln, _ = read_vcf(path)
+    assert int((aln == 1).sum()) == SAMPLES
+
+
+def test_large_positions_no_overflow(tmp_path):
+    # The reference crashes here on numpy >= 1.24 (uint8 overflow on POS,
+    # WeightedLD.py:372); we parse POS separately.
+    gts = ["0|1"] * SAMPLES
+    path = _mk_vcf(tmp_path, [_row(44890030, gts)])
+    _, site_map = read_vcf(path)
+    assert site_map.tolist() == [44890030]
+
+
+def test_no_header_rejected(tmp_path):
+    path = tmp_path / "bad.vcf"
+    path.write_text("1\t5\t.\tA\tT\t.\t.\t.\tGT\t0|1\n")
+    with pytest.raises(VcfError, match="#CHROM"):
+        read_vcf(path)
+
+
+def test_too_few_samples_rejected(tmp_path):
+    path = tmp_path / "small.vcf"
+    path.write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts0\n"
+        "1\t5\t.\tA\tT\t.\t.\t.\tGT\t0|1\n"
+    )
+    with pytest.raises(VcfError, match="multi-sample"):
+        read_vcf(path)
+
+
+@pytest.mark.skipif(not os.path.exists(T7_PATH), reason="reference fixture absent")
+class TestT7:
+    def test_shape_and_sitemap(self):
+        aln, site_map = read_vcf(T7_PATH)
+        assert aln.shape == T7_GOLDEN["shape"]
+        assert site_map.tolist() == T7_GOLDEN["site_map"]
+        assert set(np.unique(aln)).issubset({0, 1})
+
+    def test_weights(self):
+        aln, _ = read_vcf(T7_PATH)
+        w = np.asarray(henikoff_weights(jnp.asarray(aln)))
+        # Dead reference test t7 assertion: mean rounds to 0.002 (test.py:159).
+        assert round(float(w.mean()), 3) == T7_GOLDEN["weights_mean"]
+        assert w.max() == pytest.approx(T7_GOLDEN["weights_max"])
+        assert round(float(w.min()), 5) == pytest.approx(T7_GOLDEN["weights_min"], abs=1e-5)

@@ -1,0 +1,76 @@
+"""Henikoff position-based sequence weighting (vectorized XLA ops).
+
+Parity contract — reference ``WeightedLD.py:101-151`` (``henikoff_weighting``),
+including its verified quirk: the reference's ``unique_base``
+(``WeightedLD.py:132``) is ``len(np.unique(count_base[:5, :], axis=0))`` — the
+number of *unique rows* of the 5 x n_sites count matrix, a single global
+scalar (<= 5), NOT the per-site distinct-symbol count from the Henikoff 1994
+paper (that per-site variant is what the reference's Rust port implements,
+``lib.rs:363-368``, and the two genuinely diverge — see SURVEY.md §2.4.1).
+Because the scalar cancels under max-normalization, the effective Python
+formula is ``contribution ∝ 1 / count[own symbol]``.  We reproduce the Python
+behaviour exactly, scalar included, so that un-normalized intermediate values
+also match.
+
+Ambiguous cells (code 5) are imputed with the site mean contribution
+``sum(contrib at site) / n_concrete_alleles_at_site`` (``WeightedLD.py:141-145``
+— denominator is the count of codes 0..4, not the distinct-symbol count).
+
+The final weights are max-normalized so the largest weight is exactly 1.0
+(``WeightedLD.py:151``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .encode import N_ALLELES, N_CODES, UNKNOWN
+
+
+def _unique_row_count(rows: jnp.ndarray) -> jnp.ndarray:
+    """Number of distinct rows of a small ``[k, S]`` matrix (k = 5 here).
+
+    A row is counted if no earlier row equals it — exactly what
+    ``len(np.unique(x, axis=0))`` returns.
+    """
+    eq = (rows[:, None, :] == rows[None, :, :]).all(axis=-1)   # [k, k]
+    k = rows.shape[0]
+    earlier = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1)
+    is_dup = (eq & earlier).any(axis=1)
+    return (~is_dup).sum()
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def henikoff_weights(alignment: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Per-sequence Henikoff weights, max-normalized to 1.0.
+
+    Args:
+        alignment: ``[n_seqs, n_sites]`` int8 code matrix (only sites of
+            interest should be included; the caller applies the HK/LD mask).
+    Returns:
+        ``[n_seqs]`` weights in ``dtype``.
+    """
+    codes = jnp.arange(N_CODES, dtype=alignment.dtype)
+    counts = (alignment[:, None, :] == codes[None, :, None]).sum(axis=0)  # [6, S]
+    counts = counts.astype(dtype)
+
+    unique_base = _unique_row_count(counts[:N_ALLELES]).astype(dtype)
+
+    # Count (at its own site) of each cell's own symbol.
+    own = jnp.take_along_axis(counts, alignment.astype(jnp.int32), axis=0)  # [N, S]
+
+    ok = alignment != UNKNOWN
+    # 1 / (unique_base * count[own]); ambiguous cells contribute 0 for now.
+    contrib = jnp.where(ok, 1.0 / (unique_base * own), 0.0)
+
+    # Mean imputation for ambiguous cells: site total over the number of
+    # concrete (codes 0..4) alleles at that site.
+    concrete_total = counts[:N_ALLELES].sum(axis=0)                         # [S]
+    site_avg = contrib.sum(axis=0) / concrete_total
+    contrib = jnp.where(ok, contrib, site_avg[None, :])
+
+    weights = contrib.sum(axis=1)
+    return weights / weights.max()

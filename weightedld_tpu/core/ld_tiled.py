@@ -1,0 +1,139 @@
+"""Tiled LD evaluation over explicit tile lists (XLA path).
+
+Evaluates :func:`weightedld_tpu.core.paircore.ld_pair_tile` for a batch of
+(tile_i, tile_j) site-tile coordinates via ``vmap`` + ``dynamic_slice``.  This
+is the portable engine used by the streaming driver and the shard_map
+multi-chip path; ``weightedld_tpu.ops.pallas_ld`` provides the fused Pallas
+kernel with the same contract.
+
+Padding convention: the alignment is padded along sites to a multiple of the
+tile size with code 5 (unknown) columns — padded sites produce all-zero
+joint tables and are additionally masked out via the global pair-validity
+mask (i < j < S).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .encode import UNKNOWN
+from .paircore import PairStats, ld_pair_tile
+
+
+def pad_alignment(alignment: np.ndarray, tile: int) -> np.ndarray:
+    """Pad ``[N, S]`` codes to ``[N, S_pad]`` with UNKNOWN columns."""
+    n, s = alignment.shape
+    s_pad = -(-s // tile) * tile
+    if s_pad == s:
+        return alignment
+    out = np.full((n, s_pad), UNKNOWN, dtype=alignment.dtype)
+    out[:, :s] = alignment
+    return out
+
+
+@partial(jax.jit, static_argnames=("tile", "n_sites"))
+def tile_stats_batch(
+    codes_pad: jnp.ndarray,
+    weights: jnp.ndarray,
+    tile_i: jnp.ndarray,
+    tile_j: jnp.ndarray,
+    emit: jnp.ndarray,
+    *,
+    tile: int,
+    n_sites: int,
+) -> PairStats:
+    """LD statistics for a batch of site-pair tiles.
+
+    Args:
+        codes_pad: ``[N, S_pad]`` int8 codes (site-padded with code 5).
+        weights: ``[N]`` per-sequence weights.
+        tile_i / tile_j: ``[K]`` int32 tile coordinates (tile_i <= tile_j).
+        emit: ``[K]`` bool — False for padding tiles (their pairs are dropped).
+        tile: tile side T (static).
+        n_sites: true S before padding (static).
+    Returns:
+        :class:`PairStats` of ``[K, T, T]`` arrays; ``keep`` already includes
+        the strict-upper-triangle and in-range masks.
+    """
+    n = codes_pad.shape[0]
+
+    def one(ti, tj, em):
+        a = jax.lax.dynamic_slice(codes_pad, (0, ti * tile), (n, tile))
+        b = jax.lax.dynamic_slice(codes_pad, (0, tj * tile), (n, tile))
+        st = ld_pair_tile(a, b, weights)
+        gi = ti * tile + jnp.arange(tile, dtype=jnp.int32)[:, None]
+        gj = tj * tile + jnp.arange(tile, dtype=jnp.int32)[None, :]
+        valid = (gi < gj) & (gj < n_sites) & em
+        return PairStats(st.d, st.d_prime, st.r2, st.keep & valid)
+
+    return jax.vmap(one)(tile_i, tile_j, emit)
+
+
+@partial(jax.jit, static_argnames=("tile", "capacity"))
+def compact_tile_stats(
+    stats: PairStats,
+    tile_i: jnp.ndarray,
+    tile_j: jnp.ndarray,
+    r2_threshold: float,
+    *,
+    tile: int,
+    capacity: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Device-side record compaction (the PairStore idea, ``lib.rs:523-576``,
+    under XLA static shapes).
+
+    Flattens a batch of tiles, filters ``keep & (r2 > threshold)``, and packs
+    surviving records into a fixed-capacity buffer.
+
+    Returns:
+        count: scalar int32 — true number of surviving records (may exceed
+            ``capacity``; caller must detect overflow and retry bigger).
+        sites: ``[capacity, 2]`` int32 global site indices (i, j).
+        values: ``[capacity, 3]`` float32 (D, D', r2).
+        Slots past ``count`` hold garbage; caller trims.
+    """
+    k = stats.d.shape[0]
+    li = jnp.arange(tile, dtype=jnp.int32)
+    gi = (tile_i[:, None, None] * tile + li[None, :, None]).astype(jnp.int32)
+    gj = (tile_j[:, None, None] * tile + li[None, None, :]).astype(jnp.int32)
+
+    mask = stats.keep
+    if r2_threshold > 0:
+        mask = mask & (stats.r2 > r2_threshold)
+
+    flat_mask = mask.reshape(-1)
+    count = flat_mask.sum().astype(jnp.int32)
+    (idx,) = jnp.nonzero(flat_mask, size=capacity, fill_value=0)
+    take = lambda x: x.reshape(-1)[idx]
+
+    sites = jnp.stack([take(gi.broadcast_to(mask.shape)),
+                       take(gj.broadcast_to(mask.shape))], axis=1)
+    values = jnp.stack(
+        [take(stats.d), take(stats.d_prime), take(stats.r2)], axis=1
+    ).astype(jnp.float32)
+    # Zero-out slots beyond count so output is deterministic.
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    live = slot < count
+    sites = jnp.where(live[:, None], sites, -1)
+    values = jnp.where(live[:, None], values, 0.0)
+    return count, sites, values
+
+
+@partial(jax.jit, static_argnames=())
+def summarize_tile_stats(stats: PairStats, r2_threshold: float) -> dict:
+    """Reduction-only summary (no O(pairs) host transfer): pair counts and
+    r2 moments — the 'stats-only' mode for pod-scale scans."""
+    keep = stats.keep
+    r2 = jnp.where(keep, stats.r2, 0.0)
+    return {
+        "n_pairs": keep.sum().astype(jnp.int64),
+        "n_over_threshold": (keep & (stats.r2 > r2_threshold)).sum().astype(jnp.int64),
+        "r2_sum": r2.sum(dtype=jnp.float64)
+        if jax.config.jax_enable_x64
+        else r2.sum(),
+        "r2_max": jnp.where(keep, stats.r2, -jnp.inf).max(),
+    }

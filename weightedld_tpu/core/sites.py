@@ -1,0 +1,79 @@
+"""Variable-site masking (vectorized XLA ops).
+
+Parity contract — reference ``WeightedLD.py:44-98`` (``compute_variable_sites``):
+
+* ``concrete_fraction`` counts codes < 4 only (gaps do NOT count as coverage).
+* ``sufficient_data``  = ``concrete_fraction > min_acgt``  (strict ``>``).
+* Symbol histogram runs over codes 0..4 (gap DOES count as an allele).
+* ``minor`` = sum of all non-major allele counts (NOT just the dominant
+  minor — that is the Rust variant, ``lib.rs:324-328``; see ``max_minor``).
+* ``has_min_variability`` = ``minor_fraction >= min_variability`` (``>=``).
+* Returns ``(hk_mask, ld_mask)`` = ``(sufficient_data,
+  sufficient_data & has_min_variability)``.
+
+``max_minor`` reproduces the Rust-only flag (``main.rs:37-42``,
+``lib.rs:331``): when set below 1.0 it additionally requires the *dominant*
+minor fraction ``<= max_minor``.  Default ``1.0`` is a no-op, matching
+Python semantics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .encode import N_ALLELES, N_CONCRETE
+
+
+def site_histogram(alignment: jnp.ndarray) -> jnp.ndarray:
+    """Per-site allele counts over codes 0..4.
+
+    Args:
+        alignment: ``[n_seqs, n_sites]`` int8 code matrix.
+    Returns:
+        ``[n_sites, 5]`` int32 counts.
+    """
+    codes = jnp.arange(N_ALLELES, dtype=alignment.dtype)
+    return (alignment[:, :, None] == codes).sum(axis=0).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("max_minor",))
+def compute_variable_sites(
+    alignment: jnp.ndarray,
+    min_acgt: float,
+    min_variability: float,
+    max_minor: float = 1.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Return ``(hk_mask, ld_mask)`` boolean site masks.
+
+    See module docstring for the exact parity semantics.
+    """
+    n_seqs = alignment.shape[0]
+    counts = site_histogram(alignment)                       # [S, 5]
+
+    concrete = (alignment < N_CONCRETE).sum(axis=0)          # [S]
+    sufficient_data = concrete / n_seqs > min_acgt
+
+    major = counts.max(axis=1)
+    total = counts.sum(axis=1)
+    minor = total - major
+    has_variation = minor > 0
+    minor_fraction = jnp.where(
+        has_variation, minor / jnp.maximum(major + minor, 1), 0.0
+    )
+    has_min_variability = minor_fraction >= min_variability
+
+    ld_mask = sufficient_data & has_min_variability
+
+    if max_minor < 1.0:
+        # Rust-style dominant-minor upper bound (lib.rs:324-331).
+        sorted_counts = jnp.sort(counts, axis=1)
+        dom_minor = sorted_counts[:, -2]
+        dom_frac = jnp.where(
+            has_variation, dom_minor / jnp.maximum(major + dom_minor, 1), 0.0
+        )
+        ld_mask = ld_mask & (dom_frac <= max_minor)
+
+    return sufficient_data, ld_mask

@@ -1,0 +1,80 @@
+"""FASTA ingestion.
+
+BioPython-free, multi-line-record capable (the reference's Rust reader,
+``rust/weighted_ld/src/lib.rs:277-307``, does *not* concatenate wrapped
+sequence lines; the Python reference uses BioPython which does,
+``WeightedLD.py:21-41``).  We follow the Python/BioPython behaviour: a record
+is every line between one ``>`` header and the next, concatenated;
+whitespace-only lines are ignored.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..core.encode import encode_alignment
+
+
+def read_fasta(path: str | Path) -> np.ndarray:
+    """Read a FASTA alignment into an ``[n_seqs, n_sites]`` int8 code matrix.
+
+    Parity: encoding identical to reference ``WeightedLD.py:34-40``
+    (lowercase, a/c/g/t/- -> 0..4, everything else -> 5).
+    """
+    names: list[str] = []
+    rows: list[bytes] = []
+    current: list[bytes] = []
+
+    def flush() -> None:
+        if names and len(rows) < len(names):
+            rows.append(b"".join(current))
+        current.clear()
+
+    with open(path, "rb") as fh:
+        for raw_line in fh:
+            line = raw_line.strip()
+            if not line:
+                continue
+            if line.startswith(b">"):
+                flush()
+                names.append(line[1:].decode("utf-8", "replace").strip())
+            else:
+                if not names:
+                    raise ValueError(f"{path}: sequence data before first '>' header")
+                current.append(line)
+    flush()
+
+    if not rows:
+        raise ValueError(f"{path}: no sequences found")
+    return encode_alignment(rows)
+
+
+def read_fasta_with_names(path: str | Path) -> tuple[np.ndarray, list[str]]:
+    """Like :func:`read_fasta` but also returns the record names."""
+    names: list[str] = []
+    rows: list[bytes] = []
+    current: list[bytes] = []
+
+    def flush() -> None:
+        if names and len(rows) < len(names):
+            rows.append(b"".join(current))
+        current.clear()
+
+    with open(path, "rb") as fh:
+        for raw_line in fh:
+            line = raw_line.strip()
+            if not line:
+                continue
+            if line.startswith(b">"):
+                flush()
+                names.append(line[1:].decode("utf-8", "replace").strip())
+            else:
+                if not names:
+                    raise ValueError(f"{path}: sequence data before first '>' header")
+                current.append(line)
+    flush()
+    if not rows:
+        raise ValueError(f"{path}: no sequences found")
+    return encode_alignment(rows), names

@@ -1,0 +1,125 @@
+"""Multi-sample VCF ingestion.
+
+Reimplements the observable semantics of the reference's VCF path
+(``WeightedLD.py:311-379``) with a sane column-wise parser instead of
+whole-line regex munging.  Semantics preserved:
+
+* Header: first line containing ``#CHROM``; everything after it is data.
+* Requires a multi-sample file (> 12 tab columns on the first data line).
+* Phased diploid genotypes ``a|b`` split into two haploid rows.
+* Unphased genotypes ``a/b`` become missing (the reference rewrites any
+  ``x/y`` to ``.|.``, ``WeightedLD.py:355``).
+* ``.`` alleles become code 4 (missing) — half-calls like ``.|1`` keep the
+  known allele (``WeightedLD.py:358``).
+* ``site_map`` is the POS column as int64 (``WeightedLD.py:369``) — parsed
+  separately, which fixes the reference's uint8 overflow crash on
+  numpy >= 1.24 (``WeightedLD.py:372``).
+* Row order: the reference's ``np.rot90`` (``WeightedLD.py:375``) reverses
+  haplotype order relative to sample order; we reproduce that so per-sequence
+  weight vectors match element-wise.
+* Allele codes are REF=0, ALT1=1, ALT2=2, ... in the same code space as
+  FASTA; note the reference's collision of ALT4 with the missing code 4 and
+  ALT5+ with the ambiguous code 5 is inherited by design (parity).
+* No site masking is applied on the VCF path (``WeightedLD.py:385-388``).
+
+Extensions beyond the reference: genotype fields may carry ``:``-separated
+FORMAT subfields (only the leading GT is read), and haploid calls ``a`` are
+accepted as a single haplotype.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..core.encode import ALIGNMENT_DTYPE, GAP
+
+
+class VcfError(ValueError):
+    pass
+
+
+def _parse_allele(tok: str) -> int:
+    if tok == "." or tok == "":
+        return GAP
+    try:
+        return int(tok)
+    except ValueError as e:
+        raise VcfError(f"bad allele {tok!r}") from e
+
+
+def read_vcf(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+    """Read a multi-sample VCF into ``(alignment, site_map)``.
+
+    Returns:
+        alignment: ``[n_haplotypes, n_sites]`` int8 code matrix.
+        site_map: ``[n_sites]`` int64 POS values.
+    """
+    with open(path, "r") as fh:
+        lines = fh.read().split("\n")
+
+    header_idx = None
+    for i, line in enumerate(lines):
+        if "#CHROM" in line:
+            header_idx = i
+            break
+    if header_idx is None:
+        raise VcfError(f"{path}: no #CHROM header line found")
+
+    data_lines = lines[header_idx + 1 :]
+    # Parity quirk (WeightedLD.py:365): the reference unconditionally deletes
+    # the final line, assuming a trailing blank.  On files without a trailing
+    # newline this silently drops the last record (verified on the t7
+    # fixture: 6 records on disk, 5 parsed).  Reproduced as-is.
+    if data_lines:
+        del data_lines[-1]
+    data_lines = [ln for ln in data_lines if ln.strip()]
+    if not data_lines:
+        raise VcfError(f"{path}: no variant records")
+    if len(data_lines[0].split("\t")) <= 12:
+        raise VcfError(
+            f"{path}: too few sample columns — is this a multi-sample VCF?"
+        )
+
+    positions: list[int] = []
+    site_rows: list[np.ndarray] = []
+    n_haps = None
+
+    for lineno, line in enumerate(data_lines, header_idx + 2):
+        cols = line.split("\t")
+        if len(cols) < 10:
+            raise VcfError(f"{path}:{lineno}: fewer than 10 columns")
+        positions.append(int(cols[1]))
+
+        haps: list[int] = []
+        for field in cols[9:]:
+            gt = field.split(":", 1)[0]
+            if "|" in field:
+                a, b = gt.split("|", 1)
+                haps.append(_parse_allele(a))
+                haps.append(_parse_allele(b))
+            elif "/" in gt:
+                # Unphased: haplotype unknown -> both missing (WeightedLD.py:355)
+                haps.append(GAP)
+                haps.append(GAP)
+            else:
+                haps.append(_parse_allele(gt))
+
+        row = np.asarray(haps, dtype=np.int16)
+        if (row > 255).any():
+            raise VcfError(f"{path}:{lineno}: allele index exceeds uint8 range")
+        if n_haps is None:
+            n_haps = len(row)
+        elif len(row) != n_haps:
+            raise VcfError(
+                f"{path}:{lineno}: inconsistent haplotype count "
+                f"({len(row)} vs {n_haps})"
+            )
+        site_rows.append(row.astype(ALIGNMENT_DTYPE))
+
+    site_map = np.asarray(positions, dtype=np.int64)
+    mat = np.stack(site_rows, axis=0)                 # [n_sites, n_haps]
+    # rot90 parity: haplotype rows in reverse order (WeightedLD.py:375).
+    alignment = np.ascontiguousarray(mat.T[::-1])
+    return alignment, site_map

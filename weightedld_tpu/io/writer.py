@@ -1,0 +1,54 @@
+"""TSV output writers.
+
+Parity: the Python reference prints ``posa posb D D' R2`` tab-separated with
+``round(x, 4)`` formatting to stdout (``WeightedLD.py:176,282-284``); the Rust
+reference writes 3-dp TSV files plus an optional per-sequence weights TSV
+(``main.rs:70-119``).  We expose both: :func:`write_pairs` defaults to the
+Python format, and :func:`write_weights` covers the Rust-only weights dump.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import IO
+
+import numpy as np
+
+from ..core.ld_dense import LdRecords
+
+PAIR_HEADER = "posa\tposb\tD\tD'\tR2"
+
+
+def _fmt(x: float, ndigits: int) -> str:
+    # Python's print(round(x, 4)) semantics: shortest float repr.
+    return repr(round(float(x), ndigits))
+
+
+def write_pairs(
+    records: LdRecords,
+    out: IO[str] | None = None,
+    ndigits: int = 4,
+    header: bool = True,
+) -> None:
+    out = out if out is not None else sys.stdout
+    if header:
+        out.write(PAIR_HEADER + "\n")
+    buf: list[str] = []
+    for pa, pb, d, dp, r2 in zip(
+        records.pos_a, records.pos_b, records.d, records.d_prime, records.r2
+    ):
+        buf.append(
+            f"{pa}\t{pb}\t{_fmt(d, ndigits)}\t{_fmt(dp, ndigits)}\t{_fmt(r2, ndigits)}"
+        )
+        if len(buf) >= 4096:
+            out.write("\n".join(buf) + "\n")
+            buf.clear()
+    if buf:
+        out.write("\n".join(buf) + "\n")
+
+
+def write_weights(weights: np.ndarray, out: IO[str], ndigits: int = 6) -> None:
+    """Per-sequence weights TSV (ref ``main.rs:70-80``): ``index weight``."""
+    out.write("sequence\tweight\n")
+    for i, w in enumerate(np.asarray(weights)):
+        out.write(f"{i}\t{round(float(w), ndigits)}\n")

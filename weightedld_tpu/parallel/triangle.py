@@ -1,0 +1,92 @@
+"""Site-pair upper-triangle tiling and device striping.
+
+The scale-out axis of this framework is the upper triangle of the S x S
+site-pair matrix (S kept sites -> S(S-1)/2 pairs).  Like the reference's Rust
+driver (``lib.rs:589-679``) we split it into square tiles of side ``tile``;
+unlike the reference (rayon work-stealing over a linear tile index,
+``lib.rs:623-637``) we *pre-enumerate* the tile list host-side (it is tiny:
+~S^2 / 2T^2 entries) and stripe it across chips, which gives deterministic,
+near-perfectly-balanced static sharding that XLA/pjit can compile against.
+
+Diagonal tiles are half-populated (the reference notes the same,
+``lib.rs:650-653``); striping interleaves them across shards so every shard
+gets the same mix of full and half tiles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclass(frozen=True)
+class TilePlan:
+    """Static plan for one all-pairs run."""
+
+    n_sites: int          # S: number of (kept) sites
+    tile: int             # tile side T
+    s_pad: int            # S padded to a multiple of T
+    grid: int             # number of tile rows/cols = s_pad // T
+    tile_i: np.ndarray    # [n_tiles] int32 tile-row indices (i <= j)
+    tile_j: np.ndarray    # [n_tiles] int32 tile-col indices
+
+    @property
+    def n_tiles(self) -> int:
+        return len(self.tile_i)
+
+    @property
+    def n_pairs(self) -> int:
+        """True number of site pairs S(S-1)/2."""
+        return self.n_sites * (self.n_sites - 1) // 2
+
+
+def plan_tiles(n_sites: int, tile: int = 128) -> TilePlan:
+    """Enumerate upper-triangle tiles (including diagonal tiles) row-major.
+
+    Row-major order keeps each tile-row's A-block resident across consecutive
+    grid steps (the cache-locality argument of ``lib.rs:589-611``, which on
+    TPU becomes Pallas block-reuse: an unchanged block index is not re-fetched).
+    """
+    if n_sites < 2:
+        raise ValueError("need at least 2 sites")
+    s_pad = cdiv(n_sites, tile) * tile
+    grid = s_pad // tile
+    ti, tj = np.triu_indices(grid)
+    return TilePlan(
+        n_sites=n_sites,
+        tile=tile,
+        s_pad=s_pad,
+        grid=grid,
+        tile_i=ti.astype(np.int32),
+        tile_j=tj.astype(np.int32),
+    )
+
+
+def stripe(plan: TilePlan, n_shards: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Stripe tiles across shards: shard d owns tiles d, d+n, d+2n, ...
+
+    Returns ``(tile_i, tile_j, emit)`` arrays of shape
+    ``[n_shards * per_shard]`` laid out shard-major (shard d's tiles are the
+    contiguous block ``[d*per_shard, (d+1)*per_shard)``), padded with
+    non-emitting duplicate tiles so every shard has equal work.
+    """
+    n = plan.n_tiles
+    per_shard = cdiv(n, n_shards)
+    total = per_shard * n_shards
+    idx = np.arange(total)
+    # shard-major layout: position p of shard d holds global tile d + p*n_shards
+    shard = idx // per_shard
+    pos = idx % per_shard
+    src = shard + pos * n_shards
+    emit = src < n
+    src = np.minimum(src, n - 1)
+    return (
+        plan.tile_i[src].astype(np.int32),
+        plan.tile_j[src].astype(np.int32),
+        emit,
+    )

@@ -1,0 +1,104 @@
+"""End-to-end pipeline glue: ingest -> mask -> weight -> LD.
+
+Mirrors the reference driver (``WeightedLD.py:287-308,382-402``):
+
+* FASTA path: compute both masks, trim the alignment to the **LD** mask, and
+  compute Henikoff weights on the LD-trimmed alignment (the HK mask is
+  computed but unused by the reference CLI — ``WeightedLD.py:303,397``).
+  ``weight_mask="hk"`` selects the reference *test-suite* convention instead
+  (weights on the HK-masked alignment, ``test.py:43-44``).
+* VCF path: no site masking, weights on the full haplotype matrix
+  (``WeightedLD.py:385-388``).
+* ``--unweighted`` uses unit weights (``WeightedLD.py:391-394``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from .core.henikoff import henikoff_weights
+from .core.ld_dense import LdRecords, extract_records, ld_all_pairs_dense
+from .core.sites import compute_variable_sites
+from .io.fasta import read_fasta
+from .io.vcf import read_vcf
+
+
+@dataclass
+class WldConfig:
+    """Union of the reference Python and Rust flag sets (SURVEY.md §5)."""
+
+    min_acgt: float = 0.8          # WeightedLD.py:409
+    min_variability: float = 0.02  # WeightedLD.py:412
+    unweighted: bool = False       # WeightedLD.py:414
+    max_minor: float = 1.0         # Rust-only, main.rs:37-42 (1.0 = off)
+    r2_threshold: float | None = None  # Rust-only, main.rs:45-49 (None = all)
+    weight_mask: str = "ld"        # "ld" (CLI parity) or "hk" (test.py parity)
+    dtype: str = "float32"
+
+
+@dataclass
+class PipelineResult:
+    alignment: np.ndarray          # LD-trimmed [N, S_kept] codes
+    site_map: np.ndarray           # [S_kept] original site indices / positions
+    weights: np.ndarray            # [N]
+    hk_mask: np.ndarray | None = None
+    ld_mask: np.ndarray | None = None
+    records: LdRecords | None = None
+
+
+def prepare_fasta(path: str | Path, cfg: WldConfig) -> PipelineResult:
+    alignment = read_fasta(path)
+    aln = jnp.asarray(alignment)
+    hk_mask, ld_mask = compute_variable_sites(
+        aln, cfg.min_acgt, cfg.min_variability, cfg.max_minor
+    )
+    hk_mask = np.asarray(hk_mask)
+    ld_mask = np.asarray(ld_mask)
+
+    trimmed = alignment[:, ld_mask]
+    site_map = np.where(ld_mask)[0].astype(np.int64)
+
+    if cfg.unweighted:
+        weights = np.ones(alignment.shape[0], dtype=np.float32)
+    elif cfg.weight_mask == "hk":
+        weights = np.asarray(henikoff_weights(jnp.asarray(alignment[:, hk_mask])))
+    else:
+        weights = np.asarray(henikoff_weights(jnp.asarray(trimmed)))
+
+    return PipelineResult(
+        alignment=trimmed,
+        site_map=site_map,
+        weights=weights,
+        hk_mask=hk_mask,
+        ld_mask=ld_mask,
+    )
+
+
+def prepare_vcf(path: str | Path, cfg: WldConfig) -> PipelineResult:
+    alignment, site_map = read_vcf(path)
+    if cfg.unweighted:
+        weights = np.ones(alignment.shape[0], dtype=np.float32)
+    else:
+        weights = np.asarray(henikoff_weights(jnp.asarray(alignment)))
+    return PipelineResult(alignment=alignment, site_map=site_map, weights=weights)
+
+
+def prepare(path: str | Path, cfg: WldConfig | None = None) -> PipelineResult:
+    """Dispatch on file suffix like the reference driver (``WeightedLD.py:385``)."""
+    cfg = cfg or WldConfig()
+    if str(path).endswith(".vcf"):
+        return prepare_vcf(path, cfg)
+    return prepare_fasta(path, cfg)
+
+
+def run(path: str | Path, cfg: WldConfig | None = None) -> PipelineResult:
+    """Full pipeline with the dense engine; fills ``result.records``."""
+    cfg = cfg or WldConfig()
+    res = prepare(path, cfg)
+    stats = ld_all_pairs_dense(jnp.asarray(res.alignment), jnp.asarray(res.weights))
+    res.records = extract_records(stats, res.site_map, cfg.r2_threshold)
+    return res
