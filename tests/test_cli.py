@@ -1,0 +1,96 @@
+"""CLI surface tests (flag union of WeightedLD.py argparse + Rust structopt)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from weightedld_tpu.cli import main
+
+from .fixtures import ALL_FASTAS, GOLDEN, write_fasta
+
+
+def _run(capsys, *argv):
+    rc = main(list(argv))
+    out = capsys.readouterr()
+    return rc, out.out
+
+
+def test_default_stdout(tmp_path, capsys):
+    f = tmp_path / "t5.fasta"
+    write_fasta(f, ALL_FASTAS["t5"])
+    rc, out = _run(capsys, "--file", str(f))
+    assert rc == 0
+    lines = out.strip().split("\n")
+    assert lines[0] == "posa\tposb\tD\tD'\tR2"
+    assert lines[1] == "0\t1\t-0.25\t0.5\t1.0"
+
+
+def test_pair_output_file(tmp_path, capsys):
+    f = tmp_path / "t3.fasta"
+    write_fasta(f, ALL_FASTAS["t3"])
+    out_file = tmp_path / "pairs.tsv"
+    rc, _ = _run(capsys, "--file", str(f), "--pair-output", str(out_file))
+    assert rc == 0
+    lines = out_file.read_text().strip().split("\n")
+    assert len(lines) == 1 + len(GOLDEN["t3"]["pairs"])
+
+
+def test_weights_output(tmp_path, capsys):
+    f = tmp_path / "t1.fasta"
+    write_fasta(f, ALL_FASTAS["t1"])
+    wf = tmp_path / "weights.tsv"
+    rc, _ = _run(capsys, "--file", str(f), "--weights-output", str(wf))
+    rows = wf.read_text().strip().split("\n")
+    assert rows[0] == "sequence\tweight"
+    weights = [float(r.split("\t")[1]) for r in rows[1:]]
+    np.testing.assert_allclose(weights, GOLDEN["t1"]["weights"], atol=1e-4)
+
+
+def test_unweighted(tmp_path, capsys):
+    f = tmp_path / "t5.fasta"
+    write_fasta(f, ALL_FASTAS["t5"])
+    rc, out = _run(capsys, "--file", str(f), "--unweighted")
+    assert "0\t1\t-0.25\t0.5\t1.0" in out
+
+
+def test_r2_threshold_excludes(tmp_path, capsys):
+    f = tmp_path / "t5.fasta"
+    write_fasta(f, ALL_FASTAS["t5"])
+    rc, out = _run(capsys, "--file", str(f), "--r2-threshold", "1.0")
+    assert out.strip() == "posa\tposb\tD\tD'\tR2"  # r2==1.0 not > 1.0
+
+
+def test_tiled_engine_matches_dense(tmp_path, capsys):
+    f = tmp_path / "t3.fasta"
+    write_fasta(f, ALL_FASTAS["t3"])
+    _, dense_out = _run(capsys, "--file", str(f), "--engine", "dense")
+    _, tiled_out = _run(capsys, "--file", str(f), "--engine", "tiled",
+                        "--tile", "16")
+    assert sorted(dense_out.strip().split("\n")) == sorted(tiled_out.strip().split("\n"))
+
+
+def test_stats_only(tmp_path, capsys):
+    f = tmp_path / "t1.fasta"
+    write_fasta(f, ALL_FASTAS["t1"])
+    rc, out = _run(capsys, "--file", str(f), "--stats-only")
+    stats = json.loads(out)
+    assert stats["n_pairs"] == 10
+    assert stats["r2_max"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_invariant_input(tmp_path, capsys):
+    f = tmp_path / "flat.fasta"
+    write_fasta(f, ["AAAA", "AAAA", "AAAA"])
+    rc, out = _run(capsys, "--file", str(f))
+    assert rc == 0
+    assert out.strip() == "posa\tposb\tD\tD'\tR2"
+
+
+def test_min_variability_flag(tmp_path, capsys):
+    f = tmp_path / "t6.fasta"
+    write_fasta(f, ALL_FASTAS["t6"])
+    _, out_default = _run(capsys, "--file", str(f))
+    _, out_strict = _run(capsys, "--file", str(f), "--min-variability", "0.2")
+    assert len(out_default.strip().split("\n")) == 2   # pair (0,1)
+    assert len(out_strict.strip().split("\n")) == 1    # only site 0 survives

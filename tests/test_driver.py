@@ -1,0 +1,141 @@
+"""Tiled/sharded streaming driver: equality vs the dense engine, striping
+properties, multi-device sharding on the virtual CPU mesh, and TSV
+checkpoint/resume."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from weightedld_tpu.core.ld_dense import extract_records, ld_all_pairs_dense
+from weightedld_tpu.parallel.triangle import plan_tiles, stripe
+from weightedld_tpu.runtime.driver import (
+    DriverConfig,
+    collect_ld_records,
+    run_to_tsv,
+)
+
+from .fixtures import random_alignment
+
+import jax.numpy as jnp
+
+
+def _records_map(rec):
+    return {
+        (int(a), int(b)): (float(d), float(r2))
+        for a, b, d, r2 in zip(rec.pos_a, rec.pos_b, rec.d, rec.r2)
+    }
+
+
+def _assert_same_records(got, want, atol=1e-5):
+    gm, wm = _records_map(got), _records_map(want)
+    assert set(gm) == set(wm)
+    for k in wm:
+        np.testing.assert_allclose(gm[k], wm[k], atol=atol, err_msg=str(k))
+
+
+def test_plan_covers_triangle():
+    plan = plan_tiles(100, 16)
+    assert plan.s_pad == 112 and plan.grid == 7
+    # every tile (i<=j) exactly once
+    seen = set(zip(plan.tile_i.tolist(), plan.tile_j.tolist()))
+    assert len(seen) == plan.n_tiles == 7 * 8 // 2
+    assert all(i <= j for i, j in seen)
+
+
+@pytest.mark.parametrize("n_shards", [1, 3, 8])
+def test_stripe_partition(n_shards):
+    plan = plan_tiles(333, 32)
+    ti, tj, emit = stripe(plan, n_shards)
+    assert len(ti) % n_shards == 0
+    got = sorted(zip(ti[emit].tolist(), tj[emit].tolist()))
+    want = sorted(zip(plan.tile_i.tolist(), plan.tile_j.tolist()))
+    assert got == want
+
+
+@pytest.mark.parametrize("tile,kps", [(16, 2), (32, 5), (128, 3)])
+def test_tiled_matches_dense(rng, tile, kps):
+    aln = random_alignment(rng, n_seqs=48, n_sites=70)
+    w = (rng.random(48) + 0.05).astype(np.float32)
+    site_map = np.arange(70)
+
+    dense = extract_records(
+        ld_all_pairs_dense(jnp.asarray(aln), jnp.asarray(w)), site_map
+    )
+    tiled = collect_ld_records(
+        aln, w, site_map, DriverConfig(tile=tile, tiles_per_shard_batch=kps)
+    )
+    _assert_same_records(tiled, dense)
+
+
+def test_sharded_uses_all_devices(rng):
+    assert jax.device_count() == 8, "conftest should provide 8 virtual devices"
+    aln = random_alignment(rng, n_seqs=32, n_sites=130)
+    w = np.ones(32, dtype=np.float32)
+    dense = extract_records(
+        ld_all_pairs_dense(jnp.asarray(aln), jnp.asarray(w)), np.arange(130)
+    )
+    tiled = collect_ld_records(
+        aln, w, np.arange(130), DriverConfig(tile=16, tiles_per_shard_batch=4)
+    )
+    _assert_same_records(tiled, dense)
+
+
+def test_r2_threshold_stream(rng):
+    aln = random_alignment(rng, n_seqs=40, n_sites=60)
+    w = np.ones(40, dtype=np.float32)
+    cfg = DriverConfig(tile=16, r2_threshold=0.3)
+    recs = collect_ld_records(aln, w, np.arange(60), cfg)
+    assert (recs.r2 > 0.3).all()
+    dense = extract_records(
+        ld_all_pairs_dense(jnp.asarray(aln), jnp.asarray(w)),
+        np.arange(60),
+        r2_threshold=0.3,
+    )
+    _assert_same_records(recs, dense)
+
+
+def test_tsv_checkpoint_resume(rng, tmp_path):
+    aln = random_alignment(rng, n_seqs=24, n_sites=64)
+    w = np.ones(24, dtype=np.float32)
+    sm = np.arange(64)
+    cfg = DriverConfig(tile=16, tiles_per_shard_batch=1)
+
+    full = tmp_path / "full.tsv"
+    n_full = run_to_tsv(aln, w, sm, full, cfg)
+
+    # Simulate an interrupted run: write a partial file by faking a checkpoint
+    # after batch 0, then resume.
+    part = tmp_path / "part.tsv"
+
+    class Stop(Exception):
+        pass
+
+    calls = {"n": 0}
+    orig = None
+    import weightedld_tpu.runtime.driver as drv
+
+    def limited_stream(*args, **kwargs):
+        for item in orig(*args, **kwargs):
+            yield item
+            calls["n"] += 1
+            if calls["n"] >= 2 and not kwargs.get("start_batch"):
+                raise Stop
+
+    orig, drv.stream_ld_records = drv.stream_ld_records, limited_stream
+    try:
+        with pytest.raises(Stop):
+            run_to_tsv(aln, w, sm, part, cfg)
+    finally:
+        drv.stream_ld_records = orig
+
+    ckpt = part.with_suffix(part.suffix + ".ckpt.json")
+    assert ckpt.exists()
+    state = json.loads(ckpt.read_text())
+    assert state["next_batch"] == 2
+
+    n_resumed = run_to_tsv(aln, w, sm, part, cfg)
+    assert not ckpt.exists()
+    assert n_resumed == n_full
+    assert part.read_text() == full.read_text()

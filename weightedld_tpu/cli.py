@@ -1,0 +1,197 @@
+"""Command-line interface.
+
+Exposes the union of the reference Python flags (``WeightedLD.py:405-418``:
+``--file``, ``--min-acgt``, ``--min-variability``, ``--unweighted``) and the
+reference Rust flags (``main.rs:19-68``: ``--max-minor``, ``--r2-threshold``,
+``--pair-output``, ``--weights-output``), with Python-semantics defaults
+(no r2 threshold, 4-dp stdout TSV), plus TPU-engine controls.
+
+Output ordering: the dense engine (small inputs, default) emits pairs in
+(site_a, site_b) row-major order like the Python reference; the streaming
+tiled engine emits in tile order like the Rust reference's PairStore
+(``lib.rs:523-576``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="weightedld-tpu",
+        description="TPU-native weighted linkage disequilibrium (D, D', r2) "
+        "with Henikoff sequence weighting",
+    )
+    p.add_argument("--file", type=Path, required=True,
+                   help="input alignment: .fasta/.fa (or .vcf for multi-sample VCF)")
+    p.add_argument("--min-acgt", type=float, default=0.8,
+                   help="minimum fraction of A/C/G/T at a site (strict >) "
+                   "for inclusion [default 0.8]")
+    p.add_argument("--min-variability", type=float, default=0.02,
+                   help="minimum minor-symbol fraction (>=) for LD sites "
+                   "[default 0.02]")
+    p.add_argument("--unweighted", action="store_true",
+                   help="use unit weights instead of Henikoff weights")
+    p.add_argument("--max-minor", type=float, default=1.0,
+                   help="maximum dominant-minor fraction for LD sites "
+                   "(Rust-reference flag; 1.0 disables) [default 1.0]")
+    p.add_argument("--r2-threshold", type=float, default=None,
+                   help="only emit pairs with r2 strictly above this "
+                   "(default: emit all surviving pairs, as the Python "
+                   "reference; the Rust reference default is 0.1)")
+    p.add_argument("--pair-output", type=Path, default=None,
+                   help="pair TSV output path (default: stdout)")
+    p.add_argument("--weights-output", type=Path, default=None,
+                   help="optional per-sequence weights TSV")
+    p.add_argument("--weight-mask", choices=("ld", "hk"), default="ld",
+                   help="alignment trim used for weighting: 'ld' matches the "
+                   "reference CLI, 'hk' matches its test-suite convention")
+    p.add_argument("--engine", choices=("auto", "dense", "tiled"), default="auto",
+                   help="dense: one XLA program (small S); tiled: streaming "
+                   "sharded driver (large S) [default auto]")
+    p.add_argument("--tile", type=int, default=128, help="site-tile side")
+    p.add_argument("--tiles-per-batch", type=int, default=8,
+                   help="tiles per device per dispatch (tiled engine)")
+    p.add_argument("--checkpoint", action="store_true",
+                   help="enable batch-level resume for --pair-output runs "
+                   "(tiled engine)")
+    p.add_argument("--ndigits", type=int, default=4,
+                   help="output rounding digits [default 4, as reference]")
+    p.add_argument("--stats-only", action="store_true",
+                   help="print a JSON summary instead of per-pair records")
+    p.add_argument("--progress", action="store_true",
+                   help="log pairs/s progress to stderr")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        format="[%(levelname)s] %(asctime)s %(message)s",
+        level=logging.INFO if args.verbose else logging.ERROR,
+        datefmt="%Y-%m-%d %H:%M:%S",
+        stream=sys.stderr,
+    )
+    log = logging.getLogger("weightedld_tpu")
+
+    from .io.writer import write_pairs, write_weights
+    from .pipeline import WldConfig, prepare
+
+    cfg = WldConfig(
+        min_acgt=args.min_acgt,
+        min_variability=args.min_variability,
+        unweighted=args.unweighted,
+        max_minor=args.max_minor,
+        r2_threshold=args.r2_threshold,
+        weight_mask=args.weight_mask,
+    )
+
+    t0 = time.monotonic()
+    res = prepare(args.file, cfg)
+    n, s = res.alignment.shape
+    log.info("prepared %d sequences x %d LD sites in %.2fs", n, s,
+             time.monotonic() - t0)
+    if s < 2:
+        log.info("fewer than 2 sites of interest; nothing to do")
+        if args.pair_output:
+            args.pair_output.write_text("posa\tposb\tD\tD'\tR2\n")
+        else:
+            print("posa\tposb\tD\tD'\tR2")
+        return 0
+
+    if args.weights_output:
+        with open(args.weights_output, "w") as fh:
+            write_weights(res.weights, fh)
+
+    engine = args.engine
+    if engine == "auto":
+        engine = "dense" if s <= 2048 else "tiled"
+
+    on_progress = None
+    if args.progress:
+        def on_progress(p):
+            print(
+                f"[progress] {p.pairs_done}/{p.pairs_total} pairs "
+                f"({p.pairs_per_s:,.0f} pairs/s)", file=sys.stderr,
+            )
+
+    if args.stats_only:
+        import json
+
+        import jax.numpy as jnp
+
+        from .core.ld_dense import ld_all_pairs_dense
+        from .core.ld_tiled import summarize_tile_stats
+
+        stats = ld_all_pairs_dense(
+            jnp.asarray(res.alignment), jnp.asarray(res.weights)
+        )
+        # Only the upper triangle counts.
+        keep = np.triu(np.asarray(stats.keep), k=1)
+        r2 = np.asarray(stats.r2)
+        thr = args.r2_threshold if args.r2_threshold is not None else 0.0
+        out = {
+            "n_sequences": n,
+            "n_sites": s,
+            "n_pairs": int(keep.sum()),
+            "n_over_threshold": int((keep & (r2 > thr)).sum()),
+            "r2_mean": float(r2[keep].mean()) if keep.any() else None,
+            "r2_max": float(r2[keep].max()) if keep.any() else None,
+            "elapsed_s": time.monotonic() - t0,
+        }
+        print(json.dumps(out))
+        return 0
+
+    if engine == "dense":
+        import jax.numpy as jnp
+
+        from .core.ld_dense import extract_records, ld_all_pairs_dense
+
+        stats = ld_all_pairs_dense(
+            jnp.asarray(res.alignment), jnp.asarray(res.weights)
+        )
+        records = extract_records(stats, res.site_map, args.r2_threshold)
+        out = open(args.pair_output, "w") if args.pair_output else sys.stdout
+        try:
+            write_pairs(records, out, ndigits=args.ndigits)
+        finally:
+            if args.pair_output:
+                out.close()
+        log.info("wrote %d pairs in %.2fs", len(records), time.monotonic() - t0)
+    else:
+        from .runtime.driver import DriverConfig, run_to_tsv, stream_ld_records
+
+        dcfg = DriverConfig(
+            tile=args.tile,
+            tiles_per_shard_batch=args.tiles_per_batch,
+            r2_threshold=args.r2_threshold,
+        )
+        if args.pair_output:
+            nrec = run_to_tsv(
+                res.alignment, res.weights, res.site_map, args.pair_output,
+                dcfg, checkpoint=args.checkpoint, ndigits=args.ndigits,
+                on_progress=on_progress,
+            )
+            log.info("wrote %d pairs in %.2fs", nrec, time.monotonic() - t0)
+        else:
+            from .core.ld_dense import LdRecords
+
+            print("posa\tposb\tD\tD'\tR2")
+            for _, rec in stream_ld_records(
+                res.alignment, res.weights, res.site_map, dcfg,
+                on_progress=on_progress,
+            ):
+                write_pairs(rec, sys.stdout, ndigits=args.ndigits, header=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -101,17 +101,17 @@ def compact_tile_stats(
     gi = (tile_i[:, None, None] * tile + li[None, :, None]).astype(jnp.int32)
     gj = (tile_j[:, None, None] * tile + li[None, None, :]).astype(jnp.int32)
 
-    mask = stats.keep
-    if r2_threshold > 0:
-        mask = mask & (stats.r2 > r2_threshold)
+    # Strict > threshold (Rust lib.rs:661); pass -inf for "emit everything"
+    # (r2 is always finite for surviving pairs, so nothing is lost).
+    mask = stats.keep & (stats.r2 > r2_threshold)
 
     flat_mask = mask.reshape(-1)
     count = flat_mask.sum().astype(jnp.int32)
     (idx,) = jnp.nonzero(flat_mask, size=capacity, fill_value=0)
     take = lambda x: x.reshape(-1)[idx]
 
-    sites = jnp.stack([take(gi.broadcast_to(mask.shape)),
-                       take(gj.broadcast_to(mask.shape))], axis=1)
+    sites = jnp.stack([take(jnp.broadcast_to(gi, mask.shape)),
+                       take(jnp.broadcast_to(gj, mask.shape))], axis=1)
     values = jnp.stack(
         [take(stats.d), take(stats.d_prime), take(stats.r2)], axis=1
     ).astype(jnp.float32)
