@@ -1,0 +1,105 @@
+"""Pallas fused kernel vs the XLA tiled engine (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from weightedld_tpu.core.ld_tiled import pad_alignment, tile_stats_batch
+from weightedld_tpu.ops.pallas_ld import (
+    pad_alignment_site_major,
+    pad_weights,
+    pallas_tile_stats,
+)
+from weightedld_tpu.parallel.triangle import plan_tiles
+
+from .fixtures import random_alignment
+
+
+@pytest.mark.parametrize("seed,n_seqs,n_sites,tile,chunk", [
+    (0, 40, 50, 16, 64),
+    (1, 130, 70, 32, 128),
+    (2, 64, 33, 16, 64),
+])
+def test_pallas_matches_xla(seed, n_seqs, n_sites, tile, chunk):
+    rng = np.random.default_rng(seed)
+    aln = random_alignment(rng, n_seqs, n_sites)
+    w = (rng.random(n_seqs) + 0.05).astype(np.float32)
+
+    plan = plan_tiles(n_sites, tile)
+    ti = jnp.asarray(plan.tile_i)
+    tj = jnp.asarray(plan.tile_j)
+    emit = jnp.ones(plan.n_tiles, dtype=bool)
+
+    ref = tile_stats_batch(
+        jnp.asarray(pad_alignment(aln, tile)), jnp.asarray(w),
+        ti, tj, emit, tile=tile, n_sites=n_sites,
+    )
+
+    got = pallas_tile_stats(
+        jnp.asarray(pad_alignment_site_major(aln, tile, chunk)),
+        jnp.asarray(pad_weights(w, chunk)),
+        ti, tj, emit.astype(jnp.int32),
+        tile=tile, n_sites=n_sites, seq_chunk=chunk, interpret=True,
+    )
+
+    np.testing.assert_array_equal(np.asarray(got.keep), np.asarray(ref.keep))
+    keep = np.asarray(ref.keep)
+    for name in ("d", "r2"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name))[keep],
+            np.asarray(getattr(ref, name))[keep],
+            rtol=1e-5, atol=1e-6, err_msg=name,
+        )
+    dp_ref = np.asarray(ref.d_prime)[keep]
+    dp_got = np.asarray(got.d_prime)[keep]
+    finite = np.isfinite(dp_ref)
+    np.testing.assert_allclose(dp_got[finite], dp_ref[finite], rtol=1e-4, atol=1e-5)
+
+
+def test_reduced_planes_binary_data():
+    # SNP-style {0, 1, 4} data: the 3-plane kernel must match the 5-plane one.
+    rng = np.random.default_rng(3)
+    n_seqs, n_sites, tile, chunk = 60, 40, 16, 64
+    aln = (rng.random((n_seqs, n_sites)) < 0.4).astype(np.int8)
+    aln[rng.random((n_seqs, n_sites)) < 0.05] = 4
+    w = (rng.random(n_seqs) + 0.05).astype(np.float32)
+
+    from weightedld_tpu.ops.pallas_ld import detect_planes
+    from weightedld_tpu.parallel.triangle import plan_tiles
+
+    assert detect_planes(aln) == (0, 1, 4)
+    plan = plan_tiles(n_sites, tile)
+    args = (
+        jnp.asarray(pad_alignment_site_major(aln, tile, chunk)),
+        jnp.asarray(pad_weights(w, chunk)),
+        jnp.asarray(plan.tile_i), jnp.asarray(plan.tile_j),
+        jnp.ones(plan.n_tiles, dtype=jnp.int32),
+    )
+    full = pallas_tile_stats(*args, tile=tile, n_sites=n_sites,
+                             seq_chunk=chunk, interpret=True)
+    slim = pallas_tile_stats(*args, tile=tile, n_sites=n_sites,
+                             seq_chunk=chunk, planes=(0, 1, 4), interpret=True)
+    np.testing.assert_array_equal(np.asarray(slim.keep), np.asarray(full.keep))
+    keep = np.asarray(full.keep)
+    np.testing.assert_allclose(
+        np.asarray(slim.r2)[keep], np.asarray(full.r2)[keep], rtol=1e-6
+    )
+
+
+def test_driver_pallas_engine_matches_xla(rng):
+    from weightedld_tpu.runtime.driver import DriverConfig, collect_ld_records
+
+    aln = random_alignment(rng, 40, 50)
+    w = (rng.random(40) + 0.05).astype(np.float32)
+    sm = np.arange(50)
+    xla = collect_ld_records(aln, w, sm, DriverConfig(tile=16, engine="xla"))
+    pls = collect_ld_records(
+        aln, w, sm, DriverConfig(tile=16, engine="pallas", seq_chunk=64)
+    )
+    xm = {(int(a), int(b)): (float(d), float(r))
+          for a, b, d, r in zip(xla.pos_a, xla.pos_b, xla.d, xla.r2)}
+    pm = {(int(a), int(b)): (float(d), float(r))
+          for a, b, d, r in zip(pls.pos_a, pls.pos_b, pls.d, pls.r2)}
+    assert set(xm) == set(pm)
+    for key in xm:
+        np.testing.assert_allclose(pm[key], xm[key], atol=1e-5)

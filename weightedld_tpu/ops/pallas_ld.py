@@ -1,0 +1,294 @@
+"""Fused Pallas TPU kernel for the weighted-LD pair tile.
+
+Why a kernel: the XLA path materializes the [K, T, T, 5, 5] joint allele
+tables in HBM between the MXU contraction and the element-wise finalization,
+making the whole pipeline HBM-bound (~8 M pairs/s/chip measured).  This
+kernel keeps everything for one site-pair tile resident in VMEM:
+
+  HBM traffic per tile  =  2 x (T x N) int8 code blocks (+ T x T outputs)
+  compute per tile      =  one (10T x Nc) @ (Nc x 5T) MXU contraction per
+                           sequence chunk + O(T^2) VPU finalization
+
+so arithmetic intensity is ~50*T FLOPs/byte and the kernel is MXU-bound.
+
+Data layout: the alignment is stored SITE-MAJOR ([S_pad, N_pad] int8) — the
+same layout insight as the reference's ``SiteSet`` (``lib.rs:158-197``) —
+padded with code 5 (contributes to no one-hot plane) and weight 0.
+
+Per tile pair (A-block, B-block), accumulated over sequence chunks of Nc:
+
+  X  = [w * onehot(A); onehot(A)]  in R^{10T x Nc}
+  Yu = onehot(B)                   in R^{5T x Nc}
+  acc += X @ Yu^T                  -> rows 0..5T-1:  Jw (weighted joint)
+                                      rows 5T..10T-1: Ju (unweighted joint)
+
+followed by the same branch-free major/dominant-minor + skip-rule + D/D'/r2
+algebra as :func:`weightedld_tpu.core.paircore.finalize_pair_tile`
+(reference semantics: ``WeightedLD.py:183-284``), fused in-kernel.
+
+The tile list arrives via scalar prefetch (``tile_i``, ``tile_j``, ``emit``),
+so the grid walks an arbitrary (striped) slice of the upper triangle and
+Pallas double-buffers the code-block DMAs; row-major tile order makes the
+A-block index repeat, which skips its re-fetch entirely.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.encode import N_ALLELES, UNKNOWN
+from ..core.paircore import PairStats
+
+DEFAULT_SEQ_CHUNK = 512
+
+
+def pad_alignment_site_major(alignment: np.ndarray, tile: int,
+                             seq_chunk: int = DEFAULT_SEQ_CHUNK) -> np.ndarray:
+    """``[N, S]`` sequence-major codes -> ``[S_pad, N_pad]`` site-major,
+    padded with UNKNOWN (code 5) on both axes."""
+    n, s = alignment.shape
+    s_pad = -(-s // tile) * tile
+    n_pad = -(-n // seq_chunk) * seq_chunk
+    out = np.full((s_pad, n_pad), UNKNOWN, dtype=np.int8)
+    out[:s, :n] = alignment.T
+    return out
+
+
+def pad_weights(weights: np.ndarray, seq_chunk: int = DEFAULT_SEQ_CHUNK) -> np.ndarray:
+    n = weights.shape[0]
+    n_pad = -(-n // seq_chunk) * seq_chunk
+    out = np.zeros((1, n_pad), dtype=np.float32)
+    out[0, :n] = weights
+    return out
+
+
+def _ld_kernel(tile: int, n_sites: int, seq_chunk: int, planes: tuple,
+               ti_ref, tj_ref, em_ref,
+               a_ref, b_ref, w_ref,
+               d_ref, dp_ref, r2_ref, keep_ref,
+               acc_ref):
+    t = tile
+    p = len(planes)
+    pt = p * t
+    k = pl.program_id(0)
+    n_pad = a_ref.shape[1]
+    n_chunks = n_pad // seq_chunk
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    def dot16(x, y):
+        # bf16 x bf16 -> f32-accumulated MXU contraction over the chunk axis.
+        return jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )
+
+    def chunk_body(c, _):
+        sl = pl.ds(c * seq_chunk, seq_chunk)
+        # Widen int8 codes to int32: v5e Mosaic has no int8 vector compare.
+        a = a_ref[:, sl].astype(jnp.int32)     # (T, Nc)
+        b = b_ref[:, sl].astype(jnp.int32)
+        w = w_ref[:, sl]                       # (1, Nc) f32
+        # Split-bf16 weights: w = w_hi + w_lo to ~2^-17 relative error; the
+        # one-hot planes are exact {0, 1} in bf16, so each of the three MXU
+        # passes below is exact given its bf16 operand.
+        w_hi = w.astype(bf16)
+        w_lo = (w - w_hi.astype(f32)).astype(bf16)
+        xu = jnp.concatenate(
+            [(a == s).astype(bf16) for s in planes], axis=0
+        )                                      # (PT, Nc) bf16
+        yu = jnp.concatenate(
+            [(b == s).astype(bf16) for s in planes], axis=0
+        )
+        acc_ref[:pt, :] += dot16(xu * w_hi, yu) + dot16(xu * w_lo, yu)
+        acc_ref[pt:, :] += dot16(xu, yu)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    acc = acc_ref[:, :]
+    # jw[s][u] / ju[s][u]: (T, T) sub-blocks of the accumulated contraction.
+    jw = [[acc[s * t:(s + 1) * t, u * t:(u + 1) * t] for u in range(p)]
+          for s in range(p)]
+    ju = [[acc[(p + s) * t:(p + s + 1) * t, u * t:(u + 1) * t]
+           for u in range(p)]
+          for s in range(p)]
+
+    # Per-pair post-filter allele counts = marginals of the unweighted joint
+    # (reference recomputes them per pair via np.unique, WeightedLD.py:194-211).
+    cnt_a = [sum(ju[s][u] for u in range(p)) for s in range(p)]
+    cnt_b = [sum(ju[s][u] for s in range(p)) for u in range(p)]
+
+    def major_dmin(cnt):
+        # counts are integral f32; score = 8*count + (5 - symbol code), ties
+        # -> lower code (WeightedLD.py:203-209).
+        best = jnp.full((t, t), -1.0, f32)
+        best_idx = jnp.zeros((t, t), jnp.int32)
+        for s in range(p):
+            score = cnt[s] * 8.0 + (N_ALLELES - planes[s])
+            better = score > best
+            best = jnp.where(better, score, best)
+            best_idx = jnp.where(better, s, best_idx)
+        second = jnp.full((t, t), -1.0, f32)
+        second_idx = jnp.zeros((t, t), jnp.int32)
+        for s in range(p):
+            score = cnt[s] * 8.0 + (N_ALLELES - planes[s])
+            not_best = best_idx != s
+            better = (score > second) & not_best
+            second = jnp.where(better, score, second)
+            second_idx = jnp.where(better, s, second_idx)
+        return best_idx, second_idx
+
+    maj_a, dmin_a = major_dmin(cnt_a)
+    maj_b, dmin_b = major_dmin(cnt_b)
+
+    distinct_a = sum((cnt_a[s] > 0.5).astype(jnp.int32) for s in range(p))
+    distinct_b = sum((cnt_b[s] > 0.5).astype(jnp.int32) for s in range(p))
+    keep = (distinct_a > 1) & (distinct_b > 1)   # WeightedLD.py:196-201
+
+    # Select the four {maj,dmin} x {maj,dmin} cells of the weighted joint.
+    zero = jnp.zeros((t, t), f32)
+    row_maj = [zero] * p
+    row_dmin = [zero] * p
+    for u in range(p):
+        rm, rd = zero, zero
+        for s in range(p):
+            rm = rm + jw[s][u] * (maj_a == s).astype(f32)
+            rd = rd + jw[s][u] * (dmin_a == s).astype(f32)
+        row_maj[u] = rm
+        row_dmin[u] = rd
+    n_mm = n_md = n_dm = n_dd = zero
+    for u in range(p):
+        selb_m = (maj_b == u).astype(f32)
+        selb_d = (dmin_b == u).astype(f32)
+        n_mm = n_mm + row_maj[u] * selb_m
+        n_md = n_md + row_maj[u] * selb_d
+        n_dm = n_dm + row_dmin[u] * selb_m
+        n_dd = n_dd + row_dmin[u] * selb_d
+
+    total_w = n_mm + n_md + n_dm + n_dd
+    keep = keep & (total_w > 0)
+    safe_w = jnp.where(total_w > 0, total_w, 1.0)
+    inv_w = 1.0 / safe_w
+
+    pa_major = (n_mm + n_md) * inv_w
+    pb_major = (n_mm + n_dm) * inv_w
+    pa_minor = (n_dm + n_dd) * inv_w
+    pb_minor = (n_md + n_dd) * inv_w
+    # round(P,1)==1.0 <=> P >= 0.95 (WeightedLD.py:234-237)
+    keep = keep & (pa_major < 0.95) & (pb_major < 0.95)
+
+    obs_mm = n_mm * inv_w
+    obs_md = n_md * inv_w
+    obs_dm = n_dm * inv_w
+    obs_dd = n_dd * inv_w
+
+    t0 = pa_major * pb_major - obs_mm
+    t1 = pa_minor * pb_minor - obs_dd
+    t2 = -(pa_major * pb_minor - obs_md)
+    t3 = -(pa_minor * pb_major - obs_dm)
+    d = (t0 + t1 + t2 + t3) * 0.25
+
+    neg = jnp.maximum(-obs_dd, -obs_mm)
+    neg = jnp.where(neg == 0, jnp.minimum(-obs_dd, -obs_mm), neg)
+    pos = jnp.minimum(obs_dm, obs_md)
+    pos = jnp.where(pos == 0, jnp.maximum(obs_dm, obs_md), pos)
+    denom = jnp.where(d < 0, neg, pos)
+    d_prime = d / denom
+
+    r2 = d * d / (pa_major * pa_minor * pb_major * pb_minor)
+
+    # Pair validity: strict upper triangle of true (unpadded) sites + emit.
+    ti = ti_ref[k]
+    tj = tj_ref[k]
+    gi = ti * t + jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    gj = tj * t + jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    keep = keep & (gi < gj) & (gj < n_sites) & (em_ref[k] != 0)
+
+    d_ref[0] = d
+    dp_ref[0] = d_prime
+    r2_ref[0] = r2
+    keep_ref[0] = keep.astype(jnp.int8)
+
+
+ALL_PLANES = (0, 1, 2, 3, 4)
+
+
+def detect_planes(alignment: np.ndarray) -> tuple:
+    """Allele planes actually present (codes 0..4).
+
+    SNP matrices from VCFs are usually {0, 1, 4}: dropping absent planes
+    shrinks the contraction quadratically (3 planes = 36% of the 5-plane
+    FLOPs) with bit-identical results, since absent alleles have zero counts
+    everywhere and can never be selected as major/dominant-minor.
+    """
+    present = np.unique(alignment)
+    planes = tuple(int(c) for c in present if 0 <= c < N_ALLELES)
+    if len(planes) < 2:
+        planes = ALL_PLANES  # degenerate input; keep the general kernel
+    return planes
+
+
+@partial(jax.jit, static_argnames=("tile", "n_sites", "seq_chunk", "planes",
+                                   "interpret"))
+def pallas_tile_stats(
+    codes_sm: jnp.ndarray,     # [S_pad, N_pad] int8 site-major
+    weights_row: jnp.ndarray,  # [1, N_pad] f32
+    tile_i: jnp.ndarray,       # [K] int32
+    tile_j: jnp.ndarray,       # [K] int32
+    emit: jnp.ndarray,         # [K] int32 (0/1)
+    *,
+    tile: int,
+    n_sites: int,
+    seq_chunk: int = DEFAULT_SEQ_CHUNK,
+    planes: tuple = ALL_PLANES,
+    interpret: bool = False,
+) -> PairStats:
+    """Fused-kernel equivalent of ``tile_stats_batch`` (same contract)."""
+    k = tile_i.shape[0]
+    n_pad = codes_sm.shape[1]
+    t = tile
+    p = len(planes)
+    assert n_pad % seq_chunk == 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(k,),
+        in_specs=[
+            pl.BlockSpec((t, n_pad), lambda g, ti, tj, em: (ti[g], 0)),
+            pl.BlockSpec((t, n_pad), lambda g, ti, tj, em: (tj[g], 0)),
+            pl.BlockSpec((1, n_pad), lambda g, ti, tj, em: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t, t), lambda g, ti, tj, em: (g, 0, 0)),
+            pl.BlockSpec((1, t, t), lambda g, ti, tj, em: (g, 0, 0)),
+            pl.BlockSpec((1, t, t), lambda g, ti, tj, em: (g, 0, 0)),
+            pl.BlockSpec((1, t, t), lambda g, ti, tj, em: (g, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * p * t, p * t), jnp.float32),
+        ],
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((k, t, t), jnp.float32),
+        jax.ShapeDtypeStruct((k, t, t), jnp.float32),
+        jax.ShapeDtypeStruct((k, t, t), jnp.float32),
+        jax.ShapeDtypeStruct((k, t, t), jnp.int8),
+    ]
+
+    d, dp, r2, keep = pl.pallas_call(
+        partial(_ld_kernel, t, n_sites, seq_chunk, planes),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(tile_i, tile_j, emit, codes_sm, codes_sm, weights_row)
+
+    return PairStats(d=d, d_prime=dp, r2=r2, keep=keep.astype(bool))

@@ -22,11 +22,17 @@ from pathlib import Path
 from typing import Callable, Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.ld_dense import LdRecords
 from ..core.ld_tiled import pad_alignment
-from ..parallel.sharded import default_mesh, make_sharded_tile_runner, replicate
+from ..parallel.sharded import (
+    default_mesh,
+    gather_compact,
+    make_sharded_stats_runner,
+    replicate,
+)
 from ..parallel.triangle import cdiv, plan_tiles, stripe
 
 log = logging.getLogger("weightedld_tpu")
@@ -36,9 +42,29 @@ log = logging.getLogger("weightedld_tpu")
 class DriverConfig:
     tile: int = 128                 # site-tile side
     tiles_per_shard_batch: int = 8  # tiles evaluated per device per dispatch
-    capacity_per_shard: int | None = None  # compaction buffer; None = dense-safe
+    capacity_per_shard: int | None = None  # unused (kept for compat); record
+                                           # buffers are sized per batch now
     r2_threshold: float | None = None  # None = emit every surviving pair
     progress_every_s: float = 10.0
+    engine: str = "auto"            # auto | pallas | xla
+    seq_chunk: int = 512            # pallas: sequence-axis chunk
+
+
+def _resolve_engine(engine: str) -> str:
+    if engine != "auto":
+        return engine
+    # The fused Pallas kernel targets real TPUs; the XLA path is the
+    # portable CPU/interpret fallback.
+    platform = jax.devices()[0].platform
+    return "pallas" if platform in ("tpu", "axon") else "xla"
+
+
+def _next_bucket(n: int) -> int:
+    """Round up to a power of two to bound distinct fetch-slice shapes."""
+    b = 1
+    while b < n:
+        b <<= 1
+    return b
 
 
 @dataclass
@@ -52,6 +78,153 @@ class Progress:
         return self.pairs_done / self.elapsed_s if self.elapsed_s > 0 else 0.0
 
 
+class LdSession:
+    """Device-resident all-pairs LD session.
+
+    Uploads the alignment, weights, and the striped triangle tile plan to the
+    mesh ONCE at construction; each :meth:`stream` pass then costs only one
+    scalar down + one [K] count vector up per batch (plus O(records)).  This
+    is the serving-oriented API — build a session, run many scans (different
+    thresholds, resumed ranges) against it.
+    """
+
+    def __init__(
+        self,
+        alignment: np.ndarray,
+        weights: np.ndarray,
+        site_map: np.ndarray,
+        cfg: DriverConfig | None = None,
+        mesh=None,
+    ):
+        cfg = cfg or DriverConfig()
+        self.cfg = cfg
+        self.mesh = mesh or default_mesh()
+        n_dev = self.mesh.devices.size
+        self.n_dev = n_dev
+        self.n_seqs, self.n_sites = alignment.shape
+        self.plan = plan_tiles(self.n_sites, cfg.tile)
+        self.site_map = np.asarray(site_map)
+
+        k = cfg.tiles_per_shard_batch
+        engine = _resolve_engine(cfg.engine)
+        self.engine = engine
+        if engine == "pallas":
+            from ..ops.pallas_ld import (
+                detect_planes,
+                pad_alignment_site_major,
+                pad_weights,
+            )
+
+            planes = detect_planes(alignment)
+            interpret = jax.devices()[0].platform not in ("tpu", "axon")
+            self.runner = make_sharded_stats_runner(
+                self.mesh, tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k,
+                engine="pallas", planes=planes, seq_chunk=cfg.seq_chunk,
+                interpret=interpret,
+            )
+            codes_host = pad_alignment_site_major(
+                alignment, cfg.tile, cfg.seq_chunk
+            )
+            weights_host = pad_weights(np.asarray(weights), cfg.seq_chunk)
+        else:
+            self.runner = make_sharded_stats_runner(
+                self.mesh, tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k
+            )
+            codes_host = pad_alignment(alignment, cfg.tile)
+            weights_host = np.asarray(weights, dtype=np.float32)
+
+        self.codes_dev, self.weights_dev = replicate(
+            self.mesh, codes_host, weights_host
+        )
+
+        # Stripe tiles over shards, pad every shard to a whole number of
+        # batches, and upload the whole plan once (sharded over the mesh
+        # axis).  Each dispatch then addresses its batch by scalar index —
+        # no per-batch host->device array uploads.
+        tile_i, tile_j, emit = stripe(self.plan, n_dev)
+        per_shard = len(tile_i) // n_dev
+        self.n_batches = cdiv(per_shard, k)
+        pps = self.n_batches * k
+        ti_h = np.zeros(n_dev * pps, dtype=np.int32)
+        tj_h = np.zeros(n_dev * pps, dtype=np.int32)
+        em_h = np.zeros(n_dev * pps, dtype=np.int32)
+        for d in range(n_dev):
+            src = slice(d * per_shard, (d + 1) * per_shard)
+            dst = slice(d * pps, d * pps + per_shard)
+            ti_h[dst] = tile_i[src]
+            tj_h[dst] = tile_j[src]
+            em_h[dst] = emit[src]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        plan_sharding = NamedSharding(self.mesh, P("tiles"))
+        self.ti_dev = jax.device_put(ti_h, plan_sharding)
+        self.tj_dev = jax.device_put(tj_h, plan_sharding)
+        self.em_dev = jax.device_put(em_h, plan_sharding)
+
+    def run_batch(self, b: int) -> LdRecords:
+        """Evaluate one tile batch and return its surviving records."""
+        cfg = self.cfg
+        thr = -np.inf if cfg.r2_threshold is None else cfg.r2_threshold
+        tcnt, d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev = self.runner(
+            self.codes_dev, self.weights_dev,
+            self.ti_dev, self.tj_dev, self.em_dev, b, thr,
+        )
+        # Fetch only the [K] per-tile count vector; then gather-compact just
+        # the live tiles in a second dispatch.  Host transfers and compaction
+        # work stay O(records) — critical on slow device links and the reason
+        # a sparse scan runs at kernel speed.
+        tcnt = np.asarray(tcnt)
+        total = int(tcnt.sum())
+
+        if total == 0:
+            all_sites = np.empty((0, 2), dtype=np.int32)
+            all_vals = np.empty((0, 3), dtype=np.float32)
+        else:
+            live = np.nonzero(tcnt)[0].astype(np.int32)
+            m = len(live)
+            mb = min(_next_bucket(m), len(tcnt))
+            if mb > m:
+                dummy = int(np.nonzero(tcnt == 0)[0][0])  # exists since m < K
+                live = np.concatenate(
+                    [live, np.full(mb - m, dummy, dtype=np.int32)]
+                )
+            cap = _next_bucket(total)
+            cnt_dev, sites, values = gather_compact(
+                d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev, jnp.asarray(live),
+                tile=cfg.tile, capacity=cap,
+            )
+            all_sites = np.asarray(sites)[:total]
+            all_vals = np.asarray(values)[:total]
+
+        return LdRecords(
+            pos_a=self.site_map[all_sites[:, 0]],
+            pos_b=self.site_map[all_sites[:, 1]],
+            d=all_vals[:, 0],
+            d_prime=all_vals[:, 1],
+            r2=all_vals[:, 2],
+        )
+
+    def stream(
+        self,
+        start_batch: int = 0,
+        on_progress: Callable[[Progress], None] | None = None,
+    ) -> Iterator[tuple[int, LdRecords]]:
+        t0 = time.monotonic()
+        last_report = t0
+        pairs_done = 0
+        for b in range(start_batch, self.n_batches):
+            records = self.run_batch(b)
+            pairs_done += len(records)
+            now = time.monotonic()
+            if on_progress and (
+                now - last_report > self.cfg.progress_every_s
+                or b == self.n_batches - 1
+            ):
+                on_progress(Progress(pairs_done, self.plan.n_pairs, now - t0))
+                last_report = now
+            yield b, records
+
+
 def stream_ld_records(
     alignment: np.ndarray,
     weights: np.ndarray,
@@ -63,102 +236,10 @@ def stream_ld_records(
 ) -> Iterator[tuple[int, LdRecords]]:
     """Yield ``(batch_idx, records)`` for every tile batch of the triangle.
 
-    Args:
-        alignment: ``[N, S]`` int8 LD-masked codes.
-        weights: ``[N]`` per-sequence weights.
-        site_map: ``[S]`` original positions for output records.
-        start_batch: resume point (skip batches below this index).
+    One-shot convenience wrapper over :class:`LdSession`.
     """
-    cfg = cfg or DriverConfig()
-    mesh = mesh or default_mesh()
-    n_dev = mesh.devices.size
-    n, s = alignment.shape
-    plan = plan_tiles(s, cfg.tile)
-
-    capacity = cfg.capacity_per_shard
-    if capacity is None:
-        # Dense-safe: a batch can never overflow (= no-threshold runs).
-        capacity = cfg.tiles_per_shard_batch * cfg.tile * cfg.tile
-
-    runner = make_sharded_tile_runner(
-        mesh, tile=cfg.tile, n_sites=s, capacity_per_shard=capacity
-    )
-
-    codes_pad = pad_alignment(alignment, cfg.tile)
-    codes_dev, weights_dev = replicate(
-        mesh, codes_pad, np.asarray(weights, dtype=np.float32)
-    )
-
-    tile_i, tile_j, emit = stripe(plan, n_dev)
-    per_shard = len(tile_i) // n_dev
-    k = cfg.tiles_per_shard_batch
-    n_batches = cdiv(per_shard, k)
-    site_map = np.asarray(site_map)
-
-    t0 = time.monotonic()
-    last_report = t0
-    pairs_done = 0
-    # Count pairs per batch approximately for progress (exact at the end).
-    pairs_total = plan.n_pairs
-
-    for b in range(start_batch, n_batches):
-        # Gather each shard's slice [b*k, b*k+k) into a shard-major batch.
-        sel = []
-        for d in range(n_dev):
-            lo = d * per_shard + b * k
-            hi = min(lo + k, d * per_shard + per_shard)
-            sel.append(np.arange(lo, hi))
-        sel = np.concatenate(sel)
-        bi = np.full(n_dev * k, 0, dtype=np.int32)
-        bj = np.full(n_dev * k, 0, dtype=np.int32)
-        be = np.zeros(n_dev * k, dtype=bool)
-        # Scatter each shard's (possibly short) slice into its fixed block.
-        off = 0
-        for d in range(n_dev):
-            cnt_d = min(k, per_shard - b * k)
-            if cnt_d <= 0:
-                continue
-            blk = sel[off : off + cnt_d]
-            bi[d * k : d * k + cnt_d] = tile_i[blk]
-            bj[d * k : d * k + cnt_d] = tile_j[blk]
-            be[d * k : d * k + cnt_d] = emit[blk]
-            off += cnt_d
-
-        thr = -np.inf if cfg.r2_threshold is None else cfg.r2_threshold
-        counts, sites, values = jax.block_until_ready(
-            runner(codes_dev, weights_dev, bi, bj, be, thr)
-        )
-        counts = np.asarray(counts)
-        sites = np.asarray(sites)
-        values = np.asarray(values)
-
-        recs = []
-        for d in range(n_dev):
-            c = int(counts[d])
-            if c > capacity:
-                raise RuntimeError(
-                    f"compaction overflow on shard {d}: {c} > {capacity}; "
-                    "raise capacity_per_shard or r2_threshold"
-                )
-            recs.append((sites[d, :c], values[d, :c]))
-        all_sites = np.concatenate([r[0] for r in recs])
-        all_vals = np.concatenate([r[1] for r in recs])
-
-        records = LdRecords(
-            pos_a=site_map[all_sites[:, 0]],
-            pos_b=site_map[all_sites[:, 1]],
-            d=all_vals[:, 0],
-            d_prime=all_vals[:, 1],
-            r2=all_vals[:, 2],
-        )
-        pairs_done += len(records)
-
-        now = time.monotonic()
-        if on_progress and (now - last_report > cfg.progress_every_s or b == n_batches - 1):
-            on_progress(Progress(pairs_done, pairs_total, now - t0))
-            last_report = now
-
-        yield b, records
+    session = LdSession(alignment, weights, site_map, cfg, mesh)
+    yield from session.stream(start_batch=start_batch, on_progress=on_progress)
 
 
 def collect_ld_records(
