@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Headline benchmark: weighted-LD site-pairs/s on one TPU chip.
+
+Runs the full streaming engine (LdSession: Pallas fused kernel + sharded
+driver + on-device compaction) on a synthetic alignment, and the native C++
+SIMD/OpenMP baseline (the reference's Rust-SIMD-equivalent) on the same
+distribution, then prints ONE JSON line:
+
+    {"metric": ..., "value": pairs/s, "unit": ..., "vs_baseline": ratio}
+
+vs_baseline = TPU pairs/s : native CPU baseline pairs/s on this host.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+
+N_SEQS = 1000
+S_TPU = 16384
+S_CPU = 2048
+R2_THRESHOLD = 0.1
+TILE = 128
+TILES_PER_BATCH = 2048
+
+
+def synthetic_alignment(rng, n_seqs, n_sites):
+    """60% major allele / 30% minor / 10% missing — the reference's criterion
+    bench distribution (benches/bench_weighted_pair_ld.rs:8-28)."""
+    r = rng.random((n_seqs, n_sites))
+    aln = np.where(r < 0.6, 0, np.where(r < 0.9, 3, 4)).astype(np.int8)
+    return aln
+
+
+def bench_tpu() -> float:
+    import jax
+
+    from weightedld_tpu.core.henikoff import henikoff_weights
+    from weightedld_tpu.runtime.driver import DriverConfig, LdSession
+
+    rng = np.random.default_rng(42)
+    aln = synthetic_alignment(rng, N_SEQS, S_TPU)
+    import jax.numpy as jnp
+
+    weights = np.asarray(henikoff_weights(jnp.asarray(aln)))
+
+    cfg = DriverConfig(
+        tile=TILE,
+        tiles_per_shard_batch=TILES_PER_BATCH,
+        r2_threshold=R2_THRESHOLD,
+    )
+    session = LdSession(aln, weights, np.arange(S_TPU), cfg)
+
+    # Warm-up pass (compiles everything).
+    for _ in session.stream():
+        pass
+
+    n_pairs = S_TPU * (S_TPU - 1) // 2
+    best = 0.0
+    for _ in range(3):
+        t0 = time.monotonic()
+        total = 0
+        for _, rec in session.stream():
+            total += len(rec)
+        dt = time.monotonic() - t0
+        best = max(best, n_pairs / dt)
+    print(f"[bench] tpu: {best:,.0f} pairs/s ({total} records emitted)",
+          file=sys.stderr)
+    return best
+
+
+def bench_cpu_baseline() -> float | None:
+    exe = REPO / "native" / "weighted_ld_baseline"
+    if not exe.exists():
+        try:
+            subprocess.run(["make", "-C", str(REPO / "native")], check=True,
+                           capture_output=True, timeout=120)
+        except Exception as e:
+            print(f"[bench] native baseline build failed: {e}", file=sys.stderr)
+            return None
+    try:
+        out = subprocess.run(
+            [str(exe), "--bench", str(N_SEQS), str(S_CPU)],
+            capture_output=True, text=True, timeout=600, check=True,
+        ).stdout
+        stats = json.loads(out.strip().splitlines()[-1])
+        print(f"[bench] cpu baseline: {stats['pairs_per_s']:,.0f} pairs/s "
+              f"({stats['threads']} threads)", file=sys.stderr)
+        return float(stats["pairs_per_s"])
+    except Exception as e:
+        print(f"[bench] native baseline run failed: {e}", file=sys.stderr)
+        return None
+
+
+def main() -> int:
+    tpu = bench_tpu()
+    cpu = bench_cpu_baseline()
+    result = {
+        "metric": "weighted_ld_site_pairs_per_s_per_chip",
+        "value": round(tpu),
+        "unit": "pairs/s",
+        "vs_baseline": round(tpu / cpu, 2) if cpu else None,
+        "config": {
+            "n_seqs": N_SEQS,
+            "n_sites": S_TPU,
+            "r2_threshold": R2_THRESHOLD,
+            "tile": TILE,
+            "baseline": "native C++ -march=native -fopenmp (Rust-SIMD-equivalent)"
+            if cpu else "unavailable",
+            "cpu_baseline_pairs_per_s": round(cpu) if cpu else None,
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
