@@ -1,0 +1,116 @@
+"""Session summarize, prepared-input cache, profiling, fast VCF parsing."""
+
+import json
+
+import numpy as np
+import pytest
+
+from weightedld_tpu.cli import main
+from weightedld_tpu.runtime.driver import DriverConfig, LdSession
+
+from .fixtures import ALL_FASTAS, random_alignment, write_fasta
+
+
+def test_session_summarize_matches_dense(rng):
+    import jax.numpy as jnp
+
+    from weightedld_tpu.core.ld_dense import ld_all_pairs_dense
+
+    aln = random_alignment(rng, 32, 64)
+    w = np.ones(32, dtype=np.float32)
+    sess = LdSession(aln, w, np.arange(64),
+                     DriverConfig(tile=16, r2_threshold=0.2))
+    summary = sess.summarize()
+
+    stats = ld_all_pairs_dense(jnp.asarray(aln), jnp.asarray(w))
+    keep = np.triu(np.asarray(stats.keep), k=1)
+    r2 = np.asarray(stats.r2)
+    assert summary["n_pairs"] == int(keep.sum())
+    assert summary["n_over_threshold"] == int((keep & (r2 > 0.2)).sum())
+    np.testing.assert_allclose(
+        summary["r2_sum_over_threshold"], r2[keep & (r2 > 0.2)].sum(),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(summary["r2_max"], r2[keep].max(), rtol=1e-6)
+
+
+def test_prepared_cache_roundtrip(tmp_path, capsys):
+    f = tmp_path / "t3.fasta"
+    write_fasta(f, ALL_FASTAS["t3"])
+    npz = tmp_path / "prep.npz"
+
+    rc = main(["--file", str(f), "--save-prepared", str(npz)])
+    direct = capsys.readouterr().out
+    assert rc == 0 and npz.exists()
+
+    rc = main(["--load-prepared", str(npz)])
+    cached = capsys.readouterr().out
+    assert rc == 0
+    assert cached == direct
+
+
+def test_cli_stats_only_tiled(tmp_path, capsys):
+    f = tmp_path / "t1.fasta"
+    write_fasta(f, ALL_FASTAS["t1"])
+    rc, out = main(["--file", str(f), "--stats-only", "--engine", "tiled",
+                    "--tile", "16"]), capsys.readouterr().out
+    stats = json.loads(out)
+    assert stats["n_pairs"] == 10
+    assert stats["r2_max"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_stage_timer():
+    from weightedld_tpu.runtime.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    assert set(t.spans) == {"a", "b"}
+    assert "total" in t.report()
+
+
+def test_multihost_single_process_noop():
+    from weightedld_tpu.parallel.multihost import (
+        global_mesh,
+        initialize_distributed,
+        is_output_process,
+    )
+
+    initialize_distributed()  # must not raise in single-process mode
+    assert is_output_process()
+    mesh = global_mesh()
+    assert mesh.devices.size >= 1
+
+
+def test_fast_gt_block_parser():
+    from weightedld_tpu.io.vcf import _fast_parse_gt_block
+
+    row = _fast_parse_gt_block("0|1\t.|.\t1/0\t9|0")
+    assert row is not None
+    assert row.tolist() == [0, 1, 4, 4, 4, 4, 9, 0]
+    # Fallback cases: multi-digit alleles, FORMAT subfields, haploid
+    assert _fast_parse_gt_block("10|2\t0|1") is None
+    assert _fast_parse_gt_block("0|1:35\t0|1:12") is None
+    assert _fast_parse_gt_block("0\t1") is None
+
+
+def test_fast_and_slow_vcf_paths_agree(tmp_path):
+    from weightedld_tpu.io.vcf import read_vcf
+
+    header = ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+              + "\t".join(f"s{i}" for i in range(14)))
+    gts_fast = ["0|1"] * 7 + [".|."] * 3 + ["1/1"] * 4
+    gts_slow = [g + ":99" for g in gts_fast]  # FORMAT subfield -> slow path
+    body_f = "1\t100\t.\tA\tT\t.\t.\t.\tGT\t" + "\t".join(gts_fast)
+    body_s = "1\t100\t.\tA\tT\t.\t.\t.\tGT:GQ\t" + "\t".join(gts_slow)
+
+    pf = tmp_path / "fast.vcf"
+    pf.write_text(header + "\n" + body_f + "\n")
+    ps = tmp_path / "slow.vcf"
+    ps.write_text(header + "\n" + body_s + "\n")
+
+    af, _ = read_vcf(pf)
+    asl, _ = read_vcf(ps)
+    np.testing.assert_array_equal(af, asl)

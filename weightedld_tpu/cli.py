@@ -29,8 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native weighted linkage disequilibrium (D, D', r2) "
         "with Henikoff sequence weighting",
     )
-    p.add_argument("--file", type=Path, required=True,
-                   help="input alignment: .fasta/.fa (or .vcf for multi-sample VCF)")
+    p.add_argument("--file", type=Path, default=None,
+                   help="input alignment: .fasta/.fa (or .vcf for multi-sample "
+                   "VCF); required unless --load-prepared is given")
     p.add_argument("--min-acgt", type=float, default=0.8,
                    help="minimum fraction of A/C/G/T at a site (strict >) "
                    "for inclusion [default 0.8]")
@@ -66,6 +67,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output rounding digits [default 4, as reference]")
     p.add_argument("--stats-only", action="store_true",
                    help="print a JSON summary instead of per-pair records")
+    p.add_argument("--save-prepared", type=Path, default=None,
+                   help="save encoded alignment/masks/weights to an .npz "
+                   "cache after ingest")
+    p.add_argument("--load-prepared", type=Path, default=None,
+                   help="skip ingest; load a prepared .npz cache (overrides "
+                   "--file)")
+    p.add_argument("--profile-dir", type=Path, default=None,
+                   help="write a jax.profiler device trace to this directory")
     p.add_argument("--progress", action="store_true",
                    help="log pairs/s progress to stderr")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -95,7 +104,19 @@ def main(argv=None) -> int:
     )
 
     t0 = time.monotonic()
-    res = prepare(args.file, cfg)
+    if args.load_prepared:
+        from .runtime.cache import load_prepared
+
+        res = load_prepared(args.load_prepared)
+    elif args.file is not None:
+        res = prepare(args.file, cfg)
+    else:
+        print("error: --file or --load-prepared is required", file=sys.stderr)
+        return 2
+    if args.save_prepared:
+        from .runtime.cache import save_prepared
+
+        save_prepared(args.save_prepared, res)
     n, s = res.alignment.shape
     log.info("prepared %d sequences x %d LD sites in %.2fs", n, s,
              time.monotonic() - t0)
@@ -126,38 +147,55 @@ def main(argv=None) -> int:
     if args.stats_only:
         import json
 
-        import jax.numpy as jnp
+        if engine == "dense":
+            import jax.numpy as jnp
 
-        from .core.ld_dense import ld_all_pairs_dense
-        from .core.ld_tiled import summarize_tile_stats
+            from .core.ld_dense import ld_all_pairs_dense
 
-        stats = ld_all_pairs_dense(
-            jnp.asarray(res.alignment), jnp.asarray(res.weights)
-        )
-        # Only the upper triangle counts.
-        keep = np.triu(np.asarray(stats.keep), k=1)
-        r2 = np.asarray(stats.r2)
-        thr = args.r2_threshold if args.r2_threshold is not None else 0.0
-        out = {
-            "n_sequences": n,
-            "n_sites": s,
-            "n_pairs": int(keep.sum()),
-            "n_over_threshold": int((keep & (r2 > thr)).sum()),
-            "r2_mean": float(r2[keep].mean()) if keep.any() else None,
-            "r2_max": float(r2[keep].max()) if keep.any() else None,
-            "elapsed_s": time.monotonic() - t0,
-        }
+            stats = ld_all_pairs_dense(
+                jnp.asarray(res.alignment), jnp.asarray(res.weights)
+            )
+            # Only the upper triangle counts.
+            keep = np.triu(np.asarray(stats.keep), k=1)
+            r2 = np.asarray(stats.r2)
+            thr = args.r2_threshold if args.r2_threshold is not None else 0.0
+            over = keep & (r2 > thr)
+            out = {
+                "n_sequences": n,
+                "n_sites": s,
+                "n_pairs": int(keep.sum()),
+                "n_over_threshold": int(over.sum()),
+                "r2_sum_over_threshold": float(r2[over].sum()),
+                "r2_max": float(r2[keep].max()) if keep.any() else None,
+            }
+        else:
+            from .runtime.driver import DriverConfig, LdSession
+
+            session = LdSession(
+                res.alignment, res.weights, res.site_map,
+                DriverConfig(
+                    tile=args.tile,
+                    tiles_per_shard_batch=args.tiles_per_batch,
+                    r2_threshold=args.r2_threshold,
+                ),
+            )
+            out = session.summarize()
+        out["elapsed_s"] = time.monotonic() - t0
         print(json.dumps(out))
         return 0
 
+    from .runtime.profiling import device_trace
+
+    trace_dir = str(args.profile_dir) if args.profile_dir else None
     if engine == "dense":
         import jax.numpy as jnp
 
         from .core.ld_dense import extract_records, ld_all_pairs_dense
 
-        stats = ld_all_pairs_dense(
-            jnp.asarray(res.alignment), jnp.asarray(res.weights)
-        )
+        with device_trace(trace_dir):
+            stats = ld_all_pairs_dense(
+                jnp.asarray(res.alignment), jnp.asarray(res.weights)
+            )
         records = extract_records(stats, res.site_map, args.r2_threshold)
         out = open(args.pair_output, "w") if args.pair_output else sys.stdout
         try:
@@ -175,21 +213,22 @@ def main(argv=None) -> int:
             r2_threshold=args.r2_threshold,
         )
         if args.pair_output:
-            nrec = run_to_tsv(
-                res.alignment, res.weights, res.site_map, args.pair_output,
-                dcfg, checkpoint=args.checkpoint, ndigits=args.ndigits,
-                on_progress=on_progress,
-            )
+            with device_trace(trace_dir):
+                nrec = run_to_tsv(
+                    res.alignment, res.weights, res.site_map, args.pair_output,
+                    dcfg, checkpoint=args.checkpoint, ndigits=args.ndigits,
+                    on_progress=on_progress,
+                )
             log.info("wrote %d pairs in %.2fs", nrec, time.monotonic() - t0)
         else:
-            from .core.ld_dense import LdRecords
-
             print("posa\tposb\tD\tD'\tR2")
-            for _, rec in stream_ld_records(
-                res.alignment, res.weights, res.site_map, dcfg,
-                on_progress=on_progress,
-            ):
-                write_pairs(rec, sys.stdout, ndigits=args.ndigits, header=False)
+            with device_trace(trace_dir):
+                for _, rec in stream_ld_records(
+                    res.alignment, res.weights, res.site_map, dcfg,
+                    on_progress=on_progress,
+                ):
+                    write_pairs(rec, sys.stdout, ndigits=args.ndigits,
+                                header=False)
     return 0
 
 

@@ -1,0 +1,65 @@
+"""Multi-host (pod slice) execution support.
+
+Design (SURVEY.md §2.3/§5): the site-pair triangle is the only scale-out
+axis.  Inputs (alignment codes + weights — N x S_kept int8 + N f32) are
+replicated to every chip via a one-time broadcast; the striped tile plan is
+global and deterministic, so every process computes its own disjoint strip
+without coordination; per-batch outputs are compacted per chip and written
+by process 0 — communication is O(results), never O(pairs), riding ICI
+within a slice and touching DCN only for the gathered records.
+
+On a multi-host platform each process sees only its local chips;
+``jax.shard_map`` over the global mesh plus fully-replicated inputs gives
+exactly the ownership layout above with XLA inserting the (single) initial
+broadcast.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+log = logging.getLogger("weightedld_tpu")
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Bring up the JAX distributed runtime (no-op for single-process runs).
+
+    On TPU pods the three arguments are auto-detected from the environment;
+    pass them explicitly for manual bring-up.
+    """
+    if num_processes is None and coordinator_address is None:
+        try:
+            n = jax.process_count()
+        except Exception:
+            n = 1
+        if n <= 1:
+            log.info("single-process run; skipping jax.distributed")
+            return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    log.info(
+        "distributed runtime up: process %d/%d, %d local / %d global devices",
+        jax.process_index(), jax.process_count(),
+        jax.local_device_count(), jax.device_count(),
+    )
+
+
+def global_mesh(axis_name: str = "tiles") -> Mesh:
+    """1-D mesh over every chip in the job (all processes)."""
+    return Mesh(np.asarray(jax.devices()), (axis_name,))
+
+
+def is_output_process() -> bool:
+    """Only process 0 writes records/TSV; other hosts drive their chips."""
+    return jax.process_index() == 0

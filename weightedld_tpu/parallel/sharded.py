@@ -172,13 +172,13 @@ def make_sharded_stats_runner(
             )
         mask = st.keep & (st.r2 > r2_threshold)
         tile_counts = mask.sum(axis=(1, 2)).astype(jnp.int32)
-        return tile_counts, st.d, st.d_prime, st.r2, mask, tile_i, tile_j
+        return tile_counts, st.d, st.d_prime, st.r2, mask, tile_i, tile_j, st.keep
 
     fn = jax.jit(jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(), P()),
-        out_specs=(P(AXIS),) * 7,
+        out_specs=(P(AXIS),) * 8,
         check_vma=False,
     ))
 
@@ -221,4 +221,16 @@ def _gather_compact_jit(d, dp, r2, mask, tile_i, tile_j, live, *, tile, capacity
     return compact_tile_stats(
         st, tile_i[live], tile_j[live], jnp.float32(-jnp.inf),
         tile=tile, capacity=capacity,
+    )
+
+
+@jax.jit
+def batch_moments(r2, mask, keep):
+    """Reduction-only batch summary: (n_surviving, n_over_threshold, r2_sum
+    over threshold-passing pairs, r2_max over surviving pairs)."""
+    return (
+        keep.sum().astype(jnp.int32),   # < 2^31 per batch; host accumulates
+        mask.sum().astype(jnp.int32),
+        jnp.where(mask, r2, 0.0).sum(),
+        jnp.where(keep, r2, -jnp.inf).max(),
     )

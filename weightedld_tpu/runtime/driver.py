@@ -165,7 +165,7 @@ class LdSession:
         """Evaluate one tile batch and return its surviving records."""
         cfg = self.cfg
         thr = -np.inf if cfg.r2_threshold is None else cfg.r2_threshold
-        tcnt, d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev = self.runner(
+        tcnt, d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev, _keep = self.runner(
             self.codes_dev, self.weights_dev,
             self.ti_dev, self.tj_dev, self.em_dev, b, thr,
         )
@@ -203,6 +203,37 @@ class LdSession:
             d_prime=all_vals[:, 1],
             r2=all_vals[:, 2],
         )
+
+    def summarize(self) -> dict:
+        """Whole-triangle reduction-only scan: pair counts and r2 moments,
+        with O(1) host traffic per batch — the pod-scale 'stats-only' mode
+        (no record materialization anywhere)."""
+        from ..parallel.sharded import batch_moments
+
+        cfg = self.cfg
+        thr = -np.inf if cfg.r2_threshold is None else cfg.r2_threshold
+        n_pairs = 0
+        n_over = 0
+        r2_sum = 0.0
+        r2_max = -np.inf
+        for b in range(self.n_batches):
+            _, d_t, dp_t, r2_t, mask_t, _, _, keep_t = self.runner(
+                self.codes_dev, self.weights_dev,
+                self.ti_dev, self.tj_dev, self.em_dev, b, thr,
+            )
+            nk, nm, rs, rm = batch_moments(r2_t, mask_t, keep_t)
+            n_pairs += int(nk)
+            n_over += int(nm)
+            r2_sum += float(rs)
+            r2_max = max(r2_max, float(rm))
+        return {
+            "n_sequences": self.n_seqs,
+            "n_sites": self.n_sites,
+            "n_pairs": n_pairs,
+            "n_over_threshold": n_over,
+            "r2_sum_over_threshold": r2_sum,
+            "r2_max": r2_max if n_pairs else None,
+        }
 
     def stream(
         self,
