@@ -7,6 +7,10 @@ position-based sequence weighting, and the all-pairs weighted LD reduction
 meshes by sharding the site-pair upper triangle.
 """
 
+from .runtime.jaxcache import enable_persistent_cache as _enable_cache
+
+_enable_cache()
+
 from .core.encode import encode_alignment
 from .core.henikoff import henikoff_weights
 from .core.ld_dense import LdRecords, extract_records, ld_all_pairs_dense

@@ -60,10 +60,12 @@ def _resolve_engine(engine: str) -> str:
 
 
 def _next_bucket(n: int) -> int:
-    """Round up to a power of two to bound distinct fetch-slice shapes."""
+    """Round up to a power of FOUR: bounds the number of distinct compiled
+    gather/fetch shapes (expensive in remote-compile environments) at the
+    cost of <=4x buffer slack (transfers are sliced to the true count)."""
     b = 1
     while b < n:
-        b <<= 1
+        b <<= 2
     return b
 
 
