@@ -56,6 +56,17 @@ def test_weights_match_oracle(seed):
     np.testing.assert_allclose(w, w_o, rtol=2e-5, atol=2e-6)
 
 
+def test_chunked_large_path_matches():
+    from weightedld_tpu.core.henikoff import henikoff_weights_large
+
+    rng = np.random.default_rng(9)
+    aln = random_alignment(rng, 50, 300)
+    aln[0] = np.where((aln < 5).sum(axis=0) == 0, 0, aln[0])
+    ref = np.asarray(henikoff_weights(jnp.asarray(aln)))
+    got = np.asarray(henikoff_weights_large(aln, site_chunk=64))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
 def test_ambiguous_mean_imputation():
     # A code-5 cell receives the site-mean contribution over concrete alleles
     # (WeightedLD.py:141-145).

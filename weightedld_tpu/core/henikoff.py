@@ -53,9 +53,14 @@ def henikoff_weights(alignment: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     Returns:
         ``[n_seqs]`` weights in ``dtype``.
     """
-    codes = jnp.arange(N_CODES, dtype=alignment.dtype)
-    counts = (alignment[:, None, :] == codes[None, :, None]).sum(axis=0)  # [6, S]
-    counts = counts.astype(dtype)
+    # One reduction per code (not an [N, 6, S] one-hot): peak memory O(N*S).
+    counts = jnp.stack(
+        [
+            (alignment == alignment.dtype.type(s)).sum(axis=0)
+            for s in range(N_CODES)
+        ],
+        axis=0,
+    ).astype(dtype)                                                       # [6, S]
 
     unique_base = _unique_row_count(counts[:N_ALLELES]).astype(dtype)
 
@@ -74,3 +79,42 @@ def henikoff_weights(alignment: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
 
     weights = contrib.sum(axis=1)
     return weights / weights.max()
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def _henikoff_partial_sums(alignment: jnp.ndarray, dtype=jnp.float32):
+    """Un-normalized per-sequence contribution sums for one site chunk,
+    with the global ``unique_base`` scalar omitted (it cancels under the
+    final max-normalization — see module docstring)."""
+    counts = jnp.stack(
+        [
+            (alignment == alignment.dtype.type(s)).sum(axis=0)
+            for s in range(N_CODES)
+        ],
+        axis=0,
+    ).astype(dtype)
+    own = jnp.take_along_axis(counts, alignment.astype(jnp.int32), axis=0)
+    ok = alignment != UNKNOWN
+    contrib = jnp.where(ok, 1.0 / own, 0.0)
+    concrete_total = counts[:N_ALLELES].sum(axis=0)
+    site_avg = contrib.sum(axis=0) / concrete_total
+    contrib = jnp.where(ok, contrib, site_avg[None, :])
+    return contrib.sum(axis=1)
+
+
+def henikoff_weights_large(
+    alignment, site_chunk: int = 16384, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Chunked Henikoff weighting for pod-scale alignments.
+
+    Accumulates per-sequence contribution sums over site chunks (bounded
+    device memory), then max-normalizes.  The normalized result equals
+    :func:`henikoff_weights` because per-site contributions are additive
+    and the reference's global scalar cancels.
+    """
+    n, s = alignment.shape
+    total = jnp.zeros(n, dtype=dtype)
+    for lo in range(0, s, site_chunk):
+        chunk = jnp.asarray(alignment[:, lo : lo + site_chunk])
+        total = total + _henikoff_partial_sums(chunk, dtype=dtype)
+    return total / total.max()

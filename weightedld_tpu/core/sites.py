@@ -30,13 +30,19 @@ from .encode import N_ALLELES, N_CONCRETE
 def site_histogram(alignment: jnp.ndarray) -> jnp.ndarray:
     """Per-site allele counts over codes 0..4.
 
+    One reduction per code rather than a single [N, S, 5] one-hot so peak
+    intermediate memory stays O(N*S) even for pod-scale alignments.
+
     Args:
         alignment: ``[n_seqs, n_sites]`` int8 code matrix.
     Returns:
         ``[n_sites, 5]`` int32 counts.
     """
-    codes = jnp.arange(N_ALLELES, dtype=alignment.dtype)
-    return (alignment[:, :, None] == codes).sum(axis=0).astype(jnp.int32)
+    cols = [
+        (alignment == alignment.dtype.type(s)).sum(axis=0, dtype=jnp.int32)
+        for s in range(N_ALLELES)
+    ]
+    return jnp.stack(cols, axis=1)
 
 
 @partial(jax.jit, static_argnames=("max_minor",))

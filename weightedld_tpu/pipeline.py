@@ -20,11 +20,20 @@ from pathlib import Path
 import jax.numpy as jnp
 import numpy as np
 
-from .core.henikoff import henikoff_weights
+from .core.henikoff import henikoff_weights, henikoff_weights_large
 from .core.ld_dense import LdRecords, extract_records, ld_all_pairs_dense
 from .core.sites import compute_variable_sites
 from .io.fasta import read_fasta
 from .io.vcf import read_vcf
+
+# Above this many cells, weighting runs in site chunks (bounded memory).
+_LARGE_CELLS = 200_000_000
+
+
+def _weights_for(alignment_np: np.ndarray) -> np.ndarray:
+    if alignment_np.size > _LARGE_CELLS:
+        return np.asarray(henikoff_weights_large(alignment_np))
+    return np.asarray(henikoff_weights(jnp.asarray(alignment_np)))
 
 
 @dataclass
@@ -65,9 +74,9 @@ def prepare_fasta(path: str | Path, cfg: WldConfig) -> PipelineResult:
     if cfg.unweighted:
         weights = np.ones(alignment.shape[0], dtype=np.float32)
     elif cfg.weight_mask == "hk":
-        weights = np.asarray(henikoff_weights(jnp.asarray(alignment[:, hk_mask])))
+        weights = _weights_for(alignment[:, hk_mask])
     else:
-        weights = np.asarray(henikoff_weights(jnp.asarray(trimmed)))
+        weights = _weights_for(trimmed)
 
     return PipelineResult(
         alignment=trimmed,
@@ -83,7 +92,7 @@ def prepare_vcf(path: str | Path, cfg: WldConfig) -> PipelineResult:
     if cfg.unweighted:
         weights = np.ones(alignment.shape[0], dtype=np.float32)
     else:
-        weights = np.asarray(henikoff_weights(jnp.asarray(alignment)))
+        weights = _weights_for(alignment)
     return PipelineResult(alignment=alignment, site_map=site_map, weights=weights)
 
 
