@@ -69,6 +69,7 @@ def pad_weights(weights: np.ndarray, seq_chunk: int = DEFAULT_SEQ_CHUNK) -> np.n
 
 
 def _ld_kernel(tile: int, n_sites: int, seq_chunk: int, planes: tuple,
+               exact_weights: bool,
                ti_ref, tj_ref, em_ref,
                a_ref, b_ref, w_ref,
                d_ref, dp_ref, r2_ref, keep_ref,
@@ -97,17 +98,22 @@ def _ld_kernel(tile: int, n_sites: int, seq_chunk: int, planes: tuple,
         b = b_ref[:, sl].astype(jnp.int32)
         w = w_ref[:, sl]                       # (1, Nc) f32
         # Split-bf16 weights: w = w_hi + w_lo to ~2^-17 relative error; the
-        # one-hot planes are exact {0, 1} in bf16, so each of the three MXU
-        # passes below is exact given its bf16 operand.
+        # one-hot planes are exact {0, 1} in bf16, so each of the MXU passes
+        # below is exact given its bf16 operand.  When the weights are
+        # bf16-representable (e.g. --unweighted), the w_lo pass vanishes
+        # and is skipped statically (2 passes instead of 3).
         w_hi = w.astype(bf16)
-        w_lo = (w - w_hi.astype(f32)).astype(bf16)
         xu = jnp.concatenate(
             [(a == s).astype(bf16) for s in planes], axis=0
         )                                      # (PT, Nc) bf16
         yu = jnp.concatenate(
             [(b == s).astype(bf16) for s in planes], axis=0
         )
-        acc_ref[:pt, :] += dot16(xu * w_hi, yu) + dot16(xu * w_lo, yu)
+        jw_chunk = dot16(xu * w_hi, yu)
+        if not exact_weights:
+            w_lo = (w - w_hi.astype(f32)).astype(bf16)
+            jw_chunk = jw_chunk + dot16(xu * w_lo, yu)
+        acc_ref[:pt, :] += jw_chunk
         acc_ref[pt:, :] += dot16(xu, yu)
         return 0
 
@@ -236,8 +242,17 @@ def detect_planes(alignment: np.ndarray) -> tuple:
     return planes
 
 
+def weights_bf16_exact(weights: np.ndarray) -> bool:
+    """True when every weight is exactly representable in bf16 (unit weights,
+    simple fractions): enables the 2-pass kernel variant."""
+    w = np.asarray(weights, dtype=np.float32)
+    import ml_dtypes
+
+    return bool((w.astype(ml_dtypes.bfloat16).astype(np.float32) == w).all())
+
+
 @partial(jax.jit, static_argnames=("tile", "n_sites", "seq_chunk", "planes",
-                                   "interpret"))
+                                   "exact_weights", "interpret"))
 def pallas_tile_stats(
     codes_sm: jnp.ndarray,     # [S_pad, N_pad] int8 site-major
     weights_row: jnp.ndarray,  # [1, N_pad] f32
@@ -249,6 +264,7 @@ def pallas_tile_stats(
     n_sites: int,
     seq_chunk: int = DEFAULT_SEQ_CHUNK,
     planes: tuple = ALL_PLANES,
+    exact_weights: bool = False,
     interpret: bool = False,
 ) -> PairStats:
     """Fused-kernel equivalent of ``tile_stats_batch`` (same contract)."""
@@ -285,7 +301,7 @@ def pallas_tile_stats(
     ]
 
     d, dp, r2, keep = pl.pallas_call(
-        partial(_ld_kernel, t, n_sites, seq_chunk, planes),
+        partial(_ld_kernel, t, n_sites, seq_chunk, planes, exact_weights),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,

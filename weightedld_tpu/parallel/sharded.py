@@ -127,6 +127,7 @@ def make_sharded_stats_runner(
     engine: str = "xla",
     planes: tuple = (0, 1, 2, 3, 4),
     seq_chunk: int = 512,
+    exact_weights: bool = False,
     interpret: bool = False,
 ):
     """Stats-only sharded pass: evaluate one batch of tiles, apply the r2
@@ -143,7 +144,7 @@ def make_sharded_stats_runner(
     """
     key = (
         "stats", tuple(d.id for d in mesh.devices.flat), tile, n_sites,
-        k_per_batch, engine, planes, seq_chunk, interpret,
+        k_per_batch, engine, planes, seq_chunk, exact_weights, interpret,
     )
     cached = _RUNNER_CACHE.get(key)
     if cached is not None:
@@ -163,7 +164,8 @@ def make_sharded_stats_runner(
             st = pallas_tile_stats(
                 codes, weights, tile_i, tile_j, emit,
                 tile=tile, n_sites=n_sites, seq_chunk=seq_chunk,
-                planes=planes, interpret=interpret,
+                planes=planes, exact_weights=exact_weights,
+                interpret=interpret,
             )
         else:
             st = tile_stats_batch(

@@ -115,6 +115,7 @@ class LdSession:
                 detect_planes,
                 pad_alignment_site_major,
                 pad_weights,
+                weights_bf16_exact,
             )
 
             planes = detect_planes(alignment)
@@ -122,6 +123,7 @@ class LdSession:
             self.runner = make_sharded_stats_runner(
                 self.mesh, tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k,
                 engine="pallas", planes=planes, seq_chunk=cfg.seq_chunk,
+                exact_weights=weights_bf16_exact(weights),
                 interpret=interpret,
             )
             codes_host = pad_alignment_site_major(
