@@ -96,6 +96,22 @@ def test_r2_threshold_stream(rng):
     _assert_same_records(recs, dense)
 
 
+def test_determinism_across_runs(rng):
+    # XLA SPMD is data-race-free by construction (SURVEY.md §5 race row);
+    # the determinism guarantee we keep instead: identical inputs produce
+    # bit-identical records across independent sessions.
+    aln = random_alignment(rng, 40, 96)
+    w = (rng.random(40) + 0.05).astype(np.float32)
+    cfg = DriverConfig(tile=16, tiles_per_shard_batch=3)
+    a = collect_ld_records(aln, w, np.arange(96), cfg)
+    b = collect_ld_records(aln, w, np.arange(96), cfg)
+    np.testing.assert_array_equal(a.pos_a, b.pos_a)
+    np.testing.assert_array_equal(a.pos_b, b.pos_b)
+    np.testing.assert_array_equal(a.d, b.d)
+    np.testing.assert_array_equal(a.d_prime, b.d_prime)
+    np.testing.assert_array_equal(a.r2, b.r2)
+
+
 def test_tsv_checkpoint_resume(rng, tmp_path):
     aln = random_alignment(rng, n_seqs=24, n_sites=64)
     w = np.ones(24, dtype=np.float32)

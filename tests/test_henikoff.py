@@ -56,6 +56,23 @@ def test_weights_match_oracle(seed):
     np.testing.assert_allclose(w, w_o, rtol=2e-5, atol=2e-6)
 
 
+def test_paper_variant_divergence_demo():
+    # SURVEY.md A.9: on the full example.fasta the Python and Rust formulas
+    # genuinely diverge — the ambiguous-base sequence flips from lowest to
+    # highest weight.  Our paper-variant reproduces the Rust column.
+    from weightedld_tpu.core.henikoff import henikoff_weights_paper
+
+    aln = _encode(ALL_FASTAS["example"])
+    py = np.asarray(henikoff_weights(jnp.asarray(aln)))
+    paper = np.asarray(henikoff_weights_paper(jnp.asarray(aln)))
+    np.testing.assert_allclose(
+        py, [1.0, 0.4758, 0.4758, 0.4758, 0.9597,
+             0.3548, 0.3548, 0.3548, 0.3548, 0.3548], atol=2e-4)
+    np.testing.assert_allclose(
+        paper, [0.633, 0.3119, 0.3119, 0.3119, 0.4954,
+                0.2661, 0.2661, 0.2661, 0.2661, 1.0], atol=2e-4)
+
+
 def test_chunked_large_path_matches():
     from weightedld_tpu.core.henikoff import henikoff_weights_large
 

@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight-mask", choices=("ld", "hk"), default="ld",
                    help="alignment trim used for weighting: 'ld' matches the "
                    "reference CLI, 'hk' matches its test-suite convention")
+    p.add_argument("--weighting", choices=("python", "paper"), default="python",
+                   help="Henikoff formula variant: 'python' = reference "
+                   "WeightedLD.py semantics (default), 'paper' = the "
+                   "Henikoff-1994 per-site-distinct formula (the reference's "
+                   "Rust variant)")
     p.add_argument("--engine", choices=("auto", "dense", "tiled"), default="auto",
                    help="dense: one XLA program (small S); tiled: streaming "
                    "sharded driver (large S) [default auto]")
@@ -101,6 +106,7 @@ def main(argv=None) -> int:
         max_minor=args.max_minor,
         r2_threshold=args.r2_threshold,
         weight_mask=args.weight_mask,
+        weighting=args.weighting,
     )
 
     t0 = time.monotonic()

@@ -82,6 +82,34 @@ def henikoff_weights(alignment: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("dtype",))
+def henikoff_weights_paper(alignment: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """The Henikoff 1994 *paper* formula — the reference's Rust variant
+    (``lib.rs:340-380``): per-site contribution ``1/(distinct_known *
+    count[own symbol])`` with per-site distinct-symbol counts, and unknown
+    cells imputed with ``site_total / distinct_known`` (NOT the mean over
+    concrete sequences — a verified Rust deviation, SURVEY.md §2.4.1).
+    Offered as an alternative weighting; the default is Python parity.
+    """
+    counts = jnp.stack(
+        [
+            (alignment == alignment.dtype.type(s)).sum(axis=0)
+            for s in range(N_CODES)
+        ],
+        axis=0,
+    ).astype(dtype)                                                   # [6, S]
+    distinct = (counts[:N_ALLELES] > 0).sum(axis=0).astype(dtype)     # [S]
+    own = jnp.take_along_axis(counts, alignment.astype(jnp.int32), axis=0)
+    ok = alignment != UNKNOWN
+    safe = jnp.maximum(distinct * own, 1.0)
+    contrib = jnp.where(ok, 1.0 / safe, 0.0)
+    site_total = contrib.sum(axis=0)
+    imputed = site_total / jnp.maximum(distinct, 1.0)                 # lib.rs:373
+    contrib = jnp.where(ok, contrib, imputed[None, :])
+    weights = contrib.sum(axis=1)
+    return weights / weights.max()
+
+
+@partial(jax.jit, static_argnames=("dtype",))
 def _henikoff_partial_sums(alignment: jnp.ndarray, dtype=jnp.float32):
     """Un-normalized per-sequence contribution sums for one site chunk,
     with the global ``unique_base`` scalar omitted (it cancels under the

@@ -20,7 +20,11 @@ from pathlib import Path
 import jax.numpy as jnp
 import numpy as np
 
-from .core.henikoff import henikoff_weights, henikoff_weights_large
+from .core.henikoff import (
+    henikoff_weights,
+    henikoff_weights_large,
+    henikoff_weights_paper,
+)
 from .core.ld_dense import LdRecords, extract_records, ld_all_pairs_dense
 from .core.sites import compute_variable_sites
 from .io.fasta import read_fasta
@@ -30,7 +34,9 @@ from .io.vcf import read_vcf
 _LARGE_CELLS = 200_000_000
 
 
-def _weights_for(alignment_np: np.ndarray) -> np.ndarray:
+def _weights_for(alignment_np: np.ndarray, variant: str = "python") -> np.ndarray:
+    if variant == "paper":
+        return np.asarray(henikoff_weights_paper(jnp.asarray(alignment_np)))
     if alignment_np.size > _LARGE_CELLS:
         return np.asarray(henikoff_weights_large(alignment_np))
     return np.asarray(henikoff_weights(jnp.asarray(alignment_np)))
@@ -46,6 +52,8 @@ class WldConfig:
     max_minor: float = 1.0         # Rust-only, main.rs:37-42 (1.0 = off)
     r2_threshold: float | None = None  # Rust-only, main.rs:45-49 (None = all)
     weight_mask: str = "ld"        # "ld" (CLI parity) or "hk" (test.py parity)
+    weighting: str = "python"      # "python" (WeightedLD.py) or "paper"
+                                   # (Henikoff-1994 / Rust variant)
     dtype: str = "float32"
 
 
@@ -74,9 +82,9 @@ def prepare_fasta(path: str | Path, cfg: WldConfig) -> PipelineResult:
     if cfg.unweighted:
         weights = np.ones(alignment.shape[0], dtype=np.float32)
     elif cfg.weight_mask == "hk":
-        weights = _weights_for(alignment[:, hk_mask])
+        weights = _weights_for(alignment[:, hk_mask], cfg.weighting)
     else:
-        weights = _weights_for(trimmed)
+        weights = _weights_for(trimmed, cfg.weighting)
 
     return PipelineResult(
         alignment=trimmed,
@@ -92,7 +100,7 @@ def prepare_vcf(path: str | Path, cfg: WldConfig) -> PipelineResult:
     if cfg.unweighted:
         weights = np.ones(alignment.shape[0], dtype=np.float32)
     else:
-        weights = _weights_for(alignment)
+        weights = _weights_for(alignment, cfg.weighting)
     return PipelineResult(alignment=alignment, site_map=site_map, weights=weights)
 
 
