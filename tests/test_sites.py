@@ -32,6 +32,23 @@ def test_t6_high_variability():
     assert np.asarray(ld).astype(int).tolist() == [1, 0, 0, 0]
 
 
+def test_rust_variant_filter():
+    from weightedld_tpu.core.sites import compute_variable_sites_rust
+
+    # t1: cols 0-1 fail coverage; cols 2-6 have maj=2, dom-minor=2 ->
+    # frac 0.5, kept at default thresholds (<= max_minor 0.5 inclusive).
+    aln = _encode(ALL_FASTAS["t1"])
+    mask = compute_variable_sites_rust(jnp.asarray(aln), 0.8, 0.02)
+    assert np.asarray(mask).astype(int).tolist() == [0, 0, 1, 1, 1, 1, 1]
+    # Dominant-minor semantics differ from Python's all-minor: a site with
+    # counts {A:6, C:2, T:2} has all-minor frac 0.4 but dominant frac 0.25.
+    aln2 = _encode(["AC", "AC", "AT", "AT", "AA", "AA", "AA", "AA", "AA", "AA"])
+    mask2 = compute_variable_sites_rust(jnp.asarray(aln2), 0.0, 0.3)
+    assert np.asarray(mask2).astype(int).tolist() == [0, 0]
+    _, ld_py = compute_variable_sites(jnp.asarray(aln2), 0.0, 0.3)
+    assert np.asarray(ld_py).astype(int).tolist() == [0, 1]  # 0.4 >= 0.3
+
+
 @pytest.mark.parametrize("min_acgt,min_var", [(0.8, 0.02), (0.5, 0.1), (0.0, 0.0)])
 def test_masks_match_oracle(rng, min_acgt, min_var):
     aln = random_alignment(rng, n_seqs=37, n_sites=53)

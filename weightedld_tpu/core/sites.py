@@ -83,3 +83,34 @@ def compute_variable_sites(
         ld_mask = ld_mask & (dom_frac <= max_minor)
 
     return sufficient_data, ld_mask
+
+
+@partial(jax.jit, static_argnames=())
+def compute_variable_sites_rust(
+    alignment: jnp.ndarray,
+    min_acgt: float,
+    min_variability: float,
+    max_minor: float = 0.5,
+) -> jnp.ndarray:
+    """The reference *Rust* site filter as a single combined mask
+    (``is_site_of_interest``, ``lib.rs:310-338`` + ``main.rs:139``):
+
+    * coverage: ``acgt_count > ceil(min_acgt * n_seqs)`` (count, not
+      fraction — off-by-one vs Python on non-multiples, SURVEY.md §2.4.4);
+    * variability on the DOMINANT minor only:
+      ``min_variability <= min_cnt/(min_cnt+maj_cnt) <= max_minor``.
+
+    Offered as an alternative; the default pipeline uses Python semantics.
+    """
+    n_seqs = alignment.shape[0]
+    counts = site_histogram(alignment)                       # [S, 5]
+
+    acgt = counts[:, :N_CONCRETE].sum(axis=1)
+    min_count = jnp.ceil(min_acgt * n_seqs).astype(jnp.int32)
+    covered = acgt > min_count
+
+    order = jnp.sort(counts, axis=1)
+    maj = order[:, -1]
+    dom = order[:, -2]
+    frac = jnp.where(dom > 0, dom / jnp.maximum(maj + dom, 1), 0.0)
+    return covered & (frac >= min_variability) & (frac <= max_minor)
