@@ -165,14 +165,19 @@ class LdSession:
         self.tj_dev = jax.device_put(tj_h, plan_sharding)
         self.em_dev = jax.device_put(em_h, plan_sharding)
 
-    def run_batch(self, b: int) -> LdRecords:
-        """Evaluate one tile batch and return its surviving records."""
+    def _dispatch(self, b: int):
+        """Enqueue one batch (async — nothing is fetched)."""
         cfg = self.cfg
         thr = -np.inf if cfg.r2_threshold is None else cfg.r2_threshold
-        tcnt, d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev, _keep = self.runner(
+        return self.runner(
             self.codes_dev, self.weights_dev,
             self.ti_dev, self.tj_dev, self.em_dev, b, thr,
         )
+
+    def _collect(self, dispatched) -> LdRecords:
+        """Fetch + compact the records of a dispatched batch."""
+        cfg = self.cfg
+        tcnt, d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev, _keep = dispatched
         # Fetch only the [K] per-tile count vector; then gather-compact just
         # the live tiles in a second dispatch.  Host transfers and compaction
         # work stay O(records) — critical on slow device links and the reason
@@ -208,6 +213,10 @@ class LdSession:
             r2=all_vals[:, 2],
         )
 
+    def run_batch(self, b: int) -> LdRecords:
+        """Evaluate one tile batch and return its surviving records."""
+        return self._collect(self._dispatch(b))
+
     def summarize(self) -> dict:
         """Whole-triangle reduction-only scan: pair counts and r2 moments,
         with O(1) host traffic per batch — the pod-scale 'stats-only' mode
@@ -220,12 +229,25 @@ class LdSession:
         n_over = 0
         r2_sum = 0.0
         r2_max = -np.inf
+        # Double-buffered: moments of batch b fetch while b+1 computes.
+        pending = None
         for b in range(self.n_batches):
-            _, d_t, dp_t, r2_t, mask_t, _, _, keep_t = self.runner(
-                self.codes_dev, self.weights_dev,
-                self.ti_dev, self.tj_dev, self.em_dev, b, thr,
-            )
-            nk, nm, rs, rm = batch_moments(r2_t, mask_t, keep_t)
+            if pending is None:
+                out = self.runner(
+                    self.codes_dev, self.weights_dev,
+                    self.ti_dev, self.tj_dev, self.em_dev, b, thr,
+                )
+                pending = batch_moments(out[3], out[4], out[7])
+            if b + 1 < self.n_batches:
+                out = self.runner(
+                    self.codes_dev, self.weights_dev,
+                    self.ti_dev, self.tj_dev, self.em_dev, b + 1, thr,
+                )
+                nxt = batch_moments(out[3], out[4], out[7])
+            else:
+                nxt = None
+            nk, nm, rs, rm = pending
+            pending = nxt
             n_pairs += int(nk)
             n_over += int(nm)
             r2_sum += float(rs)
@@ -247,8 +269,15 @@ class LdSession:
         t0 = time.monotonic()
         last_report = t0
         pairs_done = 0
+        # Double-buffer: batch b+1 computes on-device while batch b's counts
+        # travel to the host and its records are compacted/written.
+        pending = None
         for b in range(start_batch, self.n_batches):
-            records = self.run_batch(b)
+            if pending is None:
+                pending = self._dispatch(b)
+            nxt = self._dispatch(b + 1) if b + 1 < self.n_batches else None
+            records = self._collect(pending)
+            pending = nxt
             pairs_done += len(records)
             now = time.monotonic()
             if on_progress and (
