@@ -68,22 +68,28 @@ def pad_weights(weights: np.ndarray, seq_chunk: int = DEFAULT_SEQ_CHUNK) -> np.n
     return out
 
 
-def _ld_kernel(tile: int, n_sites: int, seq_chunk: int, planes: tuple,
+def _ld_kernel(tile: int, n_sites: int, planes: tuple,
                exact_weights: bool,
                ti_ref, tj_ref, em_ref,
                a_ref, b_ref, w_ref,
                d_ref, dp_ref, r2_ref, keep_ref,
-               acc_ref):
+               acc_ref, acci_ref):
     t = tile
     p = len(planes)
-    pt = p * t
     k = pl.program_id(0)
-    n_pad = a_ref.shape[1]
-    n_chunks = n_pad // seq_chunk
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
     f32 = jnp.float32
     bf16 = jnp.bfloat16
 
-    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+    # Grid is (tile_pair, seq_chunk) with the chunk axis minor: the joint
+    # accumulators persist across chunk steps and reset at chunk 0.  Pallas
+    # streams the (T, Nc) code blocks chunk by chunk (double-buffered), so
+    # VMEM use is independent of the total sequence count.
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+        acci_ref[:, :] = jnp.zeros_like(acci_ref)
 
     def dot16(x, y):
         # bf16 x bf16 -> f32-accumulated MXU contraction over the chunk axis.
@@ -91,61 +97,83 @@ def _ld_kernel(tile: int, n_sites: int, seq_chunk: int, planes: tuple,
             x, y, (((1,), (1,)), ((), ())), preferred_element_type=f32
         )
 
-    def chunk_body(c, _):
-        sl = pl.ds(c * seq_chunk, seq_chunk)
-        # Widen int8 codes to int32: v5e Mosaic has no int8 vector compare.
-        a = a_ref[:, sl].astype(jnp.int32)     # (T, Nc)
-        b = b_ref[:, sl].astype(jnp.int32)
-        w = w_ref[:, sl]                       # (1, Nc) f32
-        # Split-bf16 weights: w = w_hi + w_lo to ~2^-17 relative error; the
-        # one-hot planes are exact {0, 1} in bf16, so each of the MXU passes
-        # below is exact given its bf16 operand.  When the weights are
-        # bf16-representable (e.g. --unweighted), the w_lo pass vanishes
-        # and is skipped statically (2 passes instead of 3).
-        w_hi = w.astype(bf16)
-        xu = jnp.concatenate(
-            [(a == s).astype(bf16) for s in planes], axis=0
-        )                                      # (PT, Nc) bf16
-        yu = jnp.concatenate(
-            [(b == s).astype(bf16) for s in planes], axis=0
-        )
-        jw_chunk = dot16(xu * w_hi, yu)
-        if not exact_weights:
-            w_lo = (w - w_hi.astype(f32)).astype(bf16)
-            jw_chunk = jw_chunk + dot16(xu * w_lo, yu)
-        acc_ref[:pt, :] += jw_chunk
-        acc_ref[pt:, :] += dot16(xu, yu)
-        return 0
+    # Widen int8 codes to int32: v5e Mosaic has no int8 vector compare.
+    a = a_ref[:, :].astype(jnp.int32)     # (T, Nc)
+    b = b_ref[:, :].astype(jnp.int32)
+    w = w_ref[:, :]                       # (1, Nc) f32
+    # Split-bf16 weights: w = w_hi + w_lo to ~2^-17 relative error; the
+    # one-hot planes are exact {0, 1} in bf16, so each of the MXU passes
+    # below is exact given its bf16 operand.  When the weights are
+    # bf16-representable (e.g. --unweighted), the w_lo pass vanishes and is
+    # skipped statically (2 passes instead of 3).
+    w_hi = w.astype(bf16)
+    xu8 = jnp.concatenate(
+        [(a == s).astype(jnp.int8) for s in planes], axis=0
+    )                                      # (PT, Nc) int8
+    yu8 = jnp.concatenate(
+        [(b == s).astype(jnp.int8) for s in planes], axis=0
+    )
+    xu = xu8.astype(bf16)
+    yu = yu8.astype(bf16)
+    jw_chunk = dot16(xu * w_hi, yu)
+    if not exact_weights:
+        w_lo = (w - w_hi.astype(f32)).astype(bf16)
+        jw_chunk = jw_chunk + dot16(xu * w_lo, yu)
+    acc_ref[:, :] += jw_chunk
+    # Unweighted joint table: int8 x int8 -> int32, exact and at double
+    # MXU rate.
+    acci_ref[:, :] += jax.lax.dot_general(
+        xu8, yu8, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    ti = ti_ref[k]
+    tj = tj_ref[k]
+    em = em_ref[k]
+
+    @pl.when(c == n_chunks - 1)
+    def _finalize():
+        _ld_finalize(tile, n_sites, planes,
+                     ti, tj, em,
+                     d_ref, dp_ref, r2_ref, keep_ref,
+                     acc_ref, acci_ref)
+
+
+def _ld_finalize(tile: int, n_sites: int, planes: tuple,
+                 ti, tj, em,
+                 d_ref, dp_ref, r2_ref, keep_ref,
+                 acc_ref, acci_ref):
+    t = tile
+    p = len(planes)
+    f32 = jnp.float32
 
     acc = acc_ref[:, :]
-    # jw[s][u] / ju[s][u]: (T, T) sub-blocks of the accumulated contraction.
+    acci = acci_ref[:, :]
+    # jw[s][u] / ju[s][u]: (T, T) sub-blocks of the accumulated contractions.
     jw = [[acc[s * t:(s + 1) * t, u * t:(u + 1) * t] for u in range(p)]
           for s in range(p)]
-    ju = [[acc[(p + s) * t:(p + s + 1) * t, u * t:(u + 1) * t]
-           for u in range(p)]
+    ju = [[acci[s * t:(s + 1) * t, u * t:(u + 1) * t] for u in range(p)]
           for s in range(p)]
 
     # Per-pair post-filter allele counts = marginals of the unweighted joint
     # (reference recomputes them per pair via np.unique, WeightedLD.py:194-211).
-    cnt_a = [sum(ju[s][u] for u in range(p)) for s in range(p)]
+    cnt_a = [sum(ju[s][u] for u in range(p)) for s in range(p)]   # int32
     cnt_b = [sum(ju[s][u] for s in range(p)) for u in range(p)]
 
     def major_dmin(cnt):
-        # counts are integral f32; score = 8*count + (5 - symbol code), ties
-        # -> lower code (WeightedLD.py:203-209).
-        best = jnp.full((t, t), -1.0, f32)
+        # integer score = 8*count + (5 - symbol code): ties -> lower code
+        # (WeightedLD.py:203-209).
+        best = jnp.full((t, t), -1, jnp.int32)
         best_idx = jnp.zeros((t, t), jnp.int32)
         for s in range(p):
-            score = cnt[s] * 8.0 + (N_ALLELES - planes[s])
+            score = cnt[s] * 8 + (N_ALLELES - planes[s])
             better = score > best
             best = jnp.where(better, score, best)
             best_idx = jnp.where(better, s, best_idx)
-        second = jnp.full((t, t), -1.0, f32)
+        second = jnp.full((t, t), -1, jnp.int32)
         second_idx = jnp.zeros((t, t), jnp.int32)
         for s in range(p):
-            score = cnt[s] * 8.0 + (N_ALLELES - planes[s])
+            score = cnt[s] * 8 + (N_ALLELES - planes[s])
             not_best = best_idx != s
             better = (score > second) & not_best
             second = jnp.where(better, score, second)
@@ -155,8 +183,8 @@ def _ld_kernel(tile: int, n_sites: int, seq_chunk: int, planes: tuple,
     maj_a, dmin_a = major_dmin(cnt_a)
     maj_b, dmin_b = major_dmin(cnt_b)
 
-    distinct_a = sum((cnt_a[s] > 0.5).astype(jnp.int32) for s in range(p))
-    distinct_b = sum((cnt_b[s] > 0.5).astype(jnp.int32) for s in range(p))
+    distinct_a = sum((cnt_a[s] > 0).astype(jnp.int32) for s in range(p))
+    distinct_b = sum((cnt_b[s] > 0).astype(jnp.int32) for s in range(p))
     keep = (distinct_a > 1) & (distinct_b > 1)   # WeightedLD.py:196-201
 
     # Select the four {maj,dmin} x {maj,dmin} cells of the weighted joint.
@@ -212,11 +240,9 @@ def _ld_kernel(tile: int, n_sites: int, seq_chunk: int, planes: tuple,
     r2 = d * d / (pa_major * pa_minor * pb_major * pb_minor)
 
     # Pair validity: strict upper triangle of true (unpadded) sites + emit.
-    ti = ti_ref[k]
-    tj = tj_ref[k]
     gi = ti * t + jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
     gj = tj * t + jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-    keep = keep & (gi < gj) & (gj < n_sites) & (em_ref[k] != 0)
+    keep = keep & (gi < gj) & (gj < n_sites) & (em != 0)
 
     d_ref[0] = d
     dp_ref[0] = d_prime
@@ -273,23 +299,21 @@ def pallas_tile_stats(
     t = tile
     p = len(planes)
     assert n_pad % seq_chunk == 0
+    n_chunks = n_pad // seq_chunk
 
+    out_block = pl.BlockSpec((1, t, t), lambda g, c, ti, tj, em: (g, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(k,),
+        grid=(k, n_chunks),
         in_specs=[
-            pl.BlockSpec((t, n_pad), lambda g, ti, tj, em: (ti[g], 0)),
-            pl.BlockSpec((t, n_pad), lambda g, ti, tj, em: (tj[g], 0)),
-            pl.BlockSpec((1, n_pad), lambda g, ti, tj, em: (0, 0)),
+            pl.BlockSpec((t, seq_chunk), lambda g, c, ti, tj, em: (ti[g], c)),
+            pl.BlockSpec((t, seq_chunk), lambda g, c, ti, tj, em: (tj[g], c)),
+            pl.BlockSpec((1, seq_chunk), lambda g, c, ti, tj, em: (0, c)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, t, t), lambda g, ti, tj, em: (g, 0, 0)),
-            pl.BlockSpec((1, t, t), lambda g, ti, tj, em: (g, 0, 0)),
-            pl.BlockSpec((1, t, t), lambda g, ti, tj, em: (g, 0, 0)),
-            pl.BlockSpec((1, t, t), lambda g, ti, tj, em: (g, 0, 0)),
-        ],
+        out_specs=[out_block, out_block, out_block, out_block],
         scratch_shapes=[
-            pltpu.VMEM((2 * p * t, p * t), jnp.float32),
+            pltpu.VMEM((p * t, p * t), jnp.float32),   # weighted joint acc
+            pltpu.VMEM((p * t, p * t), jnp.int32),     # unweighted joint acc
         ],
     )
 
@@ -301,7 +325,7 @@ def pallas_tile_stats(
     ]
 
     d, dp, r2, keep = pl.pallas_call(
-        partial(_ld_kernel, t, n_sites, seq_chunk, planes, exact_weights),
+        partial(_ld_kernel, t, n_sites, planes, exact_weights),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
