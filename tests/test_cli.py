@@ -94,3 +94,12 @@ def test_min_variability_flag(tmp_path, capsys):
     _, out_strict = _run(capsys, "--file", str(f), "--min-variability", "0.2")
     assert len(out_default.strip().split("\n")) == 2   # pair (0,1)
     assert len(out_strict.strip().split("\n")) == 1    # only site 0 survives
+
+
+def test_sorted_tiled_matches_dense_order(tmp_path, capsys):
+    f = tmp_path / "t3.fasta"
+    write_fasta(f, ALL_FASTAS["t3"])
+    _, dense_out = _run(capsys, "--file", str(f), "--engine", "dense")
+    _, sorted_out = _run(capsys, "--file", str(f), "--engine", "tiled",
+                         "--tile", "16", "--sort")
+    assert dense_out == sorted_out

@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "--file)")
     p.add_argument("--profile-dir", type=Path, default=None,
                    help="write a jax.profiler device trace to this directory")
+    p.add_argument("--sort", action="store_true",
+                   help="sort tiled-engine output by (posa, posb) like the "
+                   "Python reference (collects all records in memory; the "
+                   "default streams in tile order like the Rust reference)")
     p.add_argument("--progress", action="store_true",
                    help="log pairs/s progress to stderr")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -211,14 +215,36 @@ def main(argv=None) -> int:
                 out.close()
         log.info("wrote %d pairs in %.2fs", len(records), time.monotonic() - t0)
     else:
-        from .runtime.driver import DriverConfig, run_to_tsv, stream_ld_records
+        from .runtime.driver import (
+            DriverConfig,
+            collect_ld_records,
+            run_to_tsv,
+            stream_ld_records,
+        )
 
         dcfg = DriverConfig(
             tile=args.tile,
             tiles_per_shard_batch=args.tiles_per_batch,
             r2_threshold=args.r2_threshold,
         )
-        if args.pair_output:
+        if args.sort:
+            from .core.ld_dense import LdRecords
+
+            with device_trace(trace_dir):
+                rec = collect_ld_records(
+                    res.alignment, res.weights, res.site_map, dcfg
+                )
+            order = np.lexsort((rec.pos_b, rec.pos_a))
+            rec = LdRecords(*(np.asarray(f)[order] for f in rec))
+            out = open(args.pair_output, "w") if args.pair_output else sys.stdout
+            try:
+                write_pairs(rec, out, ndigits=args.ndigits)
+            finally:
+                if args.pair_output:
+                    out.close()
+            log.info("wrote %d pairs (sorted) in %.2fs", len(rec),
+                     time.monotonic() - t0)
+        elif args.pair_output:
             with device_trace(trace_dir):
                 nrec = run_to_tsv(
                     res.alignment, res.weights, res.site_map, args.pair_output,

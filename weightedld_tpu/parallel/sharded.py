@@ -13,8 +13,6 @@ host-side; no collective runs inside the hot loop.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

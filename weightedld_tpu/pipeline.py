@@ -14,7 +14,7 @@ Mirrors the reference driver (``WeightedLD.py:287-308,382-402``):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 
 import jax.numpy as jnp
