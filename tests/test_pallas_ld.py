@@ -103,3 +103,30 @@ def test_driver_pallas_engine_matches_xla(rng):
     assert set(xm) == set(pm)
     for key in xm:
         np.testing.assert_allclose(pm[key], xm[key], atol=1e-5)
+
+
+def test_preplaned_matches(rng):
+    from weightedld_tpu.ops.pallas_ld import build_planes_tiled
+    from weightedld_tpu.parallel.triangle import plan_tiles
+
+    n_seqs, n_sites, tile, chunk = 50, 45, 16, 64
+    aln = random_alignment(rng, n_seqs, n_sites)
+    w = (rng.random(n_seqs) + 0.05).astype(np.float32)
+    plan = plan_tiles(n_sites, tile)
+    codes = jnp.asarray(pad_alignment_site_major(aln, tile, chunk))
+    wr = jnp.asarray(pad_weights(w, chunk))
+    ti = jnp.asarray(plan.tile_i); tj = jnp.asarray(plan.tile_j)
+    em = jnp.ones(plan.n_tiles, dtype=jnp.int32)
+
+    base = pallas_tile_stats(codes, wr, ti, tj, em, tile=tile,
+                             n_sites=n_sites, seq_chunk=chunk, interpret=True)
+    planes_t = build_planes_tiled(codes, tile=tile)
+    pre = pallas_tile_stats(planes_t, wr, ti, tj, em, tile=tile,
+                            n_sites=n_sites, seq_chunk=chunk,
+                            preplaned=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pre.keep), np.asarray(base.keep))
+    keep = np.asarray(base.keep)
+    np.testing.assert_allclose(np.asarray(pre.r2)[keep],
+                               np.asarray(base.r2)[keep], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pre.d)[keep],
+                               np.asarray(base.d)[keep], rtol=1e-6, atol=1e-8)

@@ -69,7 +69,7 @@ def pad_weights(weights: np.ndarray, seq_chunk: int = DEFAULT_SEQ_CHUNK) -> np.n
 
 
 def _ld_kernel(tile: int, n_sites: int, planes: tuple,
-               exact_weights: bool,
+               exact_weights: bool, preplaned: bool,
                ti_ref, tj_ref, em_ref,
                a_ref, b_ref, w_ref,
                d_ref, dp_ref, r2_ref, keep_ref,
@@ -84,7 +84,7 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
 
     # Grid is (tile_pair, seq_chunk) with the chunk axis minor: the joint
     # accumulators persist across chunk steps and reset at chunk 0.  Pallas
-    # streams the (T, Nc) code blocks chunk by chunk (double-buffered), so
+    # streams the code/plane blocks chunk by chunk (double-buffered), so
     # VMEM use is independent of the total sequence count.
     @pl.when(c == 0)
     def _():
@@ -97,9 +97,6 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
             x, y, (((1,), (1,)), ((), ())), preferred_element_type=f32
         )
 
-    # Widen int8 codes to int32: v5e Mosaic has no int8 vector compare.
-    a = a_ref[:, :].astype(jnp.int32)     # (T, Nc)
-    b = b_ref[:, :].astype(jnp.int32)
     w = w_ref[:, :]                       # (1, Nc) f32
     # Split-bf16 weights: w = w_hi + w_lo to ~2^-17 relative error; the
     # one-hot planes are exact {0, 1} in bf16, so each of the MXU passes
@@ -107,12 +104,22 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
     # bf16-representable (e.g. --unweighted), the w_lo pass vanishes and is
     # skipped statically (2 passes instead of 3).
     w_hi = w.astype(bf16)
-    xu8 = jnp.concatenate(
-        [(a == s).astype(jnp.int8) for s in planes], axis=0
-    )                                      # (PT, Nc) int8
-    yu8 = jnp.concatenate(
-        [(b == s).astype(jnp.int8) for s in planes], axis=0
-    )
+    if preplaned:
+        # One-hot planes precomputed in HBM (tile-contiguous layout): the
+        # per-tile compare/widen/concat chain — about half the kernel time
+        # at default sizes — disappears; only casts and weight muls remain.
+        xu8 = a_ref[:, :]                  # (PT, Nc) int8
+        yu8 = b_ref[:, :]
+    else:
+        # Widen int8 codes to int32: v5e Mosaic has no int8 vector compare.
+        a = a_ref[:, :].astype(jnp.int32)  # (T, Nc)
+        b = b_ref[:, :].astype(jnp.int32)
+        xu8 = jnp.concatenate(
+            [(a == s).astype(jnp.int8) for s in planes], axis=0
+        )                                  # (PT, Nc) int8
+        yu8 = jnp.concatenate(
+            [(b == s).astype(jnp.int8) for s in planes], axis=0
+        )
     xu = xu8.astype(bf16)
     yu = yu8.astype(bf16)
     jw_chunk = dot16(xu * w_hi, yu)
@@ -277,10 +284,33 @@ def weights_bf16_exact(weights: np.ndarray) -> bool:
     return bool((w.astype(ml_dtypes.bfloat16).astype(np.float32) == w).all())
 
 
+@partial(jax.jit, static_argnames=("tile", "planes"))
+def build_planes_tiled(codes_sm: jnp.ndarray, *, tile: int,
+                       planes: tuple = ALL_PLANES) -> jnp.ndarray:
+    """Precompute one-hot planes in the kernel's tile-contiguous layout.
+
+    ``[S_pad, N_pad]`` int8 codes -> ``[grid * P * T, N_pad]`` int8 where
+    rows ``[g*P*T + s*T + i]`` hold ``codes[g*T+i] == planes[s]`` — so the
+    (P*T, Nc) X/Y matrix of any site tile is one contiguous block.
+    Costs P x the code memory; built once per session on device.
+    """
+    s_pad, n_pad = codes_sm.shape
+    grid = s_pad // tile
+    p = len(planes)
+    oh = jnp.stack(
+        [(codes_sm == codes_sm.dtype.type(s)).astype(jnp.int8) for s in planes],
+        axis=1,
+    )                                     # [S_pad, P, N_pad]
+    return oh.reshape(grid, tile, p, n_pad).transpose(0, 2, 1, 3).reshape(
+        grid * p * tile, n_pad
+    )
+
+
 @partial(jax.jit, static_argnames=("tile", "n_sites", "seq_chunk", "planes",
-                                   "exact_weights", "interpret"))
+                                   "exact_weights", "preplaned", "interpret"))
 def pallas_tile_stats(
-    codes_sm: jnp.ndarray,     # [S_pad, N_pad] int8 site-major
+    codes_sm: jnp.ndarray,     # [S_pad, N_pad] int8 site-major codes, or
+                               # [grid*P*T, N_pad] planes when preplaned=True
     weights_row: jnp.ndarray,  # [1, N_pad] f32
     tile_i: jnp.ndarray,       # [K] int32
     tile_j: jnp.ndarray,       # [K] int32
@@ -291,6 +321,7 @@ def pallas_tile_stats(
     seq_chunk: int = DEFAULT_SEQ_CHUNK,
     planes: tuple = ALL_PLANES,
     exact_weights: bool = False,
+    preplaned: bool = False,
     interpret: bool = False,
 ) -> PairStats:
     """Fused-kernel equivalent of ``tile_stats_batch`` (same contract)."""
@@ -301,13 +332,16 @@ def pallas_tile_stats(
     assert n_pad % seq_chunk == 0
     n_chunks = n_pad // seq_chunk
 
+    in_rows = p * t if preplaned else t
     out_block = pl.BlockSpec((1, t, t), lambda g, c, ti, tj, em: (g, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(k, n_chunks),
         in_specs=[
-            pl.BlockSpec((t, seq_chunk), lambda g, c, ti, tj, em: (ti[g], c)),
-            pl.BlockSpec((t, seq_chunk), lambda g, c, ti, tj, em: (tj[g], c)),
+            pl.BlockSpec((in_rows, seq_chunk),
+                         lambda g, c, ti, tj, em: (ti[g], c)),
+            pl.BlockSpec((in_rows, seq_chunk),
+                         lambda g, c, ti, tj, em: (tj[g], c)),
             pl.BlockSpec((1, seq_chunk), lambda g, c, ti, tj, em: (0, c)),
         ],
         out_specs=[out_block, out_block, out_block, out_block],
@@ -325,7 +359,7 @@ def pallas_tile_stats(
     ]
 
     d, dp, r2, keep = pl.pallas_call(
-        partial(_ld_kernel, t, n_sites, planes, exact_weights),
+        partial(_ld_kernel, t, n_sites, planes, exact_weights, preplaned),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
