@@ -121,19 +121,3 @@ def compact_tile_stats(
     sites = jnp.where(live[:, None], sites, -1)
     values = jnp.where(live[:, None], values, 0.0)
     return count, sites, values
-
-
-@partial(jax.jit, static_argnames=())
-def summarize_tile_stats(stats: PairStats, r2_threshold: float) -> dict:
-    """Reduction-only summary (no O(pairs) host transfer): pair counts and
-    r2 moments — the 'stats-only' mode for pod-scale scans."""
-    keep = stats.keep
-    r2 = jnp.where(keep, stats.r2, 0.0)
-    return {
-        "n_pairs": keep.sum().astype(jnp.int64),
-        "n_over_threshold": (keep & (stats.r2 > r2_threshold)).sum().astype(jnp.int64),
-        "r2_sum": r2.sum(dtype=jnp.float64)
-        if jax.config.jax_enable_x64
-        else r2.sum(),
-        "r2_max": jnp.where(keep, stats.r2, -jnp.inf).max(),
-    }

@@ -31,85 +31,6 @@ def default_mesh(devices=None) -> Mesh:
 _RUNNER_CACHE: dict = {}
 
 
-def make_sharded_tile_runner(
-    mesh: Mesh,
-    *,
-    tile: int,
-    n_sites: int,
-    capacity_per_shard: int,
-    engine: str = "xla",
-    planes: tuple = (0, 1, 2, 3, 4),
-    seq_chunk: int = 512,
-    interpret: bool = False,
-):
-    """Build a jitted sharded function evaluating + compacting tile batches.
-
-    Returned callable signature:
-        fn(codes, weights, tile_i, tile_j, emit, r2_threshold)
-          -> (counts [D], sites [D, cap, 2], values [D, cap, 3])
-    where tile arrays are shard-major: shard d owns slice
-    ``[d*k, (d+1)*k)`` of the batch.
-
-    ``engine="xla"`` expects sequence-major ``codes [N, S_pad]`` + ``weights
-    [N]``; ``engine="pallas"`` expects site-major ``codes [S_pad, N_pad]`` +
-    ``weights [1, N_pad]`` (see ``ops.pallas_ld``).
-    """
-    key = (
-        tuple(d.id for d in mesh.devices.flat), tile, n_sites,
-        capacity_per_shard, engine, planes, seq_chunk, interpret,
-    )
-    cached = _RUNNER_CACHE.get(key)
-    if cached is not None:
-        return cached
-
-    n_dev = mesh.devices.size
-
-    def local_fn(codes, weights, tile_i, tile_j, emit, r2_threshold):
-        if engine == "pallas":
-            from ..ops.pallas_ld import pallas_tile_stats
-
-            st = pallas_tile_stats(
-                codes, weights, tile_i, tile_j, emit.astype(jnp.int32),
-                tile=tile, n_sites=n_sites, seq_chunk=seq_chunk,
-                planes=planes, interpret=interpret,
-            )
-        else:
-            st = tile_stats_batch(
-                codes, weights, tile_i, tile_j, emit,
-                tile=tile, n_sites=n_sites,
-            )
-        cnt, sites, vals = compact_tile_stats(
-            st, tile_i, tile_j, r2_threshold, tile=tile, capacity=capacity_per_shard
-        )
-        return cnt[None], sites[None], vals[None]
-
-    sharded = jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P()),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
-        # pallas_call out_shapes carry no varying-mesh-axes metadata.
-        check_vma=False,
-    )
-    fn = jax.jit(sharded)
-
-    def runner(codes_pad, weights, tile_i, tile_j, emit, r2_threshold):
-        assert len(tile_i) % n_dev == 0, "batch must divide evenly across mesh"
-        return fn(
-            codes_pad,
-            weights,
-            jnp.asarray(tile_i),
-            jnp.asarray(tile_j),
-            jnp.asarray(emit),
-            jnp.float32(r2_threshold),
-        )
-
-    runner.mesh = mesh
-    runner.n_dev = n_dev
-    _RUNNER_CACHE[key] = runner
-    return runner
-
-
 def replicate(mesh: Mesh, *arrays):
     """Device_put arrays fully-replicated over the mesh."""
     sharding = NamedSharding(mesh, P())

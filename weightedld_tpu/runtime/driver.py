@@ -42,8 +42,6 @@ log = logging.getLogger("weightedld_tpu")
 class DriverConfig:
     tile: int = 128                 # site-tile side
     tiles_per_shard_batch: int = 8  # tiles evaluated per device per dispatch
-    capacity_per_shard: int | None = None  # unused (kept for compat); record
-                                           # buffers are sized per batch now
     r2_threshold: float | None = None  # None = emit every surviving pair
     progress_every_s: float = 10.0
     engine: str = "auto"            # auto | pallas | xla
