@@ -103,3 +103,18 @@ def test_sorted_tiled_matches_dense_order(tmp_path, capsys):
     _, sorted_out = _run(capsys, "--file", str(f), "--engine", "tiled",
                          "--tile", "16", "--sort")
     assert dense_out == sorted_out
+
+
+def test_max_distance_flag(tmp_path, capsys):
+    f = tmp_path / "t1.fasta"
+    write_fasta(f, ALL_FASTAS["t1"])
+    _, full = _run(capsys, "--file", str(f), "--engine", "tiled", "--tile", "16",
+                   "--sort")
+    _, win = _run(capsys, "--file", str(f), "--tile", "16", "--sort",
+                  "--max-distance", "1")
+    full_rows = full.strip().split("\n")[1:]
+    win_rows = win.strip().split("\n")[1:]
+    assert len(full_rows) == 10
+    # t1 kept sites are 2..6; distance<=1 keeps only adjacent pairs (4 of 10).
+    assert len(win_rows) == 4
+    assert set(win_rows).issubset(set(full_rows))

@@ -155,3 +155,20 @@ def test_tsv_checkpoint_resume(rng, tmp_path):
     assert not ckpt.exists()
     assert n_resumed == n_full
     assert part.read_text() == full.read_text()
+
+
+def test_windowed_ld(rng):
+    # --max-distance: same records as a full scan filtered by |j - i| <= W.
+    aln = random_alignment(rng, 30, 100)
+    w = np.ones(30, dtype=np.float32)
+    sm = np.arange(100)
+    full = collect_ld_records(aln, w, sm, DriverConfig(tile=16))
+    win = collect_ld_records(
+        aln, w, sm, DriverConfig(tile=16, max_site_distance=20)
+    )
+    fm = {(int(a), int(b)): float(d)
+          for a, b, d in zip(full.pos_a, full.pos_b, full.d)
+          if b - a <= 20}
+    wm = {(int(a), int(b)): float(d)
+          for a, b, d in zip(win.pos_a, win.pos_b, win.d)}
+    assert wm == fm

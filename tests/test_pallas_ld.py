@@ -130,3 +130,31 @@ def test_preplaned_matches(rng):
                                np.asarray(base.r2)[keep], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(pre.d)[keep],
                                np.asarray(base.d)[keep], rtol=1e-6, atol=1e-8)
+
+
+def test_two_plane_binary_no_missing(rng):
+    # A perfectly-called SNP matrix has only codes {0, 1}: p=2 kernel.
+    from weightedld_tpu.ops.pallas_ld import detect_planes
+    from weightedld_tpu.parallel.triangle import plan_tiles
+
+    n_seqs, n_sites, tile, chunk = 40, 30, 16, 64
+    aln = (rng.random((n_seqs, n_sites)) < 0.4).astype(np.int8)
+    assert detect_planes(aln) == (0, 1)
+    w = (rng.random(n_seqs) + 0.05).astype(np.float32)
+    plan = plan_tiles(n_sites, tile)
+    codes = jnp.asarray(pad_alignment_site_major(aln, tile, chunk))
+    wr = jnp.asarray(pad_weights(w, chunk))
+    ti = jnp.asarray(plan.tile_i); tj = jnp.asarray(plan.tile_j)
+    em = jnp.ones(plan.n_tiles, dtype=jnp.int32)
+
+    ref = tile_stats_batch(
+        jnp.asarray(pad_alignment(aln, tile)), jnp.asarray(w),
+        ti, tj, em != 0, tile=tile, n_sites=n_sites,
+    )
+    got = pallas_tile_stats(codes, wr, ti, tj, em, tile=tile,
+                            n_sites=n_sites, seq_chunk=chunk,
+                            planes=(0, 1), interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.keep), np.asarray(ref.keep))
+    keep = np.asarray(ref.keep)
+    np.testing.assert_allclose(np.asarray(got.r2)[keep],
+                               np.asarray(ref.r2)[keep], rtol=1e-5, atol=1e-6)

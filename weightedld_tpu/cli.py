@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "--file)")
     p.add_argument("--profile-dir", type=Path, default=None,
                    help="write a jax.profiler device trace to this directory")
+    p.add_argument("--max-distance", type=int, default=None,
+                   help="windowed LD: only compute pairs at most this many "
+                   "kept sites apart (prunes the tile plan to an O(S*W) "
+                   "band; forces the tiled engine)")
     p.add_argument("--sort", action="store_true",
                    help="sort tiled-engine output by (posa, posb) like the "
                    "Python reference (collects all records in memory; the "
@@ -145,6 +149,8 @@ def main(argv=None) -> int:
     engine = args.engine
     if engine == "auto":
         engine = "dense" if s <= 2048 else "tiled"
+    if args.max_distance is not None:
+        engine = "tiled"
 
     on_progress = None
     if args.progress:
@@ -187,6 +193,7 @@ def main(argv=None) -> int:
                     tile=args.tile,
                     tiles_per_shard_batch=args.tiles_per_batch,
                     r2_threshold=args.r2_threshold,
+                    max_site_distance=args.max_distance,
                 ),
             )
             out = session.summarize()
@@ -226,6 +233,7 @@ def main(argv=None) -> int:
             tile=args.tile,
             tiles_per_shard_batch=args.tiles_per_batch,
             r2_threshold=args.r2_threshold,
+            max_site_distance=args.max_distance,
         )
         if args.sort:
             from .core.ld_dense import LdRecords

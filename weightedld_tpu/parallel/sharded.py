@@ -47,6 +47,7 @@ def make_sharded_stats_runner(
     planes: tuple = (0, 1, 2, 3, 4),
     seq_chunk: int = 512,
     exact_weights: bool = False,
+    max_site_distance: int | None = None,
     interpret: bool = False,
 ):
     """Stats-only sharded pass: evaluate one batch of tiles, apply the r2
@@ -63,7 +64,8 @@ def make_sharded_stats_runner(
     """
     key = (
         "stats", tuple(d.id for d in mesh.devices.flat), tile, n_sites,
-        k_per_batch, engine, planes, seq_chunk, exact_weights, interpret,
+        k_per_batch, engine, planes, seq_chunk, exact_weights,
+        max_site_distance, interpret,
     )
     cached = _RUNNER_CACHE.get(key)
     if cached is not None:
@@ -92,6 +94,12 @@ def make_sharded_stats_runner(
                 tile=tile, n_sites=n_sites,
             )
         mask = st.keep & (st.r2 > r2_threshold)
+        if max_site_distance is not None:
+            # Windowed LD: pair distance in kept-site index space.
+            li = jnp.arange(tile, dtype=jnp.int32)
+            gi = tile_i[:, None, None] * tile + li[None, :, None]
+            gj = tile_j[:, None, None] * tile + li[None, None, :]
+            mask = mask & (gj - gi <= max_site_distance)
         tile_counts = mask.sum(axis=(1, 2)).astype(jnp.int32)
         return tile_counts, st.d, st.d_prime, st.r2, mask, tile_i, tile_j, st.keep
 

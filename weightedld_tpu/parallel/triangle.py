@@ -45,18 +45,27 @@ class TilePlan:
         return self.n_sites * (self.n_sites - 1) // 2
 
 
-def plan_tiles(n_sites: int, tile: int = 128) -> TilePlan:
+def plan_tiles(n_sites: int, tile: int = 128,
+               max_site_distance: int | None = None) -> TilePlan:
     """Enumerate upper-triangle tiles (including diagonal tiles) row-major.
 
     Row-major order keeps each tile-row's A-block resident across consecutive
     grid steps (the cache-locality argument of ``lib.rs:589-611``, which on
     TPU becomes Pallas block-reuse: an unchanged block index is not re-fetched).
+
+    ``max_site_distance``: windowed-LD mode — drop tiles whose nearest pair
+    is farther apart than this many sites (the in-tile remainder is masked by
+    the engine), turning the O(S^2) triangle into an O(S*W) band.
     """
     if n_sites < 2:
         raise ValueError("need at least 2 sites")
     s_pad = cdiv(n_sites, tile) * tile
     grid = s_pad // tile
     ti, tj = np.triu_indices(grid)
+    if max_site_distance is not None:
+        # Closest pair of tile (i, j>i): site distance (j-i-1)*T + 1.
+        near = (tj - ti - 1) * tile < max_site_distance
+        ti, tj = ti[near], tj[near]
     return TilePlan(
         n_sites=n_sites,
         tile=tile,

@@ -46,6 +46,7 @@ class DriverConfig:
     progress_every_s: float = 10.0
     engine: str = "auto"            # auto | pallas | xla
     seq_chunk: int = 512            # pallas: sequence-axis chunk
+    max_site_distance: int | None = None  # windowed LD (kept-site indices)
 
 
 def _resolve_engine(engine: str) -> str:
@@ -102,7 +103,7 @@ class LdSession:
         n_dev = self.mesh.devices.size
         self.n_dev = n_dev
         self.n_seqs, self.n_sites = alignment.shape
-        self.plan = plan_tiles(self.n_sites, cfg.tile)
+        self.plan = plan_tiles(self.n_sites, cfg.tile, cfg.max_site_distance)
         self.site_map = np.asarray(site_map)
 
         k = cfg.tiles_per_shard_batch
@@ -122,6 +123,7 @@ class LdSession:
                 self.mesh, tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k,
                 engine="pallas", planes=planes, seq_chunk=cfg.seq_chunk,
                 exact_weights=weights_bf16_exact(weights),
+                max_site_distance=cfg.max_site_distance,
                 interpret=interpret,
             )
             codes_host = pad_alignment_site_major(
@@ -130,7 +132,8 @@ class LdSession:
             weights_host = pad_weights(np.asarray(weights), cfg.seq_chunk)
         else:
             self.runner = make_sharded_stats_runner(
-                self.mesh, tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k
+                self.mesh, tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k,
+                max_site_distance=cfg.max_site_distance,
             )
             codes_host = pad_alignment(alignment, cfg.tile)
             weights_host = np.asarray(weights, dtype=np.float32)
