@@ -87,10 +87,12 @@ def test_multihost_single_process_noop():
 def test_fast_gt_block_parser():
     from weightedld_tpu.io.vcf import _fast_parse_gt_block
 
-    row = _fast_parse_gt_block("0|1\t.|.\t1/0\t9|0")
+    row = _fast_parse_gt_block("0|1\t.|.\t1/0\t5|0")
     assert row is not None
-    assert row.tolist() == [0, 1, 4, 4, 4, 4, 9, 0]
-    # Fallback cases: multi-digit alleles, FORMAT subfields, haploid
+    assert row.tolist() == [0, 1, 4, 4, 4, 4, 5, 0]
+    # Fallback cases: out-of-range alleles, multi-digit, FORMAT subfields,
+    # haploid
+    assert _fast_parse_gt_block("9|0\t0|1") is None
     assert _fast_parse_gt_block("10|2\t0|1") is None
     assert _fast_parse_gt_block("0|1:35\t0|1:12") is None
     assert _fast_parse_gt_block("0\t1") is None
@@ -114,3 +116,33 @@ def test_fast_and_slow_vcf_paths_agree(tmp_path):
     af, _ = read_vcf(pf)
     asl, _ = read_vcf(ps)
     np.testing.assert_array_equal(af, asl)
+
+
+def test_checkpoint_fingerprint_mismatch_refused(rng, tmp_path):
+    from weightedld_tpu.runtime.driver import run_to_tsv
+
+    aln = random_alignment(rng, 20, 48)
+    w = np.ones(20, dtype=np.float32)
+    sm = np.arange(48)
+    out = tmp_path / "x.tsv"
+    # Plant a checkpoint from a "different run".
+    run_to_tsv(aln, w, sm, out, DriverConfig(tile=16))
+    out.with_suffix(".tsv.ckpt.json").write_text(
+        '{"next_batch": 1, "byte_offset": 10, "n_records": 1, '
+        '"fingerprint": "deadbeef"}'
+    )
+    with pytest.raises(RuntimeError, match="different run"):
+        run_to_tsv(aln, w, sm, out, DriverConfig(tile=16))
+
+
+def test_load_prepared_flag_mismatch_warns(tmp_path, capsys):
+    from .fixtures import ALL_FASTAS, write_fasta as _wf
+
+    f = tmp_path / "t5.fasta"
+    _wf(f, ALL_FASTAS["t5"])
+    npz = tmp_path / "prep.npz"
+    assert main(["--file", str(f), "--save-prepared", str(npz)]) == 0
+    capsys.readouterr()
+    assert main(["--load-prepared", str(npz), "--unweighted"]) == 0
+    err = capsys.readouterr().err
+    assert "ignores preparation flags" in err and "unweighted" in err

@@ -105,3 +105,12 @@ class TestT7:
         assert round(float(w.mean()), 3) == T7_GOLDEN["weights_mean"]
         assert w.max() == pytest.approx(T7_GOLDEN["weights_max"])
         assert round(float(w.min()), 5) == pytest.approx(T7_GOLDEN["weights_min"], abs=1e-5)
+
+
+def test_allele_out_of_alphabet_rejected(tmp_path):
+    # ALT6+ would alias arbitrary codes and silently corrupt weights
+    # (the reference crashes with IndexError); we fail fast.
+    gts = ["0|6"] + ["0|1"] * (SAMPLES - 1)
+    path = _mk_vcf(tmp_path, [_row(5, gts)])
+    with pytest.raises(VcfError, match="allele index 6"):
+        read_vcf(path)

@@ -117,11 +117,26 @@ def main(argv=None) -> int:
         weighting=args.weighting,
     )
 
+    from dataclasses import asdict
+
+    prep_keys = ("min_acgt", "min_variability", "unweighted", "max_minor",
+                 "weight_mask", "weighting")
     t0 = time.monotonic()
     if args.load_prepared:
         from .runtime.cache import load_prepared
 
-        res = load_prepared(args.load_prepared)
+        res, prep = load_prepared(args.load_prepared)
+        # Preparation happened at save time: warn if the flags given now
+        # disagree with the cached preparation (they are NOT re-applied).
+        wanted = {k: getattr(cfg, k) for k in prep_keys}
+        stored = {k: prep.get(k, wanted[k]) for k in prep_keys}
+        diffs = {k: (stored[k], wanted[k]) for k in prep_keys
+                 if stored[k] != wanted[k]}
+        if diffs:
+            print(
+                "warning: --load-prepared ignores preparation flags; cached "
+                f"vs requested: {diffs}", file=sys.stderr,
+            )
     elif args.file is not None:
         res = prepare(args.file, cfg)
     else:
@@ -130,10 +145,16 @@ def main(argv=None) -> int:
     if args.save_prepared:
         from .runtime.cache import save_prepared
 
-        save_prepared(args.save_prepared, res)
+        save_prepared(args.save_prepared, res,
+                      {k: getattr(cfg, k) for k in prep_keys})
     n, s = res.alignment.shape
     log.info("prepared %d sequences x %d LD sites in %.2fs", n, s,
              time.monotonic() - t0)
+
+    if args.weights_output:
+        with open(args.weights_output, "w") as fh:
+            write_weights(res.weights, fh)
+
     if s < 2:
         log.info("fewer than 2 sites of interest; nothing to do")
         if args.pair_output:
@@ -141,10 +162,6 @@ def main(argv=None) -> int:
         else:
             print("posa\tposb\tD\tD'\tR2")
         return 0
-
-    if args.weights_output:
-        with open(args.weights_output, "w") as fh:
-            write_weights(res.weights, fh)
 
     engine = args.engine
     if engine == "auto":
@@ -156,8 +173,9 @@ def main(argv=None) -> int:
     if args.progress:
         def on_progress(p):
             print(
-                f"[progress] {p.pairs_done}/{p.pairs_total} pairs "
-                f"({p.pairs_per_s:,.0f} pairs/s)", file=sys.stderr,
+                f"[progress] {p.pairs_done}/{p.pairs_total} pairs evaluated "
+                f"({p.pairs_per_s:,.0f} pairs/s, {p.records_emitted} records)",
+                file=sys.stderr,
             )
 
     if args.stats_only:
@@ -174,8 +192,10 @@ def main(argv=None) -> int:
             # Only the upper triangle counts.
             keep = np.triu(np.asarray(stats.keep), k=1)
             r2 = np.asarray(stats.r2)
-            thr = args.r2_threshold if args.r2_threshold is not None else 0.0
-            over = keep & (r2 > thr)
+            if args.r2_threshold is None:
+                over = keep  # no threshold: every surviving pair counts
+            else:
+                over = keep & (r2 > args.r2_threshold)
             out = {
                 "n_sequences": n,
                 "n_sites": s,

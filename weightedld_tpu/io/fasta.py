@@ -17,8 +17,8 @@ import numpy as np
 from ..core.encode import encode_alignment
 
 
-def read_fasta(path: str | Path) -> np.ndarray:
-    """Read a FASTA alignment into an ``[n_seqs, n_sites]`` int8 code matrix.
+def read_fasta_with_names(path: str | Path) -> tuple[np.ndarray, list[str]]:
+    """Read a FASTA alignment into ``([n_seqs, n_sites] int8 codes, names)``.
 
     Parity: encoding identical to reference ``WeightedLD.py:34-40``
     (lowercase, a/c/g/t/- -> 0..4, everything else -> 5).
@@ -48,33 +48,9 @@ def read_fasta(path: str | Path) -> np.ndarray:
 
     if not rows:
         raise ValueError(f"{path}: no sequences found")
-    return encode_alignment(rows)
-
-
-def read_fasta_with_names(path: str | Path) -> tuple[np.ndarray, list[str]]:
-    """Like :func:`read_fasta` but also returns the record names."""
-    names: list[str] = []
-    rows: list[bytes] = []
-    current: list[bytes] = []
-
-    def flush() -> None:
-        if names and len(rows) < len(names):
-            rows.append(b"".join(current))
-        current.clear()
-
-    with open(path, "rb") as fh:
-        for raw_line in fh:
-            line = raw_line.strip()
-            if not line:
-                continue
-            if line.startswith(b">"):
-                flush()
-                names.append(line[1:].decode("utf-8", "replace").strip())
-            else:
-                if not names:
-                    raise ValueError(f"{path}: sequence data before first '>' header")
-                current.append(line)
-    flush()
-    if not rows:
-        raise ValueError(f"{path}: no sequences found")
     return encode_alignment(rows), names
+
+
+def read_fasta(path: str | Path) -> np.ndarray:
+    """Like :func:`read_fasta_with_names`, codes only."""
+    return read_fasta_with_names(path)[0]

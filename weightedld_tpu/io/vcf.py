@@ -44,9 +44,19 @@ def _parse_allele(tok: str) -> int:
     if tok == "." or tok == "":
         return GAP
     try:
-        return int(tok)
+        v = int(tok)
     except ValueError as e:
         raise VcfError(f"bad allele {tok!r}") from e
+    if v > 5:
+        # The 6-code alphabet tops out at 5; larger ALT indices would alias
+        # arbitrary codes and silently corrupt weighting/LD (the reference
+        # crashes here).  Fail fast instead.
+        raise VcfError(
+            f"allele index {v} exceeds the supported alphabet (ALT1..ALT3 "
+            "map to codes 1..3; ALT4/ALT5 alias the missing/ambiguous codes "
+            "4/5 for reference parity; ALT6+ is unsupported)"
+        )
+    return v
 
 
 def _fast_parse_gt_block(block: str) -> np.ndarray | None:
@@ -72,8 +82,10 @@ def _fast_parse_gt_block(block: str) -> np.ndarray | None:
     if not (phased | unphased).all():
         return None
     dot = ord(".")
-    ok1 = (a1 == dot) | ((a1 >= ord("0")) & (a1 <= ord("9")))
-    ok2 = (a2 == dot) | ((a2 >= ord("0")) & (a2 <= ord("9")))
+    # Single digits 0..5 only: larger allele indices fall back to the
+    # general parser, which rejects them with a clear error.
+    ok1 = (a1 == dot) | ((a1 >= ord("0")) & (a1 <= ord("5")))
+    ok2 = (a2 == dot) | ((a2 >= ord("0")) & (a2 <= ord("5")))
     if not (ok1.all() and ok2.all()):
         return None
     v1 = np.where(a1 == dot, GAP, a1 - ord("0"))
@@ -157,8 +169,6 @@ def read_vcf(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
                 haps.append(_parse_allele(gt))
 
         row = np.asarray(haps, dtype=np.int16)
-        if (row > 255).any():
-            raise VcfError(f"{path}:{lineno}: allele index exceeds uint8 range")
         if n_haps is None:
             n_haps = len(row)
         elif len(row) != n_haps:

@@ -93,15 +93,18 @@ def make_sharded_stats_runner(
                 codes, weights, tile_i, tile_j, emit != 0,
                 tile=tile, n_sites=n_sites,
             )
-        mask = st.keep & (st.r2 > r2_threshold)
+        keep = st.keep
         if max_site_distance is not None:
-            # Windowed LD: pair distance in kept-site index space.
+            # Windowed LD: pair distance in kept-site index space.  Folded
+            # into `keep` so record extraction AND summarize() see the same
+            # pair population.
             li = jnp.arange(tile, dtype=jnp.int32)
             gi = tile_i[:, None, None] * tile + li[None, :, None]
             gj = tile_j[:, None, None] * tile + li[None, None, :]
-            mask = mask & (gj - gi <= max_site_distance)
+            keep = keep & (gj - gi <= max_site_distance)
+        mask = keep & (st.r2 > r2_threshold)
         tile_counts = mask.sum(axis=(1, 2)).astype(jnp.int32)
-        return tile_counts, st.d, st.d_prime, st.r2, mask, tile_i, tile_j, st.keep
+        return tile_counts, st.d, st.d_prime, st.r2, mask, tile_i, tile_j, keep
 
     fn = jax.jit(jax.shard_map(
         local_fn,

@@ -16,10 +16,13 @@ import numpy as np
 
 from ..pipeline import PipelineResult
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
-def save_prepared(path: str | Path, res: PipelineResult) -> None:
+def save_prepared(path: str | Path, res: PipelineResult,
+                  prep_config: dict | None = None) -> None:
+    import json
+
     np.savez_compressed(
         path,
         format_version=_FORMAT_VERSION,
@@ -28,10 +31,17 @@ def save_prepared(path: str | Path, res: PipelineResult) -> None:
         weights=res.weights,
         hk_mask=res.hk_mask if res.hk_mask is not None else np.empty(0, bool),
         ld_mask=res.ld_mask if res.ld_mask is not None else np.empty(0, bool),
+        prep_config=np.frombuffer(
+            json.dumps(prep_config or {}).encode(), dtype=np.uint8
+        ),
     )
 
 
-def load_prepared(path: str | Path) -> PipelineResult:
+def load_prepared(path: str | Path) -> tuple[PipelineResult, dict]:
+    """Returns (result, prep_config) — the config the cache was built with,
+    so callers can detect preparation flags that a cached load ignores."""
+    import json
+
     with np.load(path) as z:
         version = int(z["format_version"])
         if version != _FORMAT_VERSION:
@@ -40,10 +50,11 @@ def load_prepared(path: str | Path) -> PipelineResult:
             )
         hk = z["hk_mask"]
         ld = z["ld_mask"]
+        prep = json.loads(bytes(z["prep_config"]).decode() or "{}")
         return PipelineResult(
             alignment=z["alignment"],
             site_map=z["site_map"],
             weights=z["weights"],
             hk_mask=hk if hk.size else None,
             ld_mask=ld if ld.size else None,
-        )
+        ), prep

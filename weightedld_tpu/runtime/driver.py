@@ -70,8 +70,13 @@ def _next_bucket(n: int) -> int:
 
 @dataclass
 class Progress:
-    pairs_done: int
-    pairs_total: int
+    """Work is measured in *evaluated* pairs (tiles swept x T^2), which is
+    what throughput means regardless of how many records pass the r2
+    threshold; ``records_emitted`` counts the survivors separately."""
+
+    pairs_done: int       # pairs evaluated so far (emitted tiles * T^2)
+    pairs_total: int      # pairs the plan will evaluate
+    records_emitted: int  # records surviving keep + threshold so far
     elapsed_s: float
 
     @property
@@ -165,6 +170,10 @@ class LdSession:
         self.ti_dev = jax.device_put(ti_h, plan_sharding)
         self.tj_dev = jax.device_put(tj_h, plan_sharding)
         self.em_dev = jax.device_put(em_h, plan_sharding)
+        # Real (non-padding) tiles per batch, for truthful progress.
+        self._emit_per_batch = (
+            em_h.reshape(n_dev, self.n_batches, k).sum(axis=(0, 2))
+        )
 
     def _dispatch(self, b: int):
         """Enqueue one batch (async — nothing is fetched)."""
@@ -269,7 +278,12 @@ class LdSession:
     ) -> Iterator[tuple[int, LdRecords]]:
         t0 = time.monotonic()
         last_report = t0
-        pairs_done = 0
+        tiles_done = 0
+        records_emitted = 0
+        t2 = self.cfg.tile * self.cfg.tile
+        # Evaluated work = emitted (non-padding) tiles; padding tiles are
+        # free.  This stays truthful under r2 thresholds and windowed plans.
+        tiles_total = self.plan.n_tiles
         # Double-buffer: batch b+1 computes on-device while batch b's counts
         # travel to the host and its records are compacted/written.
         pending = None
@@ -279,13 +293,19 @@ class LdSession:
             nxt = self._dispatch(b + 1) if b + 1 < self.n_batches else None
             records = self._collect(pending)
             pending = nxt
-            pairs_done += len(records)
+            records_emitted += len(records)
+            tiles_done += int(self._emit_per_batch[b])
             now = time.monotonic()
             if on_progress and (
                 now - last_report > self.cfg.progress_every_s
                 or b == self.n_batches - 1
             ):
-                on_progress(Progress(pairs_done, self.plan.n_pairs, now - t0))
+                on_progress(Progress(
+                    pairs_done=tiles_done * t2,
+                    pairs_total=tiles_total * t2,
+                    records_emitted=records_emitted,
+                    elapsed_s=now - t0,
+                ))
                 last_report = now
             yield b, records
 
@@ -345,22 +365,44 @@ def run_to_tsv(
 ) -> int:
     """Stream the triangle to a TSV file with batch-level resume.
 
-    State file ``<out>.ckpt.json`` records the last completed batch; on
-    restart, completed batches are skipped and the TSV is truncated to the
-    checkpointed byte offset (torn batches are rewritten).
+    State file ``<out>.ckpt.json`` records the last completed batch plus a
+    fingerprint of the run (config + input digests); on restart, completed
+    batches are skipped and the TSV is truncated to the checkpointed byte
+    offset (torn batches are rewritten).  A resume whose config or input
+    does not match the checkpoint is refused rather than silently mixing
+    two different tile plans into one file.
 
     Returns the number of records written.
     """
-    from ..io.writer import PAIR_HEADER
+    import hashlib
+
+    from ..io.writer import PAIR_HEADER, write_pairs
 
     out_path = Path(out_path)
     ckpt_path = out_path.with_suffix(out_path.suffix + ".ckpt.json")
+
+    cfg_ = cfg or DriverConfig()
+    h = hashlib.sha256()
+    h.update(repr((
+        cfg_.tile, cfg_.tiles_per_shard_batch, cfg_.r2_threshold,
+        cfg_.max_site_distance, cfg_.engine, cfg_.seq_chunk,
+        alignment.shape, ndigits,
+    )).encode())
+    h.update(np.ascontiguousarray(alignment[:: max(1, alignment.shape[0] // 64)]).tobytes())
+    h.update(np.asarray(weights).tobytes())
+    h.update(np.asarray(site_map).tobytes())
+    fingerprint = h.hexdigest()
 
     start_batch = 0
     offset = None
     n_written = 0
     if checkpoint and ckpt_path.exists() and out_path.exists():
         state = json.loads(ckpt_path.read_text())
+        if state.get("fingerprint") != fingerprint:
+            raise RuntimeError(
+                f"{ckpt_path}: checkpoint belongs to a different run "
+                "(config or input changed); delete it to start over"
+            )
         start_batch = state["next_batch"]
         offset = state["byte_offset"]
         n_written = state["n_records"]
@@ -375,30 +417,21 @@ def run_to_tsv(
         fh.truncate(offset)
         fh.seek(offset)
 
-    def fmt(x):
-        return repr(round(float(x), ndigits))
-
     with fh:
         for b, rec in stream_ld_records(
             alignment, weights, site_map, cfg, mesh,
             start_batch=start_batch, on_progress=on_progress,
         ):
-            lines = [
-                f"{pa}\t{pb}\t{fmt(d)}\t{fmt(dp)}\t{fmt(r2)}"
-                for pa, pb, d, dp, r2 in zip(
-                    rec.pos_a, rec.pos_b, rec.d, rec.d_prime, rec.r2
-                )
-            ]
-            if lines:
-                fh.write("\n".join(lines) + "\n")
-            n_written += len(lines)
+            write_pairs(rec, fh, ndigits=ndigits, header=False)
+            n_written += len(rec)
             if checkpoint:
                 fh.flush()
                 ckpt_path.write_text(json.dumps({
                     "next_batch": b + 1,
                     "byte_offset": fh.tell(),
                     "n_records": n_written,
+                    "fingerprint": fingerprint,
                 }))
-    if checkpoint and ckpt_path.exists():
+    if ckpt_path.exists():
         ckpt_path.unlink()
     return n_written
