@@ -20,6 +20,12 @@ def enable_persistent_cache() -> None:
 
         if getattr(jax.config, "jax_compilation_cache_dir", None):
             return  # user already configured one (env or code)
+        # TPU-only: CPU compiles are fast locally, and cached CPU AOT
+        # artifacts carry machine-feature flags that can mismatch across
+        # hosts (SIGILL risk warnings from cpu_aot_loader).
+        platform = (getattr(jax.config, "jax_platforms", None) or "").split(",")[0]
+        if platform not in ("", "tpu", "axon"):
+            return
         path = os.path.join(
             os.path.expanduser("~"), ".cache", "weightedld_tpu", "jax"
         )
