@@ -78,3 +78,39 @@ def test_r2_threshold():
     assert len(all_rec) == 10
     none_rec = extract_records(stats, np.arange(5), r2_threshold=1.0)
     assert len(none_rec) == 0  # r2 == 1.0 is not > 1.0
+
+
+@pytest.mark.parametrize("name,gen", [
+    # Tie-heavy: tiny alphabet + few sequences forces frequent count ties,
+    # stressing the smallest-code tie-break in major/domMinor selection.
+    ("ties", lambda rng: rng.integers(0, 2, size=(8, 40)).astype(np.int8)),
+    # Gap-heavy: code 4 often IS the major allele.
+    ("gaps", lambda rng: np.where(rng.random((30, 25)) < 0.5, 4,
+                                  rng.integers(0, 4, (30, 25))).astype(np.int8)),
+    # Unknown-heavy: most pairs lose most sequences to the code-5 filter.
+    ("unknowns", lambda rng: np.where(rng.random((40, 20)) < 0.6, 5,
+                                      rng.integers(0, 5, (40, 20))).astype(np.int8)),
+    # Multi-allelic with near-equal counts: dominant-minor vs all-minor and
+    # second-argmax tie-breaks.
+    ("multiallelic", lambda rng: rng.integers(0, 5, size=(60, 30)).astype(np.int8)),
+])
+def test_adversarial_distributions_match_oracle(name, gen):
+    # zlib.crc32, not hash(): PYTHONHASHSEED would make the data vary per run.
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
+    aln = gen(rng)
+    weights = rng.random(aln.shape[0]).astype(np.float64) + 0.01
+    expected = oracle_ld(aln, weights)
+    stats = ld_all_pairs_dense(jnp.asarray(aln),
+                               jnp.asarray(weights, dtype=jnp.float32))
+    rec = extract_records(stats, np.arange(aln.shape[1]))
+    got = {(int(a), int(b)): (d, r2)
+           for a, b, d, r2 in zip(rec.pos_a, rec.pos_b, rec.d, rec.r2)}
+    exp = {(a, b): (d, r2) for a, b, d, dp, r2 in expected}
+    assert set(got) == set(exp), f"{name}: surviving pair sets differ"
+    for key, (d, r2) in exp.items():
+        np.testing.assert_allclose(got[key][0], d, rtol=5e-4, atol=2e-5,
+                                   err_msg=f"{name} D {key}")
+        np.testing.assert_allclose(got[key][1], r2, rtol=1e-3, atol=2e-5,
+                                   err_msg=f"{name} r2 {key}")
