@@ -158,3 +158,27 @@ def test_two_plane_binary_no_missing(rng):
     keep = np.asarray(ref.keep)
     np.testing.assert_allclose(np.asarray(got.r2)[keep],
                                np.asarray(ref.r2)[keep], rtol=1e-5, atol=1e-6)
+
+
+def test_unit_weights_kernel_matches(rng):
+    from weightedld_tpu.parallel.triangle import plan_tiles
+
+    n_seqs, n_sites, tile, chunk = 40, 40, 16, 64
+    aln = random_alignment(rng, n_seqs, n_sites)
+    plan = plan_tiles(n_sites, tile)
+    codes = jnp.asarray(pad_alignment_site_major(aln, tile, chunk))
+    wr = jnp.asarray(pad_weights(np.ones(n_seqs, np.float32), chunk))
+    ti = jnp.asarray(plan.tile_i); tj = jnp.asarray(plan.tile_j)
+    em = jnp.ones(plan.n_tiles, dtype=jnp.int32)
+
+    base = pallas_tile_stats(codes, wr, ti, tj, em, tile=tile,
+                             n_sites=n_sites, seq_chunk=chunk, interpret=True)
+    unit = pallas_tile_stats(codes, wr, ti, tj, em, tile=tile,
+                             n_sites=n_sites, seq_chunk=chunk,
+                             unit_weights=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(unit.keep), np.asarray(base.keep))
+    keep = np.asarray(base.keep)
+    np.testing.assert_allclose(np.asarray(unit.r2)[keep],
+                               np.asarray(base.r2)[keep], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(unit.d)[keep],
+                               np.asarray(base.d)[keep], rtol=1e-6, atol=1e-8)

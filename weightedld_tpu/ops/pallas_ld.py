@@ -140,27 +140,73 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
 
     @pl.when(c == n_chunks - 1)
     def _finalize():
-        _ld_finalize(tile, n_sites, planes,
-                     ti, tj, em,
-                     d_ref, dp_ref, r2_ref, keep_ref,
-                     acc_ref, acci_ref)
+        acc = acc_ref[:, :]
+        acci = acci_ref[:, :]
+        jw = [[acc[s * t:(s + 1) * t, u * t:(u + 1) * t] for u in range(p)]
+              for s in range(p)]
+        ju = [[acci[s * t:(s + 1) * t, u * t:(u + 1) * t] for u in range(p)]
+              for s in range(p)]
+        _ld_finalize(tile, n_sites, planes, ti, tj, em,
+                     d_ref, dp_ref, r2_ref, keep_ref, jw, ju)
+
+
+def _ld_kernel_unit(tile: int, n_sites: int, planes: tuple, preplaned: bool,
+                    ti_ref, tj_ref, em_ref,
+                    a_ref, b_ref, w_ref,
+                    d_ref, dp_ref, r2_ref, keep_ref,
+                    acci_ref):
+    """Unit-weight variant (--unweighted): the weighted joint table equals
+    the unweighted one, so the bf16 passes vanish — a single int8 MXU pass
+    per chunk."""
+    t = tile
+    p = len(planes)
+    k = pl.program_id(0)
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        acci_ref[:, :] = jnp.zeros_like(acci_ref)
+
+    if preplaned:
+        xu8 = a_ref[:, :]
+        yu8 = b_ref[:, :]
+    else:
+        a = a_ref[:, :].astype(jnp.int32)
+        b = b_ref[:, :].astype(jnp.int32)
+        xu8 = jnp.concatenate(
+            [(a == s).astype(jnp.int8) for s in planes], axis=0
+        )
+        yu8 = jnp.concatenate(
+            [(b == s).astype(jnp.int8) for s in planes], axis=0
+        )
+    acci_ref[:, :] += jax.lax.dot_general(
+        xu8, yu8, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    ti = ti_ref[k]
+    tj = tj_ref[k]
+    em = em_ref[k]
+
+    @pl.when(c == n_chunks - 1)
+    def _finalize():
+        acci = acci_ref[:, :]
+        ju = [[acci[s * t:(s + 1) * t, u * t:(u + 1) * t] for u in range(p)]
+              for s in range(p)]
+        jw = [[ju[s][u].astype(jnp.float32) for u in range(p)]
+              for s in range(p)]
+        _ld_finalize(tile, n_sites, planes, ti, tj, em,
+                     d_ref, dp_ref, r2_ref, keep_ref, jw, ju)
 
 
 def _ld_finalize(tile: int, n_sites: int, planes: tuple,
                  ti, tj, em,
                  d_ref, dp_ref, r2_ref, keep_ref,
-                 acc_ref, acci_ref):
+                 jw, ju):
     t = tile
     p = len(planes)
     f32 = jnp.float32
-
-    acc = acc_ref[:, :]
-    acci = acci_ref[:, :]
-    # jw[s][u] / ju[s][u]: (T, T) sub-blocks of the accumulated contractions.
-    jw = [[acc[s * t:(s + 1) * t, u * t:(u + 1) * t] for u in range(p)]
-          for s in range(p)]
-    ju = [[acci[s * t:(s + 1) * t, u * t:(u + 1) * t] for u in range(p)]
-          for s in range(p)]
 
     # Per-pair post-filter allele counts = marginals of the unweighted joint
     # (reference recomputes them per pair via np.unique, WeightedLD.py:194-211).
@@ -307,7 +353,8 @@ def build_planes_tiled(codes_sm: jnp.ndarray, *, tile: int,
 
 
 @partial(jax.jit, static_argnames=("tile", "n_sites", "seq_chunk", "planes",
-                                   "exact_weights", "preplaned", "interpret"))
+                                   "exact_weights", "unit_weights",
+                                   "preplaned", "interpret"))
 def pallas_tile_stats(
     codes_sm: jnp.ndarray,     # [S_pad, N_pad] int8 site-major codes, or
                                # [grid*P*T, N_pad] planes when preplaned=True
@@ -321,6 +368,7 @@ def pallas_tile_stats(
     seq_chunk: int = DEFAULT_SEQ_CHUNK,
     planes: tuple = ALL_PLANES,
     exact_weights: bool = False,
+    unit_weights: bool = False,
     preplaned: bool = False,
     interpret: bool = False,
 ) -> PairStats:
@@ -334,6 +382,16 @@ def pallas_tile_stats(
 
     in_rows = p * t if preplaned else t
     out_block = pl.BlockSpec((1, t, t), lambda g, c, ti, tj, em: (g, 0, 0))
+    if unit_weights:
+        kernel = partial(_ld_kernel_unit, t, n_sites, planes, preplaned)
+        scratch = [pltpu.VMEM((p * t, p * t), jnp.int32)]
+    else:
+        kernel = partial(_ld_kernel, t, n_sites, planes, exact_weights,
+                         preplaned)
+        scratch = [
+            pltpu.VMEM((p * t, p * t), jnp.float32),   # weighted joint acc
+            pltpu.VMEM((p * t, p * t), jnp.int32),     # unweighted joint acc
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(k, n_chunks),
@@ -345,10 +403,7 @@ def pallas_tile_stats(
             pl.BlockSpec((1, seq_chunk), lambda g, c, ti, tj, em: (0, c)),
         ],
         out_specs=[out_block, out_block, out_block, out_block],
-        scratch_shapes=[
-            pltpu.VMEM((p * t, p * t), jnp.float32),   # weighted joint acc
-            pltpu.VMEM((p * t, p * t), jnp.int32),     # unweighted joint acc
-        ],
+        scratch_shapes=scratch,
     )
 
     out_shape = [
@@ -359,7 +414,7 @@ def pallas_tile_stats(
     ]
 
     d, dp, r2, keep = pl.pallas_call(
-        partial(_ld_kernel, t, n_sites, planes, exact_weights, preplaned),
+        kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,

@@ -47,6 +47,7 @@ def make_sharded_stats_runner(
     planes: tuple = (0, 1, 2, 3, 4),
     seq_chunk: int = 512,
     exact_weights: bool = False,
+    unit_weights: bool = False,
     max_site_distance: int | None = None,
     interpret: bool = False,
 ):
@@ -64,7 +65,7 @@ def make_sharded_stats_runner(
     """
     key = (
         "stats", tuple(d.id for d in mesh.devices.flat), tile, n_sites,
-        k_per_batch, engine, planes, seq_chunk, exact_weights,
+        k_per_batch, engine, planes, seq_chunk, exact_weights, unit_weights,
         max_site_distance, interpret,
     )
     cached = _RUNNER_CACHE.get(key)
@@ -86,6 +87,7 @@ def make_sharded_stats_runner(
                 codes, weights, tile_i, tile_j, emit,
                 tile=tile, n_sites=n_sites, seq_chunk=seq_chunk,
                 planes=planes, exact_weights=exact_weights,
+                unit_weights=unit_weights,
                 interpret=interpret,
             )
         else:

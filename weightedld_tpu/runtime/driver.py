@@ -124,10 +124,12 @@ class LdSession:
 
             planes = detect_planes(alignment)
             interpret = jax.devices()[0].platform not in ("tpu", "axon")
+            w_arr = np.asarray(weights, dtype=np.float32)
             self.runner = make_sharded_stats_runner(
                 self.mesh, tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k,
                 engine="pallas", planes=planes, seq_chunk=cfg.seq_chunk,
-                exact_weights=weights_bf16_exact(weights),
+                exact_weights=weights_bf16_exact(w_arr),
+                unit_weights=bool((w_arr == 1.0).all()),
                 max_site_distance=cfg.max_site_distance,
                 interpret=interpret,
             )
