@@ -1,0 +1,12 @@
+"""Minimal reference-compatible run: FASTA in, TSV to stdout.
+
+Equivalent to `python WeightedLD.py --file alignment.fasta` in the reference.
+"""
+
+import sys
+
+import weightedld_tpu as wld
+from weightedld_tpu.io.writer import write_pairs
+
+res = wld.run(sys.argv[1] if len(sys.argv) > 1 else "tests/example.fasta")
+write_pairs(res.records, sys.stdout)

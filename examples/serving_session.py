@@ -1,0 +1,28 @@
+"""Device-resident serving session: upload once, scan many times.
+
+Useful when the same cohort is queried repeatedly (different r2 thresholds,
+windows, resumed ranges): the alignment, weights, and tile plan live on the
+device mesh across scans.
+"""
+
+import sys
+
+import numpy as np
+
+import weightedld_tpu as wld
+from weightedld_tpu.runtime.driver import DriverConfig, LdSession
+
+res = wld.prepare(sys.argv[1] if len(sys.argv) > 1 else "tests/example.fasta")
+
+session = LdSession(
+    res.alignment, res.weights, res.site_map,
+    DriverConfig(r2_threshold=0.1, tiles_per_shard_batch=2048),
+)
+
+# Reduction-only scan: O(1) host traffic per batch.
+print(session.summarize())
+
+# Streamed records (compacted on device, transferred O(records)).
+for batch, records in session.stream():
+    for pa, pb, r2 in zip(records.pos_a, records.pos_b, records.r2):
+        print(pa, pb, round(float(r2), 4))

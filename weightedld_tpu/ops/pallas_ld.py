@@ -1,35 +1,44 @@
 """Fused Pallas TPU kernel for the weighted-LD pair tile.
 
-Why a kernel: the XLA path materializes the [K, T, T, 5, 5] joint allele
+Why a kernel: the XLA path materializes the [K, T, T, P, P] joint allele
 tables in HBM between the MXU contraction and the element-wise finalization,
 making the whole pipeline HBM-bound (~8 M pairs/s/chip measured).  This
-kernel keeps everything for one site-pair tile resident in VMEM:
-
-  HBM traffic per tile  =  2 x (T x N) int8 code blocks (+ T x T outputs)
-  compute per tile      =  one (10T x Nc) @ (Nc x 5T) MXU contraction per
-                           sequence chunk + O(T^2) VPU finalization
-
-so arithmetic intensity is ~50*T FLOPs/byte and the kernel is MXU-bound.
+kernel keeps everything for one site-pair tile resident in VMEM: HBM traffic
+per tile is two (T x Nc) int8 code blocks per chunk plus the T x T outputs,
+so arithmetic intensity is thousands of FLOPs/byte and the kernel is
+MXU-bound at large N (measured ~850 M pairs/s/chip at N=1k, ~82% of the
+pass-count ceiling at N=10k on v5e).
 
 Data layout: the alignment is stored SITE-MAJOR ([S_pad, N_pad] int8) — the
 same layout insight as the reference's ``SiteSet`` (``lib.rs:158-197``) —
 padded with code 5 (contributes to no one-hot plane) and weight 0.
 
-Per tile pair (A-block, B-block), accumulated over sequence chunks of Nc:
+Grid = (tile_pair, sequence_chunk), chunk axis minor; the P-plane one-hot
+matrices X (A-side) and Y (B-side) are built in VMEM per chunk and
+contracted on the MXU with joint-table accumulators persisting across the
+chunk axis:
 
-  X  = [w * onehot(A); onehot(A)]  in R^{10T x Nc}
-  Yu = onehot(B)                   in R^{5T x Nc}
-  acc += X @ Yu^T                  -> rows 0..5T-1:  Jw (weighted joint)
-                                      rows 5T..10T-1: Ju (unweighted joint)
+  Jw += (X*w_hi) @ Y^T [+ (X*w_lo) @ Y^T]   bf16, f32 accumulation
+  Ju += X8 @ Y8^T                            int8 -> int32, exact
 
-followed by the same branch-free major/dominant-minor + skip-rule + D/D'/r2
-algebra as :func:`weightedld_tpu.core.paircore.finalize_pair_tile`
-(reference semantics: ``WeightedLD.py:183-284``), fused in-kernel.
+``w = w_hi + w_lo`` is the split-bf16 weight decomposition (~2^-17 relative
+error); the one-hot planes are exact {0,1} in bf16 so each pass is exact
+given its operand.  Static specializations drop passes when possible:
+``exact_weights`` (weights bf16-representable) drops the w_lo pass;
+``unit_weights`` (--unweighted) drops both bf16 passes (Jw == Ju);
+``planes`` restricts the alphabet (binary SNP data: P=3 or 2 instead of 5,
+a quadratic FLOP reduction); ``preplaned`` consumes precomputed one-hot
+planes from HBM (measured neutral — kept as an experimental variant).
+
+The finalization — per-pair marginal counts, major/dominant-minor with
+smallest-code tie-break, both skip rules, and the D/D'/r2 algebra — is the
+same branch-free math as :func:`weightedld_tpu.core.paircore.
+finalize_pair_tile` (reference semantics ``WeightedLD.py:183-284``), fused
+in-kernel on the VPU.
 
 The tile list arrives via scalar prefetch (``tile_i``, ``tile_j``, ``emit``),
 so the grid walks an arbitrary (striped) slice of the upper triangle and
-Pallas double-buffers the code-block DMAs; row-major tile order makes the
-A-block index repeat, which skips its re-fetch entirely.
+Pallas double-buffers the code-block DMAs.
 """
 
 from __future__ import annotations
