@@ -63,8 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dense: one XLA program (small S); tiled: streaming "
                    "sharded driver (large S) [default auto]")
     p.add_argument("--tile", type=int, default=128, help="site-tile side")
-    p.add_argument("--tiles-per-batch", type=int, default=8,
-                   help="tiles per device per dispatch (tiled engine)")
+    p.add_argument("--tiles-per-batch", type=int, default=None,
+                   help="tiles per device per dispatch (tiled engine; "
+                   "default: auto — large batches on TPU)")
     p.add_argument("--checkpoint", action="store_true",
                    help="enable batch-level resume for --pair-output runs "
                    "(tiled engine)")

@@ -41,7 +41,9 @@ log = logging.getLogger("weightedld_tpu")
 @dataclass
 class DriverConfig:
     tile: int = 128                 # site-tile side
-    tiles_per_shard_batch: int = 8  # tiles evaluated per device per dispatch
+    tiles_per_shard_batch: int | None = None  # tiles per device per dispatch
+                                    # (None = auto: large batches on TPU to
+                                    # amortize dispatch roundtrips)
     r2_threshold: float | None = None  # None = emit every surviving pair
     progress_every_s: float = 10.0
     engine: str = "auto"            # auto | pallas | xla
@@ -113,6 +115,9 @@ class LdSession:
 
         k = cfg.tiles_per_shard_batch
         engine = _resolve_engine(cfg.engine)
+        if k is None:
+            k = 2048 if engine == "pallas" else 8
+            cfg.tiles_per_shard_batch = k
         self.engine = engine
         if engine == "pallas":
             from ..ops.pallas_ld import (
