@@ -116,7 +116,8 @@ class LdSession:
         k = cfg.tiles_per_shard_batch
         engine = _resolve_engine(cfg.engine)
         if k is None:
-            k = 2048 if engine == "pallas" else 8
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+            k = 2048 if (engine == "pallas" and on_tpu) else 8
             cfg.tiles_per_shard_batch = k
         self.engine = engine
         if engine == "pallas":
