@@ -118,3 +118,13 @@ def test_max_distance_flag(tmp_path, capsys):
     # t1 kept sites are 2..6; distance<=1 keeps only adjacent pairs (4 of 10).
     assert len(win_rows) == 4
     assert set(win_rows).issubset(set(full_rows))
+
+
+def test_devices_flag(tmp_path, capsys):
+    f = tmp_path / "t3.fasta"
+    write_fasta(f, ALL_FASTAS["t3"])
+    _, all_dev = _run(capsys, "--file", str(f), "--engine", "tiled",
+                      "--tile", "16", "--sort")
+    _, two_dev = _run(capsys, "--file", str(f), "--engine", "tiled",
+                      "--tile", "16", "--sort", "--devices", "2")
+    assert all_dev == two_dev

@@ -63,6 +63,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dense: one XLA program (small S); tiled: streaming "
                    "sharded driver (large S) [default auto]")
     p.add_argument("--tile", type=int, default=128, help="site-tile side")
+    p.add_argument("--devices", type=int, default=None,
+                   help="use only the first N local devices (default: all)")
     p.add_argument("--tiles-per-batch", type=int, default=None,
                    help="tiles per device per dispatch (tiled engine; "
                    "default: auto — large batches on TPU)")
@@ -179,6 +181,13 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
 
+    mesh = None
+    if args.devices is not None:
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[: args.devices]), ("tiles",))
+
     if args.stats_only:
         import json
 
@@ -216,6 +225,7 @@ def main(argv=None) -> int:
                     r2_threshold=args.r2_threshold,
                     max_site_distance=args.max_distance,
                 ),
+                mesh=mesh,
             )
             out = session.summarize()
         out["elapsed_s"] = time.monotonic() - t0
@@ -261,7 +271,7 @@ def main(argv=None) -> int:
 
             with device_trace(trace_dir):
                 rec = collect_ld_records(
-                    res.alignment, res.weights, res.site_map, dcfg
+                    res.alignment, res.weights, res.site_map, dcfg, mesh=mesh
                 )
             order = np.lexsort((rec.pos_b, rec.pos_a))
             rec = LdRecords(*(np.asarray(f)[order] for f in rec))
@@ -277,15 +287,15 @@ def main(argv=None) -> int:
             with device_trace(trace_dir):
                 nrec = run_to_tsv(
                     res.alignment, res.weights, res.site_map, args.pair_output,
-                    dcfg, checkpoint=args.checkpoint, ndigits=args.ndigits,
-                    on_progress=on_progress,
+                    dcfg, mesh=mesh, checkpoint=args.checkpoint,
+                    ndigits=args.ndigits, on_progress=on_progress,
                 )
             log.info("wrote %d pairs in %.2fs", nrec, time.monotonic() - t0)
         else:
             print("posa\tposb\tD\tD'\tR2")
             with device_trace(trace_dir):
                 for _, rec in stream_ld_records(
-                    res.alignment, res.weights, res.site_map, dcfg,
+                    res.alignment, res.weights, res.site_map, dcfg, mesh=mesh,
                     on_progress=on_progress,
                 ):
                     write_pairs(rec, sys.stdout, ndigits=args.ndigits,
