@@ -21,6 +21,8 @@ from pathlib import Path
 import numpy as np
 
 REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:  # robust to being launched from any cwd
+    sys.path.insert(0, str(REPO))
 
 N_SEQS = 1000
 S_TPU = 16384
