@@ -149,14 +149,12 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
 
     @pl.when(c == n_chunks - 1)
     def _finalize():
-        acc = acc_ref[:, :]
-        acci = acci_ref[:, :]
-        jw = [[acc[s * t:(s + 1) * t, u * t:(u + 1) * t] for u in range(p)]
-              for s in range(p)]
-        ju = [[acci[s * t:(s + 1) * t, u * t:(u + 1) * t] for u in range(p)]
-              for s in range(p)]
+        load_jw = lambda s, u, lo, hi: acc_ref[s * t + lo:s * t + hi,
+                                               u * t:(u + 1) * t]
+        load_ju = lambda s, u, lo, hi: acci_ref[s * t + lo:s * t + hi,
+                                                u * t:(u + 1) * t]
         _ld_finalize(tile, n_sites, planes, ti, tj, em,
-                     d_ref, dp_ref, r2_ref, keep_ref, jw, ju)
+                     d_ref, dp_ref, r2_ref, keep_ref, load_jw, load_ju)
 
 
 def _ld_kernel_unit(tile: int, n_sites: int, planes: tuple, preplaned: bool,
@@ -200,116 +198,125 @@ def _ld_kernel_unit(tile: int, n_sites: int, planes: tuple, preplaned: bool,
 
     @pl.when(c == n_chunks - 1)
     def _finalize():
-        acci = acci_ref[:, :]
-        ju = [[acci[s * t:(s + 1) * t, u * t:(u + 1) * t] for u in range(p)]
-              for s in range(p)]
-        jw = [[ju[s][u].astype(jnp.float32) for u in range(p)]
-              for s in range(p)]
+        load_ju = lambda s, u, lo, hi: acci_ref[s * t + lo:s * t + hi,
+                                                u * t:(u + 1) * t]
+        load_jw = lambda s, u, lo, hi: load_ju(s, u, lo, hi).astype(
+            jnp.float32)
         _ld_finalize(tile, n_sites, planes, ti, tj, em,
-                     d_ref, dp_ref, r2_ref, keep_ref, jw, ju)
+                     d_ref, dp_ref, r2_ref, keep_ref, load_jw, load_ju)
 
 
 def _ld_finalize(tile: int, n_sites: int, planes: tuple,
                  ti, tj, em,
                  d_ref, dp_ref, r2_ref, keep_ref,
-                 jw, ju):
+                 load_jw, load_ju, row_chunk: int = 128):
+    """Branch-free per-pair finalization, processed in row chunks of the
+    tile so peak VPU temporaries stay bounded for large T (every quantity
+    here is element-wise per site pair, so row slicing is exact)."""
     t = tile
     p = len(planes)
     f32 = jnp.float32
+    rc = min(row_chunk, t)
 
-    # Per-pair post-filter allele counts = marginals of the unweighted joint
-    # (reference recomputes them per pair via np.unique, WeightedLD.py:194-211).
-    cnt_a = [sum(ju[s][u] for u in range(p)) for s in range(p)]   # int32
-    cnt_b = [sum(ju[s][u] for s in range(p)) for u in range(p)]
+    for lo in range(0, t, rc):
+        hi = lo + rc
+        jw = [[load_jw(s, u, lo, hi) for u in range(p)] for s in range(p)]
+        ju = [[load_ju(s, u, lo, hi) for u in range(p)] for s in range(p)]
 
-    def major_dmin(cnt):
-        # integer score = 8*count + (5 - symbol code): ties -> lower code
-        # (WeightedLD.py:203-209).
-        best = jnp.full((t, t), -1, jnp.int32)
-        best_idx = jnp.zeros((t, t), jnp.int32)
-        for s in range(p):
-            score = cnt[s] * 8 + (N_ALLELES - planes[s])
-            better = score > best
-            best = jnp.where(better, score, best)
-            best_idx = jnp.where(better, s, best_idx)
-        second = jnp.full((t, t), -1, jnp.int32)
-        second_idx = jnp.zeros((t, t), jnp.int32)
-        for s in range(p):
-            score = cnt[s] * 8 + (N_ALLELES - planes[s])
-            not_best = best_idx != s
-            better = (score > second) & not_best
-            second = jnp.where(better, score, second)
-            second_idx = jnp.where(better, s, second_idx)
-        return best_idx, second_idx
+        # Per-pair post-filter allele counts = marginals of the unweighted
+        # joint (the reference recomputes them per pair via np.unique,
+        # WeightedLD.py:194-211).
+        cnt_a = [sum(ju[s][u] for u in range(p)) for s in range(p)]  # int32
+        cnt_b = [sum(ju[s][u] for s in range(p)) for u in range(p)]
 
-    maj_a, dmin_a = major_dmin(cnt_a)
-    maj_b, dmin_b = major_dmin(cnt_b)
+        def major_dmin(cnt):
+            # integer score = 8*count + (5 - symbol code): ties -> lower
+            # code (WeightedLD.py:203-209).
+            best = jnp.full((rc, t), -1, jnp.int32)
+            best_idx = jnp.zeros((rc, t), jnp.int32)
+            for s in range(p):
+                score = cnt[s] * 8 + (N_ALLELES - planes[s])
+                better = score > best
+                best = jnp.where(better, score, best)
+                best_idx = jnp.where(better, s, best_idx)
+            second = jnp.full((rc, t), -1, jnp.int32)
+            second_idx = jnp.zeros((rc, t), jnp.int32)
+            for s in range(p):
+                score = cnt[s] * 8 + (N_ALLELES - planes[s])
+                not_best = best_idx != s
+                better = (score > second) & not_best
+                second = jnp.where(better, score, second)
+                second_idx = jnp.where(better, s, second_idx)
+            return best_idx, second_idx
 
-    distinct_a = sum((cnt_a[s] > 0).astype(jnp.int32) for s in range(p))
-    distinct_b = sum((cnt_b[s] > 0).astype(jnp.int32) for s in range(p))
-    keep = (distinct_a > 1) & (distinct_b > 1)   # WeightedLD.py:196-201
+        maj_a, dmin_a = major_dmin(cnt_a)
+        maj_b, dmin_b = major_dmin(cnt_b)
 
-    # Select the four {maj,dmin} x {maj,dmin} cells of the weighted joint.
-    zero = jnp.zeros((t, t), f32)
-    row_maj = [zero] * p
-    row_dmin = [zero] * p
-    for u in range(p):
-        rm, rd = zero, zero
-        for s in range(p):
-            rm = rm + jw[s][u] * (maj_a == s).astype(f32)
-            rd = rd + jw[s][u] * (dmin_a == s).astype(f32)
-        row_maj[u] = rm
-        row_dmin[u] = rd
-    n_mm = n_md = n_dm = n_dd = zero
-    for u in range(p):
-        selb_m = (maj_b == u).astype(f32)
-        selb_d = (dmin_b == u).astype(f32)
-        n_mm = n_mm + row_maj[u] * selb_m
-        n_md = n_md + row_maj[u] * selb_d
-        n_dm = n_dm + row_dmin[u] * selb_m
-        n_dd = n_dd + row_dmin[u] * selb_d
+        distinct_a = sum((cnt_a[s] > 0).astype(jnp.int32) for s in range(p))
+        distinct_b = sum((cnt_b[s] > 0).astype(jnp.int32) for s in range(p))
+        keep = (distinct_a > 1) & (distinct_b > 1)  # WeightedLD.py:196-201
 
-    total_w = n_mm + n_md + n_dm + n_dd
-    keep = keep & (total_w > 0)
-    safe_w = jnp.where(total_w > 0, total_w, 1.0)
-    inv_w = 1.0 / safe_w
+        # Select the four {maj,dmin} x {maj,dmin} cells of the weighted joint.
+        zero = jnp.zeros((rc, t), f32)
+        row_maj = [zero] * p
+        row_dmin = [zero] * p
+        for u in range(p):
+            rm, rd = zero, zero
+            for s in range(p):
+                rm = rm + jw[s][u] * (maj_a == s).astype(f32)
+                rd = rd + jw[s][u] * (dmin_a == s).astype(f32)
+            row_maj[u] = rm
+            row_dmin[u] = rd
+        n_mm = n_md = n_dm = n_dd = zero
+        for u in range(p):
+            selb_m = (maj_b == u).astype(f32)
+            selb_d = (dmin_b == u).astype(f32)
+            n_mm = n_mm + row_maj[u] * selb_m
+            n_md = n_md + row_maj[u] * selb_d
+            n_dm = n_dm + row_dmin[u] * selb_m
+            n_dd = n_dd + row_dmin[u] * selb_d
 
-    pa_major = (n_mm + n_md) * inv_w
-    pb_major = (n_mm + n_dm) * inv_w
-    pa_minor = (n_dm + n_dd) * inv_w
-    pb_minor = (n_md + n_dd) * inv_w
-    # round(P,1)==1.0 <=> P >= 0.95 (WeightedLD.py:234-237)
-    keep = keep & (pa_major < 0.95) & (pb_major < 0.95)
+        total_w = n_mm + n_md + n_dm + n_dd
+        keep = keep & (total_w > 0)
+        safe_w = jnp.where(total_w > 0, total_w, 1.0)
+        inv_w = 1.0 / safe_w
 
-    obs_mm = n_mm * inv_w
-    obs_md = n_md * inv_w
-    obs_dm = n_dm * inv_w
-    obs_dd = n_dd * inv_w
+        pa_major = (n_mm + n_md) * inv_w
+        pb_major = (n_mm + n_dm) * inv_w
+        pa_minor = (n_dm + n_dd) * inv_w
+        pb_minor = (n_md + n_dd) * inv_w
+        # round(P,1)==1.0 <=> P >= 0.95 (WeightedLD.py:234-237)
+        keep = keep & (pa_major < 0.95) & (pb_major < 0.95)
 
-    t0 = pa_major * pb_major - obs_mm
-    t1 = pa_minor * pb_minor - obs_dd
-    t2 = -(pa_major * pb_minor - obs_md)
-    t3 = -(pa_minor * pb_major - obs_dm)
-    d = (t0 + t1 + t2 + t3) * 0.25
+        obs_mm = n_mm * inv_w
+        obs_md = n_md * inv_w
+        obs_dm = n_dm * inv_w
+        obs_dd = n_dd * inv_w
 
-    neg = jnp.maximum(-obs_dd, -obs_mm)
-    neg = jnp.where(neg == 0, jnp.minimum(-obs_dd, -obs_mm), neg)
-    pos = jnp.minimum(obs_dm, obs_md)
-    pos = jnp.where(pos == 0, jnp.maximum(obs_dm, obs_md), pos)
-    denom = jnp.where(d < 0, neg, pos)
-    d_prime = d / denom
+        t0 = pa_major * pb_major - obs_mm
+        t1 = pa_minor * pb_minor - obs_dd
+        t2 = -(pa_major * pb_minor - obs_md)
+        t3 = -(pa_minor * pb_major - obs_dm)
+        d = (t0 + t1 + t2 + t3) * 0.25
 
-    r2 = d * d / (pa_major * pa_minor * pb_major * pb_minor)
+        neg = jnp.maximum(-obs_dd, -obs_mm)
+        neg = jnp.where(neg == 0, jnp.minimum(-obs_dd, -obs_mm), neg)
+        pos = jnp.minimum(obs_dm, obs_md)
+        pos = jnp.where(pos == 0, jnp.maximum(obs_dm, obs_md), pos)
+        denom = jnp.where(d < 0, neg, pos)
+        d_prime = d / denom
 
-    # Pair validity: strict upper triangle of true (unpadded) sites + emit.
-    gi = ti * t + jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
-    gj = tj * t + jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-    keep = keep & (gi < gj) & (gj < n_sites) & (em != 0)
+        r2 = d * d / (pa_major * pa_minor * pb_major * pb_minor)
 
-    d_ref[0] = d
-    dp_ref[0] = d_prime
-    r2_ref[0] = r2
-    keep_ref[0] = keep.astype(jnp.int8)
+        # Pair validity: strict upper triangle of true sites + emit flag.
+        gi = ti * t + lo + jax.lax.broadcasted_iota(jnp.int32, (rc, t), 0)
+        gj = tj * t + jax.lax.broadcasted_iota(jnp.int32, (rc, t), 1)
+        keep = keep & (gi < gj) & (gj < n_sites) & (em != 0)
+
+        d_ref[0, lo:hi, :] = d
+        dp_ref[0, lo:hi, :] = d_prime
+        r2_ref[0, lo:hi, :] = r2
+        keep_ref[0, lo:hi, :] = keep.astype(jnp.int8)
 
 
 ALL_PLANES = (0, 1, 2, 3, 4)
