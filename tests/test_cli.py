@@ -128,3 +128,19 @@ def test_devices_flag(tmp_path, capsys):
     _, two_dev = _run(capsys, "--file", str(f), "--engine", "tiled",
                       "--tile", "16", "--sort", "--devices", "2")
     assert all_dev == two_dev
+
+
+def test_compat_rust_preset(tmp_path, capsys):
+    f = tmp_path / "t1.fasta"
+    write_fasta(f, ALL_FASTAS["t1"])
+    _, out = _run(capsys, "--file", str(f), "--compat", "rust")
+    rows = out.strip().split("\n")[1:]
+    # Rust semantics on t1: same 10 pairs (r2=1.0 > 0.1), 3-dp formatting.
+    assert len(rows) == 10
+    assert rows[0].split("\t")[2:] == ["-0.25", "0.5", "1.0"]
+    # Weights use the paper formula under the preset.
+    wf = tmp_path / "w.tsv"
+    _run(capsys, "--file", str(f), "--compat", "rust",
+         "--weights-output", str(wf))
+    w = [float(r.split("\t")[1]) for r in wf.read_text().strip().split("\n")[1:]]
+    np.testing.assert_allclose(w, [0.5, 0.5, 0.5, 0.5, 1.0], atol=1e-4)

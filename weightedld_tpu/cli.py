@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight-mask", choices=("ld", "hk"), default="ld",
                    help="alignment trim used for weighting: 'ld' matches the "
                    "reference CLI, 'hk' matches its test-suite convention")
+    p.add_argument("--compat", choices=("python", "rust"), default="python",
+                   help="semantics preset: 'python' reproduces WeightedLD.py "
+                   "(default); 'rust' reproduces the reference Rust binary "
+                   "(paper-formula weights, dominant-minor site filter, "
+                   "r2 > 0.1 output threshold, 3-dp TSV) — explicit flags "
+                   "still override")
     p.add_argument("--weighting", choices=("python", "paper"), default="python",
                    help="Henikoff formula variant: 'python' = reference "
                    "WeightedLD.py semantics (default), 'paper' = the "
@@ -109,6 +115,18 @@ def main(argv=None) -> int:
 
     from .io.writer import write_pairs, write_weights
     from .pipeline import WldConfig, prepare
+
+    if args.compat == "rust":
+        # Reference Rust binary semantics (main.rs:19-68 defaults); explicit
+        # flags still win where the user set them.
+        if args.weighting == "python":
+            args.weighting = "paper"
+        if args.r2_threshold is None:
+            args.r2_threshold = 0.1
+        if args.ndigits == 4:
+            args.ndigits = 3
+        if args.max_minor == 1.0:
+            args.max_minor = 0.5
 
     cfg = WldConfig(
         min_acgt=args.min_acgt,
