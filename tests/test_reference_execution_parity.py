@@ -1,0 +1,126 @@
+"""Ultimate parity check: run the ACTUAL reference implementation
+(/root/reference/WeightedLD.py, executed in-process with its BioPython
+dependency stubbed and the removed np.bool8 alias restored) against this
+framework on random inputs.
+
+This is stronger than the hand-written oracle in ``oracle.py``: the
+reference's own code produces the expected masks, weights, and LD rows.
+Skipped when the reference checkout is absent.
+"""
+
+import io
+import os
+import sys
+import types
+from contextlib import redirect_stdout
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from .fixtures import random_alignment
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REFERENCE, "WeightedLD.py")),
+    reason="reference checkout not available",
+)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference module with compat shims (numpy 2, no BioPython)."""
+    if not hasattr(np, "bool8"):
+        np.bool8 = np.bool_  # removed in numpy 2; used at WeightedLD.py:190
+    if "Bio" not in sys.modules:
+        bio = types.ModuleType("Bio")
+        bio.AlignIO = types.SimpleNamespace(read=None)  # unused in these tests
+        sys.modules["Bio"] = bio
+    sys.path.insert(0, REFERENCE)
+    try:
+        import WeightedLD as wld_ref
+    finally:
+        sys.path.remove(REFERENCE)
+    return wld_ref
+
+
+def _ref_ld_rows(ref, alignment, weights, site_map):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ref.ld(alignment, weights, site_map)
+    rows = {}
+    for line in buf.getvalue().strip().split("\n")[1:]:
+        if not line:
+            continue
+        a, b, d, dp, r2 = line.split("\t")
+        rows[(int(a), int(b))] = (float(d), float(dp), float(r2))
+    return rows
+
+
+@pytest.mark.parametrize("seed,n_seqs,n_sites", [
+    (101, 24, 14), (102, 50, 10), (103, 12, 20),
+])
+def test_masks_weights_ld_match_reference(ref, seed, n_seqs, n_sites):
+    from weightedld_tpu.core.henikoff import henikoff_weights
+    from weightedld_tpu.core.ld_dense import extract_records, ld_all_pairs_dense
+    from weightedld_tpu.core.sites import compute_variable_sites
+
+    rng = np.random.default_rng(seed)
+    aln = random_alignment(rng, n_seqs, n_sites)
+
+    # Masks: bit-for-bit.
+    hk_r, ld_r = ref.compute_variable_sites(aln, 0.8, 0.02)
+    hk_o, ld_o = compute_variable_sites(jnp.asarray(aln), 0.8, 0.02)
+    np.testing.assert_array_equal(np.asarray(hk_o), hk_r)
+    np.testing.assert_array_equal(np.asarray(ld_o), ld_r)
+
+    trimmed = aln[:, ld_r]
+    if trimmed.shape[1] < 2:
+        pytest.skip("degenerate draw: <2 LD sites")
+
+    # Weights: float tolerance against the reference's float64.
+    w_r = ref.henikoff_weighting(trimmed)
+    w_o = np.asarray(henikoff_weights(jnp.asarray(trimmed)))
+    np.testing.assert_allclose(w_o, w_r, rtol=3e-5, atol=3e-6)
+
+    # LD rows: same surviving pairs; values to the reference's own 4-dp
+    # rounding tolerance.
+    site_map = np.where(ld_r)[0]
+    expected = _ref_ld_rows(ref, trimmed, w_r, site_map)
+    stats = ld_all_pairs_dense(jnp.asarray(trimmed),
+                               jnp.asarray(w_r, dtype=jnp.float32))
+    rec = extract_records(stats, site_map)
+    got = {(int(a), int(b)): (float(d), float(dp), float(r2))
+           for a, b, d, dp, r2 in zip(rec.pos_a, rec.pos_b,
+                                      rec.d, rec.d_prime, rec.r2)}
+    assert set(got) == set(expected)
+    for key, (d, dp, r2) in expected.items():
+        gd, gdp, gr2 = got[key]
+        np.testing.assert_allclose(gd, d, atol=2e-4, err_msg=f"D {key}")
+        if np.isfinite(dp) and np.isfinite(gdp):
+            np.testing.assert_allclose(gdp, dp, atol=5e-4, err_msg=f"D' {key}")
+        np.testing.assert_allclose(gr2, r2, atol=5e-4, err_msg=f"r2 {key}")
+
+
+def test_fixture_fastas_match_reference_end_to_end(ref, tmp_path):
+    from .fixtures import ALL_FASTAS
+
+    from weightedld_tpu.core.henikoff import henikoff_weights
+    from weightedld_tpu.core.ld_dense import extract_records, ld_all_pairs_dense
+    from weightedld_tpu.core.encode import encode_alignment
+
+    for name, seqs in sorted(ALL_FASTAS.items()):
+        aln = encode_alignment([s.encode() for s in seqs])
+        hk_r, ld_r = ref.compute_variable_sites(aln, 0.8, 0.02)
+        trimmed = aln[:, ld_r]
+        if trimmed.shape[1] < 2:
+            continue
+        w_r = ref.henikoff_weighting(trimmed)
+        site_map = np.where(ld_r)[0]
+        expected = _ref_ld_rows(ref, trimmed, w_r, site_map)
+        stats = ld_all_pairs_dense(jnp.asarray(trimmed),
+                                   jnp.asarray(w_r, dtype=jnp.float32))
+        rec = extract_records(stats, site_map)
+        got = {(int(a), int(b)) for a, b in zip(rec.pos_a, rec.pos_b)}
+        assert got == set(expected), name
