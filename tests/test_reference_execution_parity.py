@@ -59,7 +59,7 @@ def _ref_ld_rows(ref, alignment, weights, site_map):
 
 
 @pytest.mark.parametrize("seed,n_seqs,n_sites", [
-    (101, 24, 14), (102, 50, 10), (103, 12, 20),
+    (101, 24, 14), (102, 50, 10), (103, 12, 20), (104, 80, 12), (105, 9, 16),
 ])
 def test_masks_weights_ld_match_reference(ref, seed, n_seqs, n_sites):
     from weightedld_tpu.core.henikoff import henikoff_weights
@@ -69,11 +69,13 @@ def test_masks_weights_ld_match_reference(ref, seed, n_seqs, n_sites):
     rng = np.random.default_rng(seed)
     aln = random_alignment(rng, n_seqs, n_sites)
 
-    # Masks: bit-for-bit.
+    # Masks: bit-for-bit (host f64 twin, as used by the ingest pipeline).
+    from weightedld_tpu.core.sites import compute_variable_sites_host
+
     hk_r, ld_r = ref.compute_variable_sites(aln, 0.8, 0.02)
-    hk_o, ld_o = compute_variable_sites(jnp.asarray(aln), 0.8, 0.02)
-    np.testing.assert_array_equal(np.asarray(hk_o), hk_r)
-    np.testing.assert_array_equal(np.asarray(ld_o), ld_r)
+    hk_o, ld_o = compute_variable_sites_host(aln, 0.8, 0.02)
+    np.testing.assert_array_equal(hk_o, hk_r)
+    np.testing.assert_array_equal(ld_o, ld_r)
 
     trimmed = aln[:, ld_r]
     if trimmed.shape[1] < 2:
@@ -124,3 +126,18 @@ def test_fixture_fastas_match_reference_end_to_end(ref, tmp_path):
         rec = extract_records(stats, site_map)
         got = {(int(a), int(b)) for a, b in zip(rec.pos_a, rec.pos_b)}
         assert got == set(expected), name
+
+
+@pytest.mark.parametrize("min_acgt,min_var", [(0.5, 0.1), (0.0, 0.0), (0.9, 0.3)])
+def test_mask_parameter_sweep_matches_reference(ref, min_acgt, min_var):
+    # The host f64 masks (used by the ingest pipeline) must be bit-exact
+    # even at threshold boundaries like 36/40 == 0.9 (where the jitted f32
+    # version can legitimately differ — see compute_variable_sites_host).
+    from weightedld_tpu.core.sites import compute_variable_sites_host
+
+    rng = np.random.default_rng(200)
+    aln = random_alignment(rng, 40, 30)
+    hk_r, ld_r = ref.compute_variable_sites(aln, min_acgt, min_var)
+    hk_o, ld_o = compute_variable_sites_host(aln, min_acgt, min_var)
+    np.testing.assert_array_equal(hk_o, hk_r)
+    np.testing.assert_array_equal(ld_o, ld_r)

@@ -85,6 +85,51 @@ def compute_variable_sites(
     return sufficient_data, ld_mask
 
 
+def compute_variable_sites_host(
+    alignment,
+    min_acgt: float,
+    min_variability: float,
+    max_minor: float = 1.0,
+):
+    """Float64 host (NumPy) twin of :func:`compute_variable_sites`.
+
+    Bit-exact with the reference at threshold boundaries: the jitted f32
+    version can flip sites whose coverage/variability fraction lands
+    EXACTLY on the threshold (XLA strength-reduces the division to a
+    reciprocal multiply, e.g. 36/40 = 0.9 > 0.9 evaluates True in f32 but
+    False in the reference's f64).  The ingest pipeline uses this version;
+    the jnp one serves on-device pipelines where the input never visits
+    the host.
+    """
+    import numpy as np
+
+    alignment = np.asarray(alignment)
+    n_seqs = alignment.shape[0]
+    counts = np.stack(
+        [(alignment == s).sum(axis=0) for s in range(N_ALLELES)], axis=1
+    )
+    concrete = (alignment < N_CONCRETE).sum(axis=0)
+    sufficient_data = concrete / n_seqs > min_acgt
+
+    major = counts.max(axis=1)
+    total = counts.sum(axis=1)
+    minor = total - major
+    has_variation = minor > 0
+    minor_fraction = np.zeros(alignment.shape[1], dtype=np.float64)
+    nz = has_variation
+    minor_fraction[nz] = minor[nz] / (major[nz] + minor[nz])
+    has_min_variability = minor_fraction >= min_variability
+
+    ld_mask = sufficient_data & has_min_variability
+    if max_minor < 1.0:
+        sorted_counts = np.sort(counts, axis=1)
+        dom = sorted_counts[:, -2]
+        dom_frac = np.zeros(alignment.shape[1], dtype=np.float64)
+        dom_frac[nz] = dom[nz] / np.maximum(major[nz] + dom[nz], 1)
+        ld_mask = ld_mask & (dom_frac <= max_minor)
+    return sufficient_data, ld_mask
+
+
 @partial(jax.jit, static_argnames=())
 def compute_variable_sites_rust(
     alignment: jnp.ndarray,

@@ -26,7 +26,7 @@ from .core.henikoff import (
     henikoff_weights_paper,
 )
 from .core.ld_dense import LdRecords, extract_records, ld_all_pairs_dense
-from .core.sites import compute_variable_sites
+from .core.sites import compute_variable_sites, compute_variable_sites_host
 from .io.fasta import read_fasta
 from .io.vcf import read_vcf
 
@@ -69,12 +69,11 @@ class PipelineResult:
 
 def prepare_fasta(path: str | Path, cfg: WldConfig) -> PipelineResult:
     alignment = read_fasta(path)
-    aln = jnp.asarray(alignment)
-    hk_mask, ld_mask = compute_variable_sites(
-        aln, cfg.min_acgt, cfg.min_variability, cfg.max_minor
+    # Host f64 masks: bit-exact with the reference at threshold boundaries
+    # (see compute_variable_sites_host).
+    hk_mask, ld_mask = compute_variable_sites_host(
+        alignment, cfg.min_acgt, cfg.min_variability, cfg.max_minor
     )
-    hk_mask = np.asarray(hk_mask)
-    ld_mask = np.asarray(ld_mask)
 
     trimmed = alignment[:, ld_mask]
     site_map = np.where(ld_mask)[0].astype(np.int64)
