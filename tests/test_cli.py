@@ -144,3 +144,11 @@ def test_compat_rust_preset(tmp_path, capsys):
          "--weights-output", str(wf))
     w = [float(r.split("\t")[1]) for r in wf.read_text().strip().split("\n")[1:]]
     np.testing.assert_allclose(w, [0.5, 0.5, 0.5, 0.5, 1.0], atol=1e-4)
+
+
+def test_reference_engine(tmp_path, capsys):
+    f = tmp_path / "t3.fasta"
+    write_fasta(f, ALL_FASTAS["t3"])
+    _, ref_out = _run(capsys, "--file", str(f), "--engine", "reference")
+    _, dense_out = _run(capsys, "--file", str(f), "--engine", "dense")
+    assert ref_out == dense_out  # f64 audit engine agrees at 4 dp

@@ -65,9 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "WeightedLD.py semantics (default), 'paper' = the "
                    "Henikoff-1994 per-site-distinct formula (the reference's "
                    "Rust variant)")
-    p.add_argument("--engine", choices=("auto", "dense", "tiled"), default="auto",
+    p.add_argument("--engine", choices=("auto", "dense", "tiled", "reference"),
+                   default="auto",
                    help="dense: one XLA program (small S); tiled: streaming "
-                   "sharded driver (large S) [default auto]")
+                   "sharded driver (large S); reference: exact-f64 Python "
+                   "audit engine (tiny inputs only) [default auto]")
     p.add_argument("--tile", type=int, default=128, help="site-tile side")
     p.add_argument("--devices", type=int, default=None,
                    help="use only the first N local devices (default: all)")
@@ -253,7 +255,29 @@ def main(argv=None) -> int:
     from .runtime.profiling import device_trace
 
     trace_dir = str(args.profile_dir) if args.profile_dir else None
-    if engine == "dense":
+    if engine == "reference":
+        from .core.ld_dense import LdRecords
+        from .core.reference_impl import reference_ld
+
+        rows = reference_ld(res.alignment, np.asarray(res.weights, np.float64),
+                            res.site_map)
+        records = LdRecords(
+            pos_a=np.asarray([r[0] for r in rows]),
+            pos_b=np.asarray([r[1] for r in rows]),
+            d=np.asarray([r[2] for r in rows]),
+            d_prime=np.asarray([r[3] for r in rows]),
+            r2=np.asarray([r[4] for r in rows]),
+        )
+        if args.r2_threshold is not None:
+            m = records.r2 > args.r2_threshold
+            records = LdRecords(*(np.asarray(f)[m] for f in records))
+        out = open(args.pair_output, "w") if args.pair_output else sys.stdout
+        try:
+            write_pairs(records, out, ndigits=args.ndigits)
+        finally:
+            if args.pair_output:
+                out.close()
+    elif engine == "dense":
         import jax.numpy as jnp
 
         from .core.ld_dense import extract_records, ld_all_pairs_dense
