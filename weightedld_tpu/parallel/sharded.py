@@ -106,13 +106,27 @@ def make_sharded_stats_runner(
             keep = keep & (gj - gi <= max_site_distance)
         mask = keep & (st.r2 > r2_threshold)
         tile_counts = mask.sum(axis=(1, 2)).astype(jnp.int32)
-        return tile_counts, st.d, st.d_prime, st.r2, mask, tile_i, tile_j, keep
+        # Per-batch reduction moments, fused into this dispatch so
+        # summarize() never needs a second pass over the [K,T,T] outputs
+        # (a separate reduction dispatch measured +100 ms/batch).  Counts
+        # stay int32: a batch can exceed 2^24 pairs, beyond f32 integer
+        # precision.
+        mom_counts = jnp.stack([
+            keep.sum().astype(jnp.int32),
+            mask.sum().astype(jnp.int32),
+        ])[None]                                        # [1, 2] per shard
+        mom_vals = jnp.stack([
+            jnp.where(mask, st.r2, 0.0).sum(),
+            jnp.where(keep, st.r2, -jnp.inf).max(),
+        ])[None]                                        # [1, 2] per shard
+        return (tile_counts, st.d, st.d_prime, st.r2, mask, tile_i, tile_j,
+                keep, mom_counts, mom_vals)
 
     fn = jax.jit(jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(), P()),
-        out_specs=(P(AXIS),) * 8,
+        out_specs=(P(AXIS),) * 10,
         check_vma=False,
     ))
 

@@ -195,7 +195,8 @@ class LdSession:
     def _collect(self, dispatched) -> LdRecords:
         """Fetch + compact the records of a dispatched batch."""
         cfg = self.cfg
-        tcnt, d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev, _keep = dispatched
+        (tcnt, d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev,
+         _keep, _mc, _mv) = dispatched
         # Fetch only the [K] per-tile count vector; then gather-compact just
         # the live tiles in a second dispatch.  Host transfers and compaction
         # work stay O(records) — critical on slow device links and the reason
@@ -238,38 +239,24 @@ class LdSession:
     def summarize(self) -> dict:
         """Whole-triangle reduction-only scan: pair counts and r2 moments,
         with O(1) host traffic per batch — the pod-scale 'stats-only' mode
-        (no record materialization anywhere)."""
-        from ..parallel.sharded import batch_moments
-
-        cfg = self.cfg
-        thr = -np.inf if cfg.r2_threshold is None else cfg.r2_threshold
+        (no record materialization anywhere).  The moments come fused out of
+        the runner dispatch itself (one program per batch, double-buffered)."""
         n_pairs = 0
         n_over = 0
         r2_sum = 0.0
         r2_max = -np.inf
-        # Double-buffered: moments of batch b fetch while b+1 computes.
         pending = None
         for b in range(self.n_batches):
             if pending is None:
-                out = self.runner(
-                    self.codes_dev, self.weights_dev,
-                    self.ti_dev, self.tj_dev, self.em_dev, b, thr,
-                )
-                pending = batch_moments(out[3], out[4], out[7])
-            if b + 1 < self.n_batches:
-                out = self.runner(
-                    self.codes_dev, self.weights_dev,
-                    self.ti_dev, self.tj_dev, self.em_dev, b + 1, thr,
-                )
-                nxt = batch_moments(out[3], out[4], out[7])
-            else:
-                nxt = None
-            nk, nm, rs, rm = pending
+                pending = self._dispatch(b)
+            nxt = self._dispatch(b + 1) if b + 1 < self.n_batches else None
+            mc = np.asarray(pending[8])           # [n_dev, 2] int32
+            mv = np.asarray(pending[9])           # [n_dev, 2] f32
             pending = nxt
-            n_pairs += int(nk)
-            n_over += int(nm)
-            r2_sum += float(rs)
-            r2_max = max(r2_max, float(rm))
+            n_pairs += int(mc[:, 0].sum())
+            n_over += int(mc[:, 1].sum())
+            r2_sum += float(mv[:, 0].sum())
+            r2_max = max(r2_max, float(mv[:, 1].max()))
         return {
             "n_sequences": self.n_seqs,
             "n_sites": self.n_sites,
