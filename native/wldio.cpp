@@ -1,0 +1,502 @@
+// wldio — native ingest (data-loader) for weightedld_tpu.
+//
+// TPU-native counterpart of the reference's native readers: the Rust
+// implementation keeps its FASTA reader and site-major store in native code
+// (rust/weighted_ld/src/lib.rs:277-307, :158-275); this library plays that
+// role here.  It parses FASTA alignments and multi-sample VCFs straight from
+// an mmap'd file into caller-allocated int8 code matrices (the layout the
+// device pipeline uploads), with OpenMP across sequences/records.
+//
+// Semantics are byte-for-byte identical to the pure-Python parsers in
+// weightedld_tpu/io/{fasta,vcf}.py (which remain as the fallback path and the
+// parity oracle in tests/test_native_io.py), including error messages — the
+// Python wrappers re-raise them as the same exception types.
+//
+// C API (ctypes-friendly): every reader is a pair of calls around an opaque
+// handle — `open` scans once and reports dimensions, `fill` writes into
+// buffers the caller sized from those dimensions, `close` unmaps.  All
+// functions return 0 on success; on failure the error message is written to
+// the caller's buffer.
+
+#ifndef _GNU_SOURCE
+#define _GNU_SOURCE  // memmem
+#endif
+
+#include <atomic>
+#include <cctype>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+constexpr int8_t kGap = 4;      // '-' / missing genotype
+constexpr int8_t kUnknown = 5;  // ambiguous / unrecognised
+
+// Byte -> symbol code LUT (parity: WeightedLD.py:34-40 via core/encode.py).
+struct Lut {
+  int8_t t[256];
+  Lut() {
+    memset(t, kUnknown, sizeof(t));
+    t[(unsigned char)'a'] = t[(unsigned char)'A'] = 0;
+    t[(unsigned char)'c'] = t[(unsigned char)'C'] = 1;
+    t[(unsigned char)'g'] = t[(unsigned char)'G'] = 2;
+    t[(unsigned char)'t'] = t[(unsigned char)'T'] = 3;
+    t[(unsigned char)'-'] = kGap;
+  }
+};
+const Lut kLut;
+
+inline bool is_ws(char c) {
+  return c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\v' ||
+         c == '\f';
+}
+
+void set_err(char* err, int64_t cap, const std::string& msg) {
+  if (err && cap > 0) snprintf(err, (size_t)cap, "%s", msg.c_str());
+}
+
+struct MappedFile {
+  const char* data = nullptr;
+  size_t size = 0;
+  int fd = -1;
+
+  bool open(const char* path, std::string* err) {
+    fd = ::open(path, O_RDONLY);
+    if (fd < 0) {
+      *err = std::string(path) + ": cannot open";
+      return false;
+    }
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+      *err = std::string(path) + ": cannot stat";
+      return false;
+    }
+    size = (size_t)st.st_size;
+    if (size == 0) {
+      data = nullptr;  // empty file: valid map of nothing
+      return true;
+    }
+    void* p = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (p == MAP_FAILED) {
+      *err = std::string(path) + ": mmap failed";
+      return false;
+    }
+    data = (const char*)p;
+    return true;
+  }
+
+  ~MappedFile() {
+    if (data) munmap((void*)data, size);
+    if (fd >= 0) ::close(fd);
+  }
+};
+
+struct Span {
+  size_t off;
+  size_t len;
+};
+
+// ---------------------------------------------------------------------------
+// FASTA
+// ---------------------------------------------------------------------------
+
+struct FastaHandle {
+  MappedFile map;
+  std::vector<std::vector<Span>> records;  // per sequence: trimmed data lines
+  std::string names_joined;                // '\n'-separated header names
+  int64_t n_seqs = 0;
+  int64_t n_sites = 0;
+};
+
+// Scan lines; semantics of io/fasta.py:read_fasta_with_names — strip each
+// line, skip blanks, '>' starts a record (name = rest, stripped), data lines
+// append to the current record; data before the first header is an error.
+bool fasta_scan(FastaHandle* h, const char* path, std::string* err) {
+  const char* d = h->map.data;
+  const size_t sz = h->map.size;
+  size_t pos = 0;
+  bool first_name = true;
+  while (pos < sz) {
+    const char* nl = (const char*)memchr(d + pos, '\n', sz - pos);
+    size_t end = nl ? (size_t)(nl - d) : sz;
+    size_t b = pos, e = end;
+    while (b < e && is_ws(d[b])) ++b;
+    while (e > b && is_ws(d[e - 1])) --e;
+    if (b < e) {
+      if (d[b] == '>') {
+        size_t nb = b + 1, ne = e;
+        while (nb < ne && is_ws(d[nb])) ++nb;
+        while (ne > nb && is_ws(d[ne - 1])) --ne;
+        if (!first_name) h->names_joined.push_back('\n');
+        first_name = false;
+        h->names_joined.append(d + nb, ne - nb);
+        h->records.emplace_back();
+      } else {
+        if (h->records.empty()) {
+          *err = std::string(path) + ": sequence data before first '>' header";
+          return false;
+        }
+        h->records.back().push_back(Span{b, e - b});
+      }
+    }
+    pos = nl ? end + 1 : sz;
+  }
+  if (h->records.empty()) {
+    *err = std::string(path) + ": no sequences found";
+    return false;
+  }
+  h->n_seqs = (int64_t)h->records.size();
+  auto rec_len = [&](size_t r) {
+    size_t n = 0;
+    for (const Span& s : h->records[r]) n += s.len;
+    return n;
+  };
+  const size_t expected = rec_len(0);
+  for (size_t r = 1; r < h->records.size(); ++r) {
+    size_t n = rec_len(r);
+    if (n != expected) {
+      // Message parity with core/encode.py:encode_alignment.
+      *err = "ragged alignment: sequence " + std::to_string(r) +
+             " has length " + std::to_string(n) + ", expected " +
+             std::to_string(expected);
+      return false;
+    }
+  }
+  h->n_sites = (int64_t)expected;
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// VCF
+// ---------------------------------------------------------------------------
+
+struct VcfHandle {
+  MappedFile map;
+  std::string path;
+  std::vector<Span> lines;       // data record lines (blank-filtered)
+  std::vector<int64_t> linenos;  // 1-based file line numbers (for errors)
+  int64_t n_sites = 0;
+  int64_t n_haps = 0;
+};
+
+// Parse the allele token s[b,e).  Parity with io/vcf.py:_parse_allele:
+// empty or "." -> 4 (missing); otherwise must be an int; >5 rejected.
+bool parse_allele(const char* s, size_t b, size_t e, int64_t lineno,
+                  const std::string& path, int8_t* out, std::string* err) {
+  if (b == e || (e - b == 1 && s[b] == '.')) {
+    *out = kGap;
+    return true;
+  }
+  // int() parity: optional sign, digits, surrounding whitespace tolerated.
+  size_t p = b, q = e;
+  while (p < q && is_ws(s[p])) ++p;
+  while (q > p && is_ws(s[q - 1])) --q;
+  bool neg = false;
+  if (p < q && (s[p] == '+' || s[p] == '-')) {
+    neg = (s[p] == '-');
+    ++p;
+  }
+  if (p == q) {
+    *err = path + ":" + std::to_string(lineno) + ": bad allele '" +
+           std::string(s + b, e - b) + "'";
+    return false;
+  }
+  int64_t v = 0;
+  for (; p < q; ++p) {
+    if (s[p] < '0' || s[p] > '9') {
+      *err = path + ":" + std::to_string(lineno) + ": bad allele '" +
+             std::string(s + b, e - b) + "'";
+      return false;
+    }
+    v = v * 10 + (s[p] - '0');
+    if (v > 1000000) break;  // overflow guard; rejected below anyway
+  }
+  if (neg) v = -v;
+  if (v > 5) {
+    *err = "allele index " + std::to_string(v) +
+           " exceeds the supported alphabet (ALT1..ALT3 map to codes 1..3; "
+           "ALT4/ALT5 alias the missing/ambiguous codes 4/5 for reference "
+           "parity; ALT6+ is unsupported)";
+    return false;
+  }
+  *out = (int8_t)v;
+  return true;
+}
+
+// Parse one record line.  When `out` is null only counts haplotypes (used by
+// open to learn n_haps from the first record).  Semantics parity with
+// io/vcf.py:read_vcf general path: fields are GT[:subfields]; 'a|b' splits
+// into two haploids; any 'a/b' becomes two missing (WeightedLD.py:355);
+// otherwise a single haploid allele.
+bool parse_vcf_line(const char* s, size_t len, int64_t lineno,
+                    const std::string& path, int8_t* out,
+                    int64_t n_haps_expected, int64_t* n_haps_out,
+                    int64_t* pos_out, std::string* err) {
+  // Locate the first 9 tab-separated columns; GT region is the remainder.
+  size_t col_start[10];
+  col_start[0] = 0;
+  int tabs = 0;
+  for (size_t p = 0; p < len && tabs < 9; ++p) {
+    if (s[p] == '\t') {
+      ++tabs;
+      col_start[tabs] = p + 1;
+    }
+  }
+  if (tabs < 9) {
+    *err = path + ":" + std::to_string(lineno) + ": fewer than 10 columns";
+    return false;
+  }
+  // POS = column 1.
+  {
+    size_t b = col_start[1], e = col_start[2] - 1;
+    int64_t v = 0;
+    bool any = false;
+    for (size_t p = b; p < e; ++p) {
+      if (s[p] < '0' || s[p] > '9') {
+        *err = path + ":" + std::to_string(lineno) + ": bad POS '" +
+               std::string(s + b, e - b) + "'";
+        return false;
+      }
+      v = v * 10 + (s[p] - '0');
+      any = true;
+    }
+    if (!any) {
+      *err = path + ":" + std::to_string(lineno) + ": bad POS ''";
+      return false;
+    }
+    *pos_out = v;
+  }
+
+  int64_t k = 0;
+  size_t f = col_start[9];
+  while (f <= len) {
+    size_t fe = f;
+    while (fe < len && s[fe] != '\t') ++fe;
+    // GT = field up to the first ':'.
+    size_t ge = f;
+    while (ge < fe && s[ge] != ':') ++ge;
+    // First '|' anywhere in the GT wins (Python checks '|' containment
+    // before '/'); otherwise any '/' means unphased -> both missing.
+    size_t bar = (size_t)-1, slash = (size_t)-1;
+    for (size_t q = f; q < ge; ++q) {
+      if (s[q] == '|') {
+        bar = q;
+        break;
+      }
+      if (slash == (size_t)-1 && s[q] == '/') slash = q;
+    }
+    int8_t a, b2;
+    if (bar != (size_t)-1) {
+      if (!parse_allele(s, f, bar, lineno, path, &a, err)) return false;
+      if (!parse_allele(s, bar + 1, ge, lineno, path, &b2, err)) return false;
+      if (out) {
+        if (k + 2 > n_haps_expected) goto count_mismatch;
+        out[k] = a;
+        out[k + 1] = b2;
+      }
+      k += 2;
+    } else if (slash != (size_t)-1) {
+      if (out) {
+        if (k + 2 > n_haps_expected) goto count_mismatch;
+        out[k] = kGap;
+        out[k + 1] = kGap;
+      }
+      k += 2;
+    } else {
+      if (!parse_allele(s, f, ge, lineno, path, &a, err)) return false;
+      if (out) {
+        if (k + 1 > n_haps_expected) goto count_mismatch;
+        out[k] = a;
+      }
+      k += 1;
+    }
+    if (fe == len) break;
+    f = fe + 1;
+  }
+  if (n_haps_expected >= 0 && k != n_haps_expected) goto count_mismatch;
+  if (n_haps_out) *n_haps_out = k;
+  return true;
+
+count_mismatch:
+  *err = path + ":" + std::to_string(lineno) +
+         ": inconsistent haplotype count (" + std::to_string(k) + " vs " +
+         std::to_string(n_haps_expected) + ")";
+  return false;
+}
+
+bool vcf_scan(VcfHandle* h, std::string* err) {
+  const char* d = h->map.data;
+  const size_t sz = h->map.size;
+
+  // Split into lines exactly like Python's read().split("\n"): every '\n'
+  // terminates a line; a final element after the last '\n' exists even when
+  // empty.  Trailing '\r' is trimmed (text-mode tolerance).
+  std::vector<Span> all;
+  std::vector<int64_t> all_no;
+  size_t pos = 0;
+  int64_t lineno = 1;
+  while (true) {
+    const char* nl =
+        pos < sz ? (const char*)memchr(d + pos, '\n', sz - pos) : nullptr;
+    size_t end = nl ? (size_t)(nl - d) : sz;
+    size_t e = end;
+    if (e > pos && d[e - 1] == '\r') --e;
+    all.push_back(Span{pos, e - pos});
+    all_no.push_back(lineno++);
+    if (!nl) break;
+    pos = (size_t)(nl - d) + 1;
+  }
+
+  // Header: first line containing "#CHROM".
+  size_t header_idx = (size_t)-1;
+  for (size_t i = 0; i < all.size(); ++i) {
+    const Span& s = all[i];
+    if (s.len >= 6 && memmem(d + s.off, s.len, "#CHROM", 6) != nullptr) {
+      header_idx = i;
+      break;
+    }
+  }
+  if (header_idx == (size_t)-1) {
+    *err = h->path + ": no #CHROM header line found";
+    return false;
+  }
+
+  // Data lines; reference parity quirk: unconditionally drop the final line
+  // (WeightedLD.py:365), then drop blanks.
+  size_t lo = header_idx + 1, hi = all.size();
+  if (hi > lo) --hi;
+  for (size_t i = lo; i < hi; ++i) {
+    const Span& s = all[i];
+    bool blank = true;
+    for (size_t q = 0; q < s.len && blank; ++q)
+      if (!is_ws(d[s.off + q])) blank = false;
+    if (!blank) {
+      h->lines.push_back(s);
+      h->linenos.push_back(all_no[i]);
+    }
+  }
+  if (h->lines.empty()) {
+    *err = h->path + ": no variant records";
+    return false;
+  }
+  // Multi-sample check: first data line must have > 12 tab columns.
+  {
+    const Span& s = h->lines[0];
+    size_t ncols = 1;
+    for (size_t q = 0; q < s.len; ++q)
+      if (d[s.off + q] == '\t') ++ncols;
+    if (ncols <= 12) {
+      *err = h->path +
+             ": too few sample columns — is this a multi-sample VCF?";
+      return false;
+    }
+  }
+  // Learn n_haps from the first record.
+  int64_t pos_dummy = 0;
+  if (!parse_vcf_line(d + h->lines[0].off, h->lines[0].len, h->linenos[0],
+                      h->path, nullptr, -1, &h->n_haps, &pos_dummy, err))
+    return false;
+  h->n_sites = (int64_t)h->lines.size();
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+const char* wldio_version() { return "wldio-1"; }
+
+// ---- FASTA ----------------------------------------------------------------
+
+void* wldio_fasta_open(const char* path, int64_t* n_seqs, int64_t* n_sites,
+                       int64_t* names_len, char* err, int64_t err_cap) {
+  auto* h = new FastaHandle;
+  std::string e;
+  if (!h->map.open(path, &e) || !fasta_scan(h, path, &e)) {
+    set_err(err, err_cap, e);
+    delete h;
+    return nullptr;
+  }
+  *n_seqs = h->n_seqs;
+  *n_sites = h->n_sites;
+  *names_len = (int64_t)h->names_joined.size();
+  return h;
+}
+
+int wldio_fasta_fill(void* handle, int8_t* out, char* names_out) {
+  auto* h = (FastaHandle*)handle;
+  const char* d = h->map.data;
+  const int64_t n_sites = h->n_sites;
+#pragma omp parallel for schedule(static)
+  for (int64_t r = 0; r < h->n_seqs; ++r) {
+    int8_t* row = out + r * n_sites;
+    size_t o = 0;
+    for (const Span& s : h->records[(size_t)r])
+      for (size_t j = 0; j < s.len; ++j)
+        row[o++] = kLut.t[(unsigned char)d[s.off + j]];
+  }
+  if (names_out)
+    memcpy(names_out, h->names_joined.data(), h->names_joined.size());
+  return 0;
+}
+
+void wldio_fasta_close(void* handle) { delete (FastaHandle*)handle; }
+
+// ---- VCF ------------------------------------------------------------------
+
+void* wldio_vcf_open(const char* path, int64_t* n_sites, int64_t* n_haps,
+                     char* err, int64_t err_cap) {
+  auto* h = new VcfHandle;
+  h->path = path;
+  std::string e;
+  if (!h->map.open(path, &e) || !vcf_scan(h, &e)) {
+    set_err(err, err_cap, e);
+    delete h;
+    return nullptr;
+  }
+  *n_sites = h->n_sites;
+  *n_haps = h->n_haps;
+  return h;
+}
+
+// out: [n_sites, n_haps] site-major int8; positions: [n_sites] int64.
+int wldio_vcf_fill(void* handle, int8_t* out, int64_t* positions, char* err,
+                   int64_t err_cap) {
+  auto* h = (VcfHandle*)handle;
+  const char* d = h->map.data;
+  const int64_t n = h->n_sites;
+  const int64_t n_haps = h->n_haps;
+  std::atomic<bool> failed{false};
+  std::string first_err;
+  std::mutex m;
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t i = 0; i < n; ++i) {
+    if (failed.load(std::memory_order_relaxed)) continue;
+    const Span& s = h->lines[(size_t)i];
+    std::string e;
+    int64_t k = 0;
+    if (!parse_vcf_line(d + s.off, s.len, h->linenos[(size_t)i], h->path,
+                        out + i * n_haps, n_haps, &k, &positions[i], &e)) {
+      std::lock_guard<std::mutex> g(m);
+      if (!failed.exchange(true)) first_err = e;
+    }
+  }
+  if (failed.load()) {
+    set_err(err, err_cap, first_err);
+    return 1;
+  }
+  return 0;
+}
+
+void wldio_vcf_close(void* handle) { delete (VcfHandle*)handle; }
+
+}  // extern "C"

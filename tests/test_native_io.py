@@ -1,0 +1,253 @@
+"""Native ingest (native/wldio.cpp) parity vs the pure-Python parsers.
+
+The Python readers are the oracle; the native library must match them
+byte-for-byte on outputs and reproduce the same error messages, across the
+reference fixtures (SURVEY.md Appendix B), synthetic VCFs, adversarial
+formats, and randomized property inputs.
+"""
+
+import string
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from weightedld_tpu.io import native
+from weightedld_tpu.io.fasta import (
+    read_fasta_with_names,
+    read_fasta_with_names_python,
+)
+from weightedld_tpu.io.vcf import VcfError, read_vcf_python
+
+from .fixtures import ALL_FASTAS, T7_PATH, write_fasta
+
+NATIVE_DIR = Path(__file__).resolve().parents[1] / "native"
+
+
+def _ensure_lib():
+    if not (NATIVE_DIR / "libwldio.so").exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(NATIVE_DIR), "libwldio.so"],
+                check=True, capture_output=True, timeout=120,
+            )
+        except (OSError, subprocess.SubprocessError):
+            pass
+    return native.available()
+
+
+pytestmark = pytest.mark.skipif(
+    not _ensure_lib(), reason="native io library unavailable"
+)
+
+
+# ---------------------------------------------------------------------------
+# FASTA
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", sorted(ALL_FASTAS))
+def test_fasta_fixture_parity(tmp_path, name):
+    path = tmp_path / f"{name}.fasta"
+    write_fasta(path, ALL_FASTAS[name])
+    aln_n, names_n = native.read_fasta_native(path)
+    aln_p, names_p = read_fasta_with_names_python(path)
+    np.testing.assert_array_equal(aln_n, aln_p)
+    assert names_n == names_p
+    assert aln_n.dtype == np.int8
+
+
+def test_fasta_multiline_and_names(tmp_path):
+    path = tmp_path / "wrapped.fasta"
+    path.write_text(
+        ">alpha desc here\nAC\nGT\n\n>beta\n  acgt  \n> gamma\nNN-n\n"
+    )
+    aln_n, names_n = native.read_fasta_native(path)
+    aln_p, names_p = read_fasta_with_names_python(path)
+    np.testing.assert_array_equal(aln_n, aln_p)
+    assert names_n == names_p == ["alpha desc here", "beta", "gamma"]
+
+
+def test_fasta_crlf(tmp_path):
+    path = tmp_path / "crlf.fasta"
+    path.write_bytes(b">a\r\nACGT\r\n>b\r\nTGCA\r\n")
+    aln_n, names_n = native.read_fasta_native(path)
+    aln_p, names_p = read_fasta_with_names_python(path)
+    np.testing.assert_array_equal(aln_n, aln_p)
+    assert names_n == names_p
+
+
+def test_fasta_no_trailing_newline(tmp_path):
+    path = tmp_path / "x.fasta"
+    path.write_text(">a\nACGT\n>b\nTTTT")
+    aln_n, _ = native.read_fasta_native(path)
+    aln_p, _ = read_fasta_with_names_python(path)
+    np.testing.assert_array_equal(aln_n, aln_p)
+
+
+@pytest.mark.parametrize(
+    "content,match",
+    [
+        (">a\nACG\n>b\nAC\n", "ragged"),
+        ("ACGT\n>a\nACGT\n", "before first '>' header"),
+        ("\n\n", "no sequences found"),
+    ],
+)
+def test_fasta_errors_match(tmp_path, content, match):
+    path = tmp_path / "bad.fasta"
+    path.write_text(content)
+    with pytest.raises(ValueError, match=match) as e_native:
+        native.read_fasta_native(path)
+    with pytest.raises(ValueError, match=match) as e_python:
+        read_fasta_with_names_python(path)
+    assert str(e_native.value) == str(e_python.value)
+
+
+def test_fasta_random_property(tmp_path):
+    rng = np.random.default_rng(7)
+    alphabet = np.frombuffer(
+        (string.ascii_letters + "-.*NRYKM ").encode(), dtype=np.uint8
+    )
+    # 40 seqs x 500 sites, wrapped at odd widths, random junk characters.
+    rows = alphabet[rng.integers(0, len(alphabet) - 1, size=(40, 500))]
+    path = tmp_path / "rand.fasta"
+    with open(path, "w") as fh:
+        for i, row in enumerate(rows):
+            s = row.tobytes().decode()
+            fh.write(f">r{i} extra stuff\n")
+            for j in range(0, len(s), 73):
+                fh.write(s[j : j + 73] + "\n")
+    aln_n, names_n = native.read_fasta_native(path)
+    aln_p, names_p = read_fasta_with_names_python(path)
+    np.testing.assert_array_equal(aln_n, aln_p)
+    assert names_n == names_p
+
+
+def test_fasta_dispatch_uses_native(tmp_path):
+    # The public reader should route to the native path when available.
+    path = tmp_path / "d.fasta"
+    write_fasta(path, ALL_FASTAS["example"])
+    aln, names = read_fasta_with_names(path)
+    aln_p, names_p = read_fasta_with_names_python(path)
+    np.testing.assert_array_equal(aln, aln_p)
+    assert names == names_p
+
+
+# ---------------------------------------------------------------------------
+# VCF
+# ---------------------------------------------------------------------------
+
+SAMPLES = 16
+HEADER = (
+    "##fileformat=VCFv4.1\n"
+    "##contig=<ID=1>\n"
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+    + "\t".join(f"s{i}" for i in range(SAMPLES))
+)
+
+
+def _mk_vcf(tmp_path, rows, name="x.vcf"):
+    path = tmp_path / name
+    path.write_text(HEADER + "\n" + "\n".join(rows) + "\n")
+    return path
+
+
+def _row(pos, gts):
+    return f"1\t{pos}\trs{pos}\tA\tT\t100\tPASS\t.\tGT\t" + "\t".join(gts)
+
+
+def _assert_vcf_parity(path):
+    aln_n, pos_n = native.read_vcf_native(path)
+    aln_p, pos_p = read_vcf_python(path)
+    np.testing.assert_array_equal(aln_n, aln_p)
+    np.testing.assert_array_equal(pos_n, pos_p)
+    assert aln_n.dtype == np.int8 and pos_n.dtype == np.int64
+
+
+def test_vcf_basic_phased(tmp_path):
+    gts = ["0|1"] * 8 + ["1|1"] * 4 + ["0|0"] * 4
+    _assert_vcf_parity(
+        _mk_vcf(tmp_path, [_row(1000, gts), _row(2000, list(reversed(gts)))])
+    )
+
+
+def test_vcf_mixed_forms(tmp_path):
+    # Unphased, half-calls, FORMAT subfields, haploid, missing-only.
+    gts = (
+        ["0/1", ".|1", "1|.", "0|1:35:99", "1", ".", "0|0", "1|1"]
+        + ["0|1"] * 8
+    )
+    _assert_vcf_parity(_mk_vcf(tmp_path, [_row(5, gts), _row(9, gts)]))
+
+
+def test_vcf_large_positions(tmp_path):
+    gts = ["0|1"] * SAMPLES
+    _assert_vcf_parity(_mk_vcf(tmp_path, [_row(44890030, gts)]))
+
+
+def test_vcf_alt_codes(tmp_path):
+    gts = ["0|2", "3|1", "4|5", "2|2"] + ["0|0"] * (SAMPLES - 4)
+    _assert_vcf_parity(_mk_vcf(tmp_path, [_row(7, gts)]))
+
+
+@pytest.mark.skipif(
+    not Path(T7_PATH).exists(), reason="reference fixture absent"
+)
+def test_vcf_t7_parity():
+    _assert_vcf_parity(T7_PATH)
+
+
+def test_vcf_errors_match(tmp_path):
+    cases = []
+    p = tmp_path / "nohdr.vcf"
+    p.write_text("1\t5\t.\tA\tT\t.\t.\t.\tGT\t0|1\n")
+    cases.append((p, "#CHROM"))
+    p = tmp_path / "small.vcf"
+    p.write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts0\n"
+        "1\t5\t.\tA\tT\t.\t.\t.\tGT\t0|1\n"
+    )
+    cases.append((p, "multi-sample"))
+    cases.append(
+        (
+            _mk_vcf(
+                tmp_path,
+                [_row(5, ["0|6"] + ["0|1"] * (SAMPLES - 1))],
+                "alt6.vcf",
+            ),
+            "allele index 6",
+        )
+    )
+    cases.append(
+        (
+            _mk_vcf(
+                tmp_path,
+                [
+                    _row(5, ["0|1"] * SAMPLES),
+                    _row(6, ["0|1"] * (SAMPLES - 1)),
+                ],
+                "ragged.vcf",
+            ),
+            "inconsistent haplotype count",
+        )
+    )
+    for path, match in cases:
+        with pytest.raises(VcfError, match=match):
+            native.read_vcf_native(path)
+        with pytest.raises(VcfError, match=match):
+            read_vcf_python(path)
+
+
+def test_vcf_random_property(tmp_path):
+    rng = np.random.default_rng(11)
+    forms = np.array(
+        ["0|0", "0|1", "1|0", "1|1", "0/1", ".|.", ".|0", "1|.",
+         "0|1:12", "2|3"]
+    )
+    rows = []
+    pos = 100
+    for _ in range(50):
+        pos += int(rng.integers(1, 1000))
+        gts = forms[rng.integers(0, len(forms), size=SAMPLES)]
+        rows.append(_row(pos, list(gts)))
+    _assert_vcf_parity(_mk_vcf(tmp_path, rows, "rand.vcf"))

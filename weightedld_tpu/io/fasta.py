@@ -22,7 +22,22 @@ def read_fasta_with_names(path: str | Path) -> tuple[np.ndarray, list[str]]:
 
     Parity: encoding identical to reference ``WeightedLD.py:34-40``
     (lowercase, a/c/g/t/- -> 0..4, everything else -> 5).
+
+    Dispatches to the native mmap/OpenMP parser (``native/wldio.cpp``) when
+    built — same semantics and error messages; ``WLD_NATIVE_IO=0`` forces
+    this Python path (the parity oracle in tests/test_native_io.py).
     """
+    from . import native
+
+    if native.available():
+        return native.read_fasta_native(path)
+    return read_fasta_with_names_python(path)
+
+
+def read_fasta_with_names_python(
+    path: str | Path,
+) -> tuple[np.ndarray, list[str]]:
+    """Pure-Python fallback/oracle for :func:`read_fasta_with_names`."""
     names: list[str] = []
     rows: list[bytes] = []
     current: list[bytes] = []

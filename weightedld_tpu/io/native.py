@@ -1,0 +1,155 @@
+"""ctypes bindings to the native ingest library (``native/wldio.cpp``).
+
+The reference keeps its data-loader in native code (the Rust FASTA reader,
+``rust/weighted_ld/src/lib.rs:277-307``); this module plays that role here:
+an mmap-based OpenMP C++ parser that writes FASTA/VCF files straight into the
+int8 code matrices the device pipeline uploads.  Parsing semantics (and error
+messages) are identical to the pure-Python readers in this package — those
+remain the fallback when the shared library is absent and the oracle in
+``tests/test_native_io.py``.
+
+Set ``WLD_NATIVE_IO=0`` to force the Python path, or ``WLDIO_LIB`` to point
+at a specific ``libwldio.so``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+
+import numpy as np
+
+_ERR_CAP = 4096
+
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _candidates():
+    env = os.environ.get("WLDIO_LIB")
+    if env:
+        yield Path(env)
+    root = Path(__file__).resolve().parents[2]
+    yield root / "native" / "libwldio.so"
+    yield Path(__file__).resolve().parent / "libwldio.so"
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    i64 = ctypes.c_int64
+    p_i64 = ctypes.POINTER(i64)
+    lib.wldio_version.restype = ctypes.c_char_p
+    lib.wldio_fasta_open.restype = ctypes.c_void_p
+    lib.wldio_fasta_open.argtypes = [
+        ctypes.c_char_p, p_i64, p_i64, p_i64, ctypes.c_char_p, i64,
+    ]
+    lib.wldio_fasta_fill.restype = ctypes.c_int
+    lib.wldio_fasta_fill.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p,
+    ]
+    lib.wldio_fasta_close.argtypes = [ctypes.c_void_p]
+    lib.wldio_vcf_open.restype = ctypes.c_void_p
+    lib.wldio_vcf_open.argtypes = [
+        ctypes.c_char_p, p_i64, p_i64, ctypes.c_char_p, i64,
+    ]
+    lib.wldio_vcf_fill.restype = ctypes.c_int
+    lib.wldio_vcf_fill.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p, i64,
+    ]
+    lib.wldio_vcf_close.argtypes = [ctypes.c_void_p]
+
+
+def load() -> ctypes.CDLL | None:
+    """Load the native library once; None if disabled or unavailable."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("WLD_NATIVE_IO", "1") == "0":
+        return None
+    for path in _candidates():
+        if not path.exists():
+            continue
+        try:
+            lib = ctypes.CDLL(str(path))
+            _configure(lib)
+            if lib.wldio_version() != b"wldio-1":
+                continue
+        except OSError:
+            continue
+        _lib = lib
+        break
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def read_fasta_native(path: str | Path) -> tuple[np.ndarray, list[str]]:
+    """Native FASTA read: ``([n_seqs, n_sites] int8 codes, names)``.
+
+    Raises ValueError with the same messages as the Python reader.
+    """
+    lib = load()
+    assert lib is not None, "native io library not loaded"
+    n_seqs = ctypes.c_int64()
+    n_sites = ctypes.c_int64()
+    names_len = ctypes.c_int64()
+    err = ctypes.create_string_buffer(_ERR_CAP)
+    h = lib.wldio_fasta_open(
+        str(path).encode(), ctypes.byref(n_seqs), ctypes.byref(n_sites),
+        ctypes.byref(names_len), err, _ERR_CAP,
+    )
+    if not h:
+        raise ValueError(err.value.decode("utf-8", "replace"))
+    try:
+        out = np.empty((n_seqs.value, n_sites.value), dtype=np.int8)
+        names_buf = ctypes.create_string_buffer(max(1, names_len.value))
+        lib.wldio_fasta_fill(
+            h, out.ctypes.data_as(ctypes.c_void_p), names_buf,
+        )
+        raw = names_buf.raw[: names_len.value].decode("utf-8", "replace")
+    finally:
+        lib.wldio_fasta_close(h)
+    names = raw.split("\n") if raw else [""] * n_seqs.value
+    if len(names) != n_seqs.value:  # all-empty names edge case
+        names = (names + [""] * n_seqs.value)[: n_seqs.value]
+    return out, names
+
+
+def read_vcf_native(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+    """Native VCF read: ``([n_haplotypes, n_sites] int8, POS int64)``.
+
+    Applies the same rot90 row-reversal parity transform as the Python
+    reader.  Raises ``VcfError`` with the same messages.
+    """
+    from .vcf import VcfError  # lazy: vcf.py imports this module
+
+    lib = load()
+    assert lib is not None, "native io library not loaded"
+    n_sites = ctypes.c_int64()
+    n_haps = ctypes.c_int64()
+    err = ctypes.create_string_buffer(_ERR_CAP)
+    h = lib.wldio_vcf_open(
+        str(path).encode(), ctypes.byref(n_sites), ctypes.byref(n_haps),
+        err, _ERR_CAP,
+    )
+    if not h:
+        raise VcfError(err.value.decode("utf-8", "replace"))
+    try:
+        mat = np.empty((n_sites.value, n_haps.value), dtype=np.int8)
+        positions = np.empty(n_sites.value, dtype=np.int64)
+        rc = lib.wldio_vcf_fill(
+            h,
+            mat.ctypes.data_as(ctypes.c_void_p),
+            positions.ctypes.data_as(ctypes.c_void_p),
+            err, _ERR_CAP,
+        )
+        if rc != 0:
+            raise VcfError(err.value.decode("utf-8", "replace"))
+    finally:
+        lib.wldio_vcf_close(h)
+    # rot90 parity: haplotype rows in reverse order (WeightedLD.py:375).
+    alignment = np.ascontiguousarray(mat.T[::-1])
+    return alignment, positions

@@ -105,7 +105,20 @@ def read_vcf(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     Returns:
         alignment: ``[n_haplotypes, n_sites]`` int8 code matrix.
         site_map: ``[n_sites]`` int64 POS values.
+
+    Dispatches to the native mmap/OpenMP parser (``native/wldio.cpp``) when
+    built — same semantics and error messages; ``WLD_NATIVE_IO=0`` forces
+    the Python path (the parity oracle in tests/test_native_io.py).
     """
+    from . import native
+
+    if native.available():
+        return native.read_vcf_native(path)
+    return read_vcf_python(path)
+
+
+def read_vcf_python(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-Python fallback/oracle for :func:`read_vcf`."""
     with open(path, "r") as fh:
         lines = fh.read().split("\n")
 
