@@ -411,9 +411,312 @@ bool vcf_scan(VcfHandle* h, std::string* err) {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// TSV record formatting
+// ---------------------------------------------------------------------------
+//
+// Native counterpart of the Rust reference's pair/weights TSV writers
+// (rust/weighted_ld/src/main.rs:70-119), with the *Python* reference's value
+// formatting: each cell is CPython's `repr(round(x, ndigits))`
+// (WeightedLD.py:282-284).  Reproduced in two steps:
+//   1. round(x, n): fixed-point decimal rounding of the exact binary value
+//      (glibc printf is correctly rounded, half-even on exact ties — the
+//      same result as CPython's dtoa-based double_round), re-parsed to the
+//      nearest double.
+//   2. repr: shortest round-trip digits (std::to_chars, same Ryu/Grisu
+//      family as CPython), rendered with CPython's format_float_short rule:
+//      fixed notation iff -4 < decpt <= 16, else scientific with a signed,
+//      >=2-digit exponent; integral values keep a trailing ".0".
+// Parity is asserted value-for-value in tests/test_native_io.py.
+
+#include <charconv>
+#include <cmath>
+#include <cstdlib>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+// Render a decimal significand (digit chars, no dot) with CPython's
+// format_float_short rule: value = 0.DIGITS * 10^decpt; fixed notation iff
+// -4 < decpt <= 16, else scientific with signed >=2-digit exponent;
+// integral values keep a trailing ".0".  Returns chars written.
+size_t render_py_float(bool neg, const char* digits, size_t nd, int decpt,
+                       char* out) {
+  char* w = out;
+  if (neg) *w++ = '-';
+  if (-4 < decpt && decpt <= 16) {
+    if (decpt <= 0) {
+      *w++ = '0';
+      *w++ = '.';
+      for (int i = 0; i < -decpt; ++i) *w++ = '0';
+      memcpy(w, digits, nd);
+      w += nd;
+    } else if ((size_t)decpt >= nd) {
+      memcpy(w, digits, nd);
+      w += nd;
+      for (size_t i = nd; i < (size_t)decpt; ++i) *w++ = '0';
+      *w++ = '.';
+      *w++ = '0';
+    } else {
+      memcpy(w, digits, (size_t)decpt);
+      w += decpt;
+      *w++ = '.';
+      memcpy(w, digits + decpt, nd - (size_t)decpt);
+      w += nd - (size_t)decpt;
+    }
+  } else {
+    *w++ = digits[0];
+    if (nd > 1) {
+      *w++ = '.';
+      memcpy(w, digits + 1, nd - 1);
+      w += nd - 1;
+    }
+    *w++ = 'e';
+    int e = decpt - 1;
+    *w++ = e < 0 ? '-' : '+';
+    if (e < 0) e = -e;
+    char eb[16];
+    int en = snprintf(eb, sizeof(eb), "%02d", e);
+    memcpy(w, eb, (size_t)en);
+    w += en;
+  }
+  return (size_t)(w - out);
+}
+
+// Append CPython repr(v): shortest round-trip digits (to_chars, same
+// Ryu/Grisu family as CPython's dtoa) + the rendering rule above.
+size_t py_repr(double v, char* out) {
+  char* w = out;
+  if (std::isnan(v)) {
+    memcpy(w, "nan", 3);
+    return 3;
+  }
+  if (std::isinf(v)) {
+    if (v < 0) *w++ = '-';
+    memcpy(w, "inf", 3);
+    return (size_t)(w - out) + 3;
+  }
+  bool neg = std::signbit(v);
+  if (neg) v = -v;
+  char sci[64];
+  auto res = std::to_chars(sci, sci + sizeof(sci) - 1, v,
+                           std::chars_format::scientific);
+  *res.ptr = '\0';  // strtol below must not read past the written chars
+  char digits[32];
+  size_t nd = 0;
+  int exp10 = 0;
+  {
+    char* p = sci;
+    for (; p < res.ptr && *p != 'e'; ++p)
+      if (*p != '.') digits[nd++] = *p;
+    if (p < res.ptr) exp10 = (int)strtol(p + 1, nullptr, 10);
+  }
+  return render_py_float(neg, digits, nd, exp10 + 1, out);
+}
+
+// repr(round(v, ndigits)), slow path: snprintf("%.{n}f") is the rounding
+// engine (glibc is correctly rounded, half-even on exact decimal ties —
+// matching CPython's dtoa-based double_round).  After stripping trailing
+// zeros, a significand of <= 15 digits IS the shortest round-trip repr of
+// the rounded double: any shorter decimal in that range is further than
+// half an ULP away, so only then do we need the strtod + to_chars pass.
+size_t py_round_repr_slow(double v, int ndigits, char* out) {
+  if (!std::isfinite(v)) return py_repr(v, out);
+  char fixed[512];
+  snprintf(fixed, sizeof(fixed), "%.*f", ndigits, v);
+  const char* p = fixed;
+  bool neg = (*p == '-');
+  if (neg) ++p;
+  const char* dot = strchr(p, '.');
+  char digits[448];  // up to 309 integer + (ndigits<=100) fractional digits
+  size_t nd = 0;
+  int decpt;
+  const char* q = p;
+  while (*q == '0') ++q;  // leading zeros of the integer part
+  if (dot) {
+    if (q < dot) {
+      decpt = (int)(dot - q);
+      for (const char* r = q; r < dot; ++r) digits[nd++] = *r;
+      for (const char* r = dot + 1; *r; ++r) digits[nd++] = *r;
+    } else {
+      const char* r = dot + 1;
+      int lead = 0;
+      while (*r == '0') {
+        ++r;
+        ++lead;
+      }
+      decpt = -lead;
+      for (; *r; ++r) digits[nd++] = *r;
+    }
+  } else {  // ndigits == 0: no decimal point in the fixed form
+    decpt = (int)strlen(q);
+    for (const char* r = q; *r; ++r) digits[nd++] = *r;
+  }
+  while (nd > 0 && digits[nd - 1] == '0') --nd;
+  if (nd == 0) {  // rounded to (signed) zero
+    digits[0] = '0';
+    nd = 1;
+    decpt = 1;
+  }
+  if (nd <= 15) return render_py_float(neg, digits, nd, decpt, out);
+  return py_repr(strtod(fixed, nullptr), out);
+}
+
+// repr(round(v, ndigits)), fast path: round the *shortest-repr digits*
+// directly (to_chars is ~50ns; snprintf+strtod are ~1us).  The shortest
+// digits DS are the closest decimal of their quantum q to the exact binary
+// value, so cutting DS at the n-decimal grid gives the same answer as
+// cutting the exact expansion whenever the remainder is not within
+// ulp/2 <= 12q of the grid midpoint — near-ties (and magnitudes where the
+// grid outruns the significand, |decpt|+n > 15) defer to the slow path's
+// exact glibc rounding.  Parity is asserted over millions of adversarial
+// values (ties, dyadics, +/-0, boundaries) in tests/test_native_io.py.
+size_t py_round_repr(double v, int ndigits, char* out) {
+  if (!std::isfinite(v) || ndigits > 14) return py_round_repr_slow(v, ndigits, out);
+  bool neg = std::signbit(v);
+  double a = neg ? -v : v;
+  char zero = '0';
+  if (a == 0.0) return render_py_float(neg, &zero, 1, 1, out);
+  char sci[64];
+  auto res = std::to_chars(sci, sci + sizeof(sci) - 1, a,
+                           std::chars_format::scientific);
+  *res.ptr = '\0';
+  char ds[32];
+  int64_t nd = 0;
+  int exp10 = 0;
+  {
+    char* p = sci;
+    for (; p < res.ptr && *p != 'e'; ++p)
+      if (*p != '.') ds[nd++] = *p;
+    if (p < res.ptr) exp10 = (int)strtol(p + 1, nullptr, 10);
+  }
+  const int decpt = exp10 + 1;
+  const int64_t k = (int64_t)decpt + ndigits;  // digits of DS to keep
+  if (k > 15) return py_round_repr_slow(v, ndigits, out);
+  if (k >= nd) return render_py_float(neg, ds, (size_t)nd, decpt, out);
+  if (k < 0) return render_py_float(neg, &zero, 1, 1, out);
+  // Remainder vs the grid midpoint, in last-digit quanta.
+  int64_t r = 0, half = 5;
+  for (int64_t i = k; i < nd; ++i) r = r * 10 + (ds[i] - '0');
+  for (int64_t i = k + 1; i < nd; ++i) half *= 10;
+  const int64_t dist = r > half ? r - half : half - r;
+  if (dist <= 12) return py_round_repr_slow(v, ndigits, out);
+  char rd[20];
+  size_t rn;
+  int rdec = decpt;
+  if (r < half) {  // round down: keep the first k digits
+    if (k == 0) return render_py_float(neg, &zero, 1, 1, out);
+    memcpy(rd, ds, (size_t)k);
+    rn = (size_t)k;
+  } else if (k == 0) {  // round up across the leading digit
+    rd[0] = '1';
+    rn = 1;
+    ++rdec;
+  } else {  // round up: increment the kept digit string
+    memcpy(rd, ds, (size_t)k);
+    rn = (size_t)k;
+    int64_t i = k - 1;
+    while (i >= 0 && rd[i] == '9') rd[i--] = '0';
+    if (i < 0) {  // 99..9 -> 100..0: zeros strip below
+      rd[0] = '1';
+      rn = 1;
+      ++rdec;
+    } else {
+      ++rd[i];
+    }
+  }
+  while (rn > 0 && rd[rn - 1] == '0') --rn;
+  if (rn == 0) {
+    rd[0] = '0';
+    rn = 1;
+    rdec = 1;
+  }
+  return render_py_float(neg, rd, rn, rdec, out);
+}
+
+size_t write_i64(int64_t v, char* out) {
+  char* end = out + 24;
+  auto r = std::to_chars(out, end, v);
+  return (size_t)(r.ptr - out);
+}
+
+}  // namespace
+
 extern "C" {
 
-const char* wldio_version() { return "wldio-1"; }
+// Format n pair records as TSV rows "posa\tposb\tD\tD'\tr2\n" into out
+// (caller-allocated, out_cap bytes).  Returns bytes written, or -1 if the
+// buffer is too small (caller should retry with a bigger one).
+int64_t wldio_format_pairs(const int64_t* pos_a, const int64_t* pos_b,
+                           const double* d, const double* d_prime,
+                           const double* r2, int64_t n, int ndigits,
+                           char* out, int64_t out_cap) {
+  // Worst case per row: 2x int64 (20) + 3x float (~24 each) + separators.
+  const int64_t kMaxRow = 128;
+  if (n == 0) return 0;
+  if (ndigits > 100) return -1;  // keep the fixed-format buffer bounded
+  // Threads format disjoint row ranges at their worst-case offsets inside
+  // `out` itself, then ranges are compacted left sequentially.
+  if (n * kMaxRow > out_cap) return -1;
+  int nth = 1;
+#ifdef _OPENMP
+  nth = omp_get_max_threads();
+#endif
+  const int64_t chunk = (n + nth - 1) / nth;
+  std::vector<int64_t> lens((size_t)nth, 0);
+#pragma omp parallel for schedule(static, 1)
+  for (int t = 0; t < nth; ++t) {
+    const int64_t lo = (int64_t)t * chunk;
+    const int64_t hi = lo + chunk < n ? lo + chunk : n;
+    char* w = out + lo * kMaxRow;
+    const char* base = w;
+    for (int64_t i = lo; i < hi; ++i) {
+      w += write_i64(pos_a[i], w);
+      *w++ = '\t';
+      w += write_i64(pos_b[i], w);
+      *w++ = '\t';
+      w += py_round_repr(d[i], ndigits, w);
+      *w++ = '\t';
+      w += py_round_repr(d_prime[i], ndigits, w);
+      *w++ = '\t';
+      w += py_round_repr(r2[i], ndigits, w);
+      *w++ = '\n';
+    }
+    lens[(size_t)t] = w - base;
+  }
+  int64_t written = lens[0];
+  for (int t = 1; t < nth; ++t) {
+    memmove(out + written, out + (int64_t)t * chunk * kMaxRow,
+            (size_t)lens[(size_t)t]);
+    written += lens[(size_t)t];
+  }
+  return written;
+}
+
+// Format per-sequence weights as TSV rows "index\tweight\n".
+int64_t wldio_format_weights(const double* weights, int64_t n, int ndigits,
+                             char* out, int64_t out_cap) {
+  const int64_t kMaxRow = 64;
+  int64_t written = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (written + kMaxRow > out_cap) return -1;
+    char* w = out + written;
+    w += write_i64(i, w);
+    *w++ = '\t';
+    w += py_round_repr(weights[i], ndigits, w);
+    *w++ = '\n';
+    written = w - out;
+  }
+  return written;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+const char* wldio_version() { return "wldio-2"; }
 
 // ---- FASTA ----------------------------------------------------------------
 

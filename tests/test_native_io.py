@@ -238,6 +238,86 @@ def test_vcf_errors_match(tmp_path):
             read_vcf_python(path)
 
 
+# ---------------------------------------------------------------------------
+# TSV formatting (repr(round(x, n)) parity)
+# ---------------------------------------------------------------------------
+
+ADVERSARIAL_FLOATS = [
+    0.0, -0.0, 1.0, -1.0, 0.5, -0.25, 0.03125, -0.03125,
+    0.00005, -0.00005, 0.00048828125, 1e-05, 9.999e-05, 0.0001, 0.00012,
+    1e16, 1e17, 9999999999999998.0, 0.1, 0.10285,
+    float("nan"), float("inf"), float("-inf"), 1e-300, -1e-300, 1e300,
+    0.99995, -0.99995, 0.099995, 2.5e-05, 7.5e-05, 0.12345,
+    0.123450000001, 1.00005, 123456.00005, 123456789012345.6789,
+    0.9999999999999999, 0.49995, 0.999999, 9.9999e-05,
+]
+
+
+def _format_vals():
+    rng = np.random.default_rng(3)
+    return np.concatenate([
+        np.array(ADVERSARIAL_FLOATS),
+        rng.uniform(-1, 1, 20000),
+        rng.uniform(-1, 1, 5000).astype(np.float32).astype(np.float64),
+        np.round(rng.uniform(-1, 1, 5000), 4),
+        rng.uniform(-1e-4, 1e-4, 5000),
+        rng.integers(-9, 9, 5000).astype(np.float64) / 32,       # dyadic ties
+        rng.integers(-99999, 99999, 5000).astype(np.float64) / 2e4,  # .5 ties
+    ])
+
+
+@pytest.mark.parametrize("ndigits", [4, 3, 6, 0])
+def test_format_pairs_repr_round_parity(ndigits):
+    vals = _format_vals()
+    n = len(vals)
+    zeros = np.zeros(n, np.int64)
+    out = native.format_pairs_native(zeros, zeros, vals, vals, vals, ndigits)
+    rows = out.rstrip("\n").split("\n")
+    assert len(rows) == n
+    for v, row in zip(vals, rows):
+        want = repr(round(float(v), ndigits))
+        cells = row.split("\t")
+        assert cells[2] == cells[3] == cells[4] == want, (v, cells, want)
+
+
+def test_write_pairs_native_matches_python(monkeypatch):
+    import io
+
+    from weightedld_tpu.core.ld_dense import LdRecords
+    from weightedld_tpu.io.writer import write_pairs
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    rec = LdRecords(
+        pos_a=rng.integers(0, 10**9, n).astype(np.int64),
+        pos_b=rng.integers(0, 10**9, n).astype(np.int64),
+        d=rng.uniform(-0.25, 0.25, n),
+        d_prime=rng.uniform(0, 1, n),
+        r2=rng.uniform(0, 1, n),
+    )
+    b_native = io.StringIO()
+    write_pairs(rec, b_native)
+    monkeypatch.setattr(native, "available", lambda: False)
+    b_python = io.StringIO()
+    write_pairs(rec, b_python)
+    assert b_native.getvalue() == b_python.getvalue()
+
+
+def test_write_weights_native_matches_python(monkeypatch):
+    import io
+
+    from weightedld_tpu.io.writer import write_weights
+
+    rng = np.random.default_rng(6)
+    w = np.concatenate([rng.uniform(0, 1, 2000), [1.0, 0.0, 0.5, 1e-5]])
+    b_native = io.StringIO()
+    write_weights(w, b_native)
+    monkeypatch.setattr(native, "available", lambda: False)
+    b_python = io.StringIO()
+    write_weights(w, b_python)
+    assert b_native.getvalue() == b_python.getvalue()
+
+
 def test_vcf_random_property(tmp_path):
     rng = np.random.default_rng(11)
     forms = np.array(

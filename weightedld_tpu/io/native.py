@@ -57,6 +57,15 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p, i64,
     ]
     lib.wldio_vcf_close.argtypes = [ctypes.c_void_p]
+    lib.wldio_format_pairs.restype = i64
+    lib.wldio_format_pairs.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, i64, ctypes.c_int, ctypes.c_void_p, i64,
+    ]
+    lib.wldio_format_weights.restype = i64
+    lib.wldio_format_weights.argtypes = [
+        ctypes.c_void_p, i64, ctypes.c_int, ctypes.c_void_p, i64,
+    ]
 
 
 def load() -> ctypes.CDLL | None:
@@ -73,9 +82,9 @@ def load() -> ctypes.CDLL | None:
         try:
             lib = ctypes.CDLL(str(path))
             _configure(lib)
-            if lib.wldio_version() != b"wldio-1":
+            if lib.wldio_version() != b"wldio-2":
                 continue
-        except OSError:
+        except (OSError, AttributeError):
             continue
         _lib = lib
         break
@@ -153,3 +162,43 @@ def read_vcf_native(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     # rot90 parity: haplotype rows in reverse order (WeightedLD.py:375).
     alignment = np.ascontiguousarray(mat.T[::-1])
     return alignment, positions
+
+
+def _c64(a: np.ndarray) -> ctypes.c_void_p:
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def format_pairs_native(
+    pos_a, pos_b, d, d_prime, r2, ndigits: int = 4
+) -> str:
+    """Format pair records as TSV rows, each cell ``repr(round(x, n))``
+    (the Python reference's formatting, ``WeightedLD.py:282-284``)."""
+    lib = load()
+    assert lib is not None, "native io library not loaded"
+    pa = np.ascontiguousarray(pos_a, dtype=np.int64)
+    pb = np.ascontiguousarray(pos_b, dtype=np.int64)
+    dd = np.ascontiguousarray(d, dtype=np.float64)
+    dp = np.ascontiguousarray(d_prime, dtype=np.float64)
+    rr = np.ascontiguousarray(r2, dtype=np.float64)
+    n = len(pa)
+    cap = 128 * n + 16
+    buf = np.empty(cap, dtype=np.uint8)  # no zero-fill (ctypes buffers memset)
+    written = lib.wldio_format_pairs(
+        _c64(pa), _c64(pb), _c64(dd), _c64(dp), _c64(rr),
+        n, ndigits, _c64(buf), cap,
+    )
+    assert written >= 0, "native pair formatting buffer overflow"
+    return buf[:written].tobytes().decode("ascii")
+
+
+def format_weights_native(weights, ndigits: int = 6) -> str:
+    """Format per-sequence weights as ``index\\tweight`` TSV rows."""
+    lib = load()
+    assert lib is not None, "native io library not loaded"
+    w = np.ascontiguousarray(weights, dtype=np.float64)
+    n = len(w)
+    cap = 64 * n + 16
+    buf = np.empty(cap, dtype=np.uint8)
+    written = lib.wldio_format_weights(_c64(w), n, ndigits, _c64(buf), cap)
+    assert written >= 0, "native weights formatting buffer overflow"
+    return buf[:written].tobytes().decode("ascii")

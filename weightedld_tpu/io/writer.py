@@ -33,6 +33,22 @@ def write_pairs(
     out = out if out is not None else sys.stdout
     if header:
         out.write(PAIR_HEADER + "\n")
+    from . import native
+
+    if native.available():
+        # Native formatter (native/wldio.cpp): identical bytes, ~50x faster
+        # on multi-million-record outputs; chunked to bound buffer size.
+        chunk = 1 << 18
+        for lo in range(0, len(records.pos_a), chunk):
+            hi = lo + chunk
+            out.write(
+                native.format_pairs_native(
+                    records.pos_a[lo:hi], records.pos_b[lo:hi],
+                    records.d[lo:hi], records.d_prime[lo:hi],
+                    records.r2[lo:hi], ndigits,
+                )
+            )
+        return
     buf: list[str] = []
     for pa, pb, d, dp, r2 in zip(
         records.pos_a, records.pos_b, records.d, records.d_prime, records.r2
@@ -50,5 +66,10 @@ def write_pairs(
 def write_weights(weights: np.ndarray, out: IO[str], ndigits: int = 6) -> None:
     """Per-sequence weights TSV (ref ``main.rs:70-80``): ``index weight``."""
     out.write("sequence\tweight\n")
+    from . import native
+
+    if native.available():
+        out.write(native.format_weights_native(np.asarray(weights), ndigits))
+        return
     for i, w in enumerate(np.asarray(weights)):
         out.write(f"{i}\t{round(float(w), ndigits)}\n")
