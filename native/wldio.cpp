@@ -17,6 +17,12 @@
 // buffers the caller sized from those dimensions, `close` unmaps.  All
 // functions return 0 on success; on failure the error message is written to
 // the caller's buffer.
+//
+// Known divergence from the Python readers: whitespace handling is ASCII
+// (space, \t\r\n\v\f).  The Python VCF reader, operating on decoded str,
+// also strips Unicode whitespace (e.g. U+00A0) when filtering blank lines —
+// inputs where that matters are treated as data here and fail parsing
+// loudly rather than silently diverging.
 
 #ifndef _GNU_SOURCE
 #define _GNU_SOURCE  // memmem
@@ -190,8 +196,9 @@ struct VcfHandle {
 
 // Parse the allele token s[b,e).  Parity with io/vcf.py:_parse_allele:
 // empty or "." -> 4 (missing); otherwise must be an int; >5 rejected.
-bool parse_allele(const char* s, size_t b, size_t e, int64_t lineno,
-                  const std::string& path, int8_t* out, std::string* err) {
+// Error messages match the Python reader exactly (no path prefix).
+bool parse_allele(const char* s, size_t b, size_t e, int8_t* out,
+                  std::string* err) {
   if (b == e || (e - b == 1 && s[b] == '.')) {
     *out = kGap;
     return true;
@@ -206,19 +213,18 @@ bool parse_allele(const char* s, size_t b, size_t e, int64_t lineno,
     ++p;
   }
   if (p == q) {
-    *err = path + ":" + std::to_string(lineno) + ": bad allele '" +
-           std::string(s + b, e - b) + "'";
+    *err = "bad allele '" + std::string(s + b, e - b) + "'";
     return false;
   }
   int64_t v = 0;
   for (; p < q; ++p) {
     if (s[p] < '0' || s[p] > '9') {
-      *err = path + ":" + std::to_string(lineno) + ": bad allele '" +
-             std::string(s + b, e - b) + "'";
+      *err = "bad allele '" + std::string(s + b, e - b) + "'";
       return false;
     }
-    v = v * 10 + (s[p] - '0');
-    if (v > 1000000) break;  // overflow guard; rejected below anyway
+    // Saturate instead of overflowing; anything > 5 is rejected below and
+    // the value is only used in the message (exact up to 10^18).
+    if (v < 1000000000000000000LL) v = v * 10 + (s[p] - '0');
   }
   if (neg) v = -v;
   if (v > 5) {
@@ -255,28 +261,43 @@ bool parse_vcf_line(const char* s, size_t len, int64_t lineno,
     *err = path + ":" + std::to_string(lineno) + ": fewer than 10 columns";
     return false;
   }
-  // POS = column 1.
+  // POS = column 1, with CPython int() semantics: optional sign,
+  // surrounding whitespace, and its exact error message on bad input.
   {
     size_t b = col_start[1], e = col_start[2] - 1;
+    size_t p = b, q = e;
+    while (p < q && is_ws(s[p])) ++p;
+    while (q > p && is_ws(s[q - 1])) --q;
+    bool neg = false;
+    if (p < q && (s[p] == '+' || s[p] == '-')) {
+      neg = (s[p] == '-');
+      ++p;
+    }
     int64_t v = 0;
-    bool any = false;
-    for (size_t p = b; p < e; ++p) {
+    bool any = false, overflow = false;
+    for (; p < q; ++p) {
       if (s[p] < '0' || s[p] > '9') {
-        *err = path + ":" + std::to_string(lineno) + ": bad POS '" +
-               std::string(s + b, e - b) + "'";
-        return false;
+        any = false;
+        break;
       }
-      v = v * 10 + (s[p] - '0');
+      if (v > (INT64_MAX - 9) / 10) overflow = true;
+      if (!overflow) v = v * 10 + (s[p] - '0');
       any = true;
     }
     if (!any) {
-      *err = path + ":" + std::to_string(lineno) + ": bad POS ''";
+      *err = "invalid literal for int() with base 10: '" +
+             std::string(s + b, e - b) + "'";
       return false;
     }
-    *pos_out = v;
+    if (overflow) {  // numpy int64 conversion would raise OverflowError
+      *err = path + ":" + std::to_string(lineno) + ": POS '" +
+             std::string(s + b, e - b) + "' overflows int64";
+      return false;
+    }
+    *pos_out = neg ? -v : v;
   }
 
-  int64_t k = 0;
+  int64_t k = 0;  // haplotypes seen (counts past capacity for diagnostics)
   size_t f = col_start[9];
   while (f <= len) {
     size_t fe = f;
@@ -296,64 +317,53 @@ bool parse_vcf_line(const char* s, size_t len, int64_t lineno,
     }
     int8_t a, b2;
     if (bar != (size_t)-1) {
-      if (!parse_allele(s, f, bar, lineno, path, &a, err)) return false;
-      if (!parse_allele(s, bar + 1, ge, lineno, path, &b2, err)) return false;
-      if (out) {
-        if (k + 2 > n_haps_expected) goto count_mismatch;
+      if (!parse_allele(s, f, bar, &a, err)) return false;
+      if (!parse_allele(s, bar + 1, ge, &b2, err)) return false;
+      if (out && k + 2 <= n_haps_expected) {
         out[k] = a;
         out[k + 1] = b2;
       }
       k += 2;
     } else if (slash != (size_t)-1) {
-      if (out) {
-        if (k + 2 > n_haps_expected) goto count_mismatch;
+      if (out && k + 2 <= n_haps_expected) {
         out[k] = kGap;
         out[k + 1] = kGap;
       }
       k += 2;
     } else {
-      if (!parse_allele(s, f, ge, lineno, path, &a, err)) return false;
-      if (out) {
-        if (k + 1 > n_haps_expected) goto count_mismatch;
-        out[k] = a;
-      }
+      if (!parse_allele(s, f, ge, &a, err)) return false;
+      if (out && k + 1 <= n_haps_expected) out[k] = a;
       k += 1;
     }
     if (fe == len) break;
     f = fe + 1;
   }
-  if (n_haps_expected >= 0 && k != n_haps_expected) goto count_mismatch;
+  if (n_haps_expected >= 0 && k != n_haps_expected) {
+    *err = path + ":" + std::to_string(lineno) +
+           ": inconsistent haplotype count (" + std::to_string(k) + " vs " +
+           std::to_string(n_haps_expected) + ")";
+    return false;
+  }
   if (n_haps_out) *n_haps_out = k;
   return true;
-
-count_mismatch:
-  *err = path + ":" + std::to_string(lineno) +
-         ": inconsistent haplotype count (" + std::to_string(k) + " vs " +
-         std::to_string(n_haps_expected) + ")";
-  return false;
 }
 
 bool vcf_scan(VcfHandle* h, std::string* err) {
   const char* d = h->map.data;
   const size_t sz = h->map.size;
 
-  // Split into lines exactly like Python's read().split("\n"): every '\n'
-  // terminates a line; a final element after the last '\n' exists even when
-  // empty.  Trailing '\r' is trimmed (text-mode tolerance).
+  // Split into lines like Python's text-mode read().split("\n"): universal
+  // newlines first translate "\r\n" and "\r" to "\n", then every '\n'
+  // terminates a line; a final element after the last terminator exists
+  // even when empty.
   std::vector<Span> all;
-  std::vector<int64_t> all_no;
   size_t pos = 0;
-  int64_t lineno = 1;
   while (true) {
-    const char* nl =
-        pos < sz ? (const char*)memchr(d + pos, '\n', sz - pos) : nullptr;
-    size_t end = nl ? (size_t)(nl - d) : sz;
-    size_t e = end;
-    if (e > pos && d[e - 1] == '\r') --e;
+    size_t e = pos;
+    while (e < sz && d[e] != '\n' && d[e] != '\r') ++e;
     all.push_back(Span{pos, e - pos});
-    all_no.push_back(lineno++);
-    if (!nl) break;
-    pos = (size_t)(nl - d) + 1;
+    if (e == sz) break;
+    pos = (d[e] == '\r' && e + 1 < sz && d[e + 1] == '\n') ? e + 2 : e + 1;
   }
 
   // Header: first line containing "#CHROM".
@@ -374,14 +384,15 @@ bool vcf_scan(VcfHandle* h, std::string* err) {
   // (WeightedLD.py:365), then drop blanks.
   size_t lo = header_idx + 1, hi = all.size();
   if (hi > lo) --hi;
-  for (size_t i = lo; i < hi; ++i) {
+  int64_t filtered_no = (int64_t)header_idx + 2;  // Python numbers errors by
+  for (size_t i = lo; i < hi; ++i) {              // filtered-list position
     const Span& s = all[i];
     bool blank = true;
     for (size_t q = 0; q < s.len && blank; ++q)
       if (!is_ws(d[s.off + q])) blank = false;
     if (!blank) {
       h->lines.push_back(s);
-      h->linenos.push_back(all_no[i]);
+      h->linenos.push_back(filtered_no++);
     }
   }
   if (h->lines.empty()) {
@@ -656,7 +667,10 @@ int64_t wldio_format_pairs(const int64_t* pos_a, const int64_t* pos_b,
   // Worst case per row: 2x int64 (20) + 3x float (~24 each) + separators.
   const int64_t kMaxRow = 128;
   if (n == 0) return 0;
-  if (ndigits > 100) return -1;  // keep the fixed-format buffer bounded
+  // Negative precision is meaningless to %.*f (Python round(x,-n) rounds to
+  // tens); >100 would overrun the fixed-format buffer.  Callers fall back
+  // to the Python writer outside [0, 100].
+  if (ndigits < 0 || ndigits > 100) return -1;
   // Threads format disjoint row ranges at their worst-case offsets inside
   // `out` itself, then ranges are compacted left sequentially.
   if (n * kMaxRow > out_cap) return -1;
@@ -699,6 +713,7 @@ int64_t wldio_format_pairs(const int64_t* pos_a, const int64_t* pos_b,
 int64_t wldio_format_weights(const double* weights, int64_t n, int ndigits,
                              char* out, int64_t out_cap) {
   const int64_t kMaxRow = 64;
+  if (ndigits < 0 || ndigits > 100) return -1;  // see wldio_format_pairs
   int64_t written = 0;
   for (int64_t i = 0; i < n; ++i) {
     if (written + kMaxRow > out_cap) return -1;
@@ -778,22 +793,27 @@ int wldio_vcf_fill(void* handle, int8_t* out, int64_t* positions, char* err,
   const char* d = h->map.data;
   const int64_t n = h->n_sites;
   const int64_t n_haps = h->n_haps;
-  std::atomic<bool> failed{false};
+  std::atomic<int64_t> first_bad{INT64_MAX};  // earliest failing record
   std::string first_err;
   std::mutex m;
 #pragma omp parallel for schedule(dynamic, 64)
   for (int64_t i = 0; i < n; ++i) {
-    if (failed.load(std::memory_order_relaxed)) continue;
+    if (i > first_bad.load(std::memory_order_relaxed)) continue;
     const Span& s = h->lines[(size_t)i];
     std::string e;
     int64_t k = 0;
     if (!parse_vcf_line(d + s.off, s.len, h->linenos[(size_t)i], h->path,
                         out + i * n_haps, n_haps, &k, &positions[i], &e)) {
       std::lock_guard<std::mutex> g(m);
-      if (!failed.exchange(true)) first_err = e;
+      // Keep the earliest record's error (deterministic, matching the
+      // sequential Python reader).
+      if (i < first_bad.load()) {
+        first_bad.store(i);
+        first_err = e;
+      }
     }
   }
-  if (failed.load()) {
+  if (first_bad.load() != INT64_MAX) {
     set_err(err, err_cap, first_err);
     return 1;
   }

@@ -26,10 +26,16 @@ NATIVE_DIR = Path(__file__).resolve().parents[1] / "native"
 
 
 def _ensure_lib():
-    if not (NATIVE_DIR / "libwldio.so").exists():
+    so = NATIVE_DIR / "libwldio.so"
+    src = NATIVE_DIR / "wldio.cpp"
+    stale = (
+        not so.exists()
+        or (src.exists() and src.stat().st_mtime > so.stat().st_mtime)
+    )
+    if stale:  # rebuild so a committed .so never shadows edited source
         try:
             subprocess.run(
-                ["make", "-C", str(NATIVE_DIR), "libwldio.so"],
+                ["make", "-C", str(NATIVE_DIR), "-B", "libwldio.so"],
                 check=True, capture_output=True, timeout=120,
             )
         except (OSError, subprocess.SubprocessError):
@@ -316,6 +322,60 @@ def test_write_weights_native_matches_python(monkeypatch):
     b_python = io.StringIO()
     write_weights(w, b_python)
     assert b_native.getvalue() == b_python.getvalue()
+
+
+def test_vcf_crlf_and_cr_line_endings(tmp_path):
+    # Python reads VCFs in text mode (universal newlines); the native
+    # scanner must treat \r\n and lone \r as terminators too.
+    gts = ["0|1"] * SAMPLES
+    text = HEADER + "\n" + _row(5, gts) + "\n" + _row(9, gts) + "\n"
+    for name, nl in [("crlf.vcf", "\r\n"), ("cr.vcf", "\r")]:
+        path = tmp_path / name
+        path.write_bytes(text.replace("\n", nl).encode())
+        _assert_vcf_parity(path)
+
+
+def test_vcf_error_messages_identical(tmp_path):
+    # Message parity, not just type parity: bad allele tokens, bad POS,
+    # inconsistent haplotype counts (full count, not clamped).
+    cases = [
+        _mk_vcf(tmp_path, [_row(5, ["0x|1"] + ["0|1"] * (SAMPLES - 1))],
+                "badtok.vcf"),
+        _mk_vcf(tmp_path, [_row("abc", ["0|1"] * SAMPLES)], "badpos.vcf"),
+        _mk_vcf(
+            tmp_path,
+            [_row(5, ["0|1"] * SAMPLES), _row(6, ["0|1"] * (SAMPLES + 2))],
+            "overcount.vcf",
+        ),
+        _mk_vcf(
+            tmp_path,
+            [_row(5, ["0|1"] * SAMPLES), _row(6, ["0|1"] * (SAMPLES - 1))],
+            "undercount.vcf",
+        ),
+    ]
+    for path in cases:
+        with pytest.raises(ValueError) as e_native:
+            native.read_vcf_native(path)
+        with pytest.raises(ValueError) as e_python:
+            read_vcf_python(path)
+        assert str(e_native.value) == str(e_python.value), path.name
+
+
+def test_format_negative_ndigits_uses_python_path():
+    # round(x, -1) rounds to tens; %.*f cannot express that, so the writer
+    # must route negative ndigits to the Python formatter.
+    import io
+
+    from weightedld_tpu.core.ld_dense import LdRecords
+    from weightedld_tpu.io.writer import write_pairs
+
+    rec = LdRecords(
+        pos_a=np.array([0], np.int64), pos_b=np.array([1], np.int64),
+        d=np.array([14.0]), d_prime=np.array([15.0]), r2=np.array([1.0]),
+    )
+    b = io.StringIO()
+    write_pairs(rec, b, ndigits=-1)
+    assert b.getvalue().splitlines()[1] == "0\t1\t10.0\t20.0\t0.0"
 
 
 def test_vcf_random_property(tmp_path):

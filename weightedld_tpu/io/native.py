@@ -76,19 +76,38 @@ def load() -> ctypes.CDLL | None:
     _tried = True
     if os.environ.get("WLD_NATIVE_IO", "1") == "0":
         return None
+    explicit = os.environ.get("WLDIO_LIB")
     for path in _candidates():
         if not path.exists():
+            if explicit and str(path) == explicit:
+                _warn_bad_override(path, "not found")
             continue
         try:
             lib = ctypes.CDLL(str(path))
             _configure(lib)
-            if lib.wldio_version() != b"wldio-2":
+            version = lib.wldio_version()
+            if version != b"wldio-2":
+                if explicit and str(path) == explicit:
+                    _warn_bad_override(path, f"version {version!r} != wldio-2")
                 continue
-        except (OSError, AttributeError):
+        except (OSError, AttributeError) as e:
+            if explicit and str(path) == explicit:
+                _warn_bad_override(path, str(e))
             continue
         _lib = lib
         break
     return _lib
+
+
+def _warn_bad_override(path, reason: str) -> None:
+    import warnings
+
+    warnings.warn(
+        f"WLDIO_LIB={path} could not be used ({reason}); "
+        "falling back to the next candidate / pure-Python io",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def available() -> bool:
@@ -187,7 +206,10 @@ def format_pairs_native(
         _c64(pa), _c64(pb), _c64(dd), _c64(dp), _c64(rr),
         n, ndigits, _c64(buf), cap,
     )
-    assert written >= 0, "native pair formatting buffer overflow"
+    if written < 0:
+        raise ValueError(
+            f"native pair formatting rejected the request (ndigits={ndigits})"
+        )
     return buf[:written].tobytes().decode("ascii")
 
 
@@ -200,5 +222,8 @@ def format_weights_native(weights, ndigits: int = 6) -> str:
     cap = 64 * n + 16
     buf = np.empty(cap, dtype=np.uint8)
     written = lib.wldio_format_weights(_c64(w), n, ndigits, _c64(buf), cap)
-    assert written >= 0, "native weights formatting buffer overflow"
+    if written < 0:
+        raise ValueError(
+            f"native weights formatting rejected the request (ndigits={ndigits})"
+        )
     return buf[:written].tobytes().decode("ascii")

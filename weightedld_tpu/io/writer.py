@@ -35,9 +35,11 @@ def write_pairs(
         out.write(PAIR_HEADER + "\n")
     from . import native
 
-    if native.available():
-        # Native formatter (native/wldio.cpp): identical bytes, ~50x faster
+    if native.available() and 0 <= ndigits <= 100:
+        # Native formatter (native/wldio.cpp): identical bytes, ~10x faster
         # on multi-million-record outputs; chunked to bound buffer size.
+        # (Negative ndigits — Python round-to-tens — stays on the Python
+        # path, as does ndigits > 100.)
         chunk = 1 << 18
         for lo in range(0, len(records.pos_a), chunk):
             hi = lo + chunk
@@ -68,7 +70,7 @@ def write_weights(weights: np.ndarray, out: IO[str], ndigits: int = 6) -> None:
     out.write("sequence\tweight\n")
     from . import native
 
-    if native.available():
+    if native.available() and 0 <= ndigits <= 100:
         out.write(native.format_weights_native(np.asarray(weights), ndigits))
         return
     for i, w in enumerate(np.asarray(weights)):
