@@ -41,6 +41,7 @@
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
+#include <zlib.h>
 
 namespace {
 
@@ -111,12 +112,71 @@ struct Span {
   size_t len;
 };
 
+// Input view: the mmap'd file, or (for gzip inputs, magic 1f 8b) an owned
+// buffer holding the inflated stream.  Gives both readers transparent
+// .fasta.gz / .vcf.gz support, mirroring the Python fallback readers.
+struct InputView {
+  MappedFile map;
+  std::vector<char> owned;
+  const char* data = nullptr;
+  size_t size = 0;
+
+  bool open(const char* path, std::string* err) {
+    if (!map.open(path, err)) return false;
+    data = map.data;
+    size = map.size;
+    if (size >= 2 && (unsigned char)data[0] == 0x1f &&
+        (unsigned char)data[1] == 0x8b) {
+      return inflate_gzip(path, err);
+    }
+    return true;
+  }
+
+  bool inflate_gzip(const char* path, std::string* err) {
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) {  // gzip wrapper
+      *err = std::string(path) + ": zlib init failed";
+      return false;
+    }
+    zs.next_in = (Bytef*)data;
+    zs.avail_in = (uInt)size;
+    std::vector<char> out;
+    out.resize(std::max<size_t>(size * 4, 1 << 20));
+    size_t produced = 0;
+    int rc = Z_OK;
+    while (rc != Z_STREAM_END) {
+      if (produced == out.size()) out.resize(out.size() * 2);
+      zs.next_out = (Bytef*)(out.data() + produced);
+      zs.avail_out = (uInt)std::min<size_t>(out.size() - produced, 1u << 30);
+      rc = inflate(&zs, Z_NO_FLUSH);
+      produced = zs.total_out;
+      if (rc != Z_OK && rc != Z_STREAM_END) {
+        inflateEnd(&zs);
+        *err = std::string(path) + ": corrupt gzip stream";
+        return false;
+      }
+      if (rc == Z_OK && zs.avail_in == 0 && zs.avail_out != 0) {
+        inflateEnd(&zs);
+        *err = std::string(path) + ": truncated gzip stream";
+        return false;
+      }
+    }
+    inflateEnd(&zs);
+    out.resize(produced);
+    owned = std::move(out);
+    data = owned.data();
+    size = owned.size();
+    return true;
+  }
+};
+
 // ---------------------------------------------------------------------------
 // FASTA
 // ---------------------------------------------------------------------------
 
 struct FastaHandle {
-  MappedFile map;
+  InputView map;
   std::vector<std::vector<Span>> records;  // per sequence: trimmed data lines
   std::string names_joined;                // '\n'-separated header names
   int64_t n_seqs = 0;
@@ -186,7 +246,7 @@ bool fasta_scan(FastaHandle* h, const char* path, std::string* err) {
 // ---------------------------------------------------------------------------
 
 struct VcfHandle {
-  MappedFile map;
+  InputView map;
   std::string path;
   std::vector<Span> lines;       // data record lines (blank-filtered)
   std::vector<int64_t> linenos;  // 1-based file line numbers (for errors)
@@ -731,7 +791,7 @@ int64_t wldio_format_weights(const double* weights, int64_t n, int ndigits,
 
 extern "C" {
 
-const char* wldio_version() { return "wldio-2"; }
+const char* wldio_version() { return "wldio-3"; }
 
 // ---- FASTA ----------------------------------------------------------------
 

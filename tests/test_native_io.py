@@ -245,6 +245,58 @@ def test_vcf_errors_match(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# gzip-compressed inputs (.fasta.gz / .vcf.gz)
+# ---------------------------------------------------------------------------
+
+def test_gzip_fasta_both_backends(tmp_path):
+    import gzip
+
+    plain = tmp_path / "x.fasta"
+    write_fasta(plain, ALL_FASTAS["example"])
+    gz = tmp_path / "x.fasta.gz"
+    gz.write_bytes(gzip.compress(plain.read_bytes()))
+    want, want_names = read_fasta_with_names_python(plain)
+    for reader in (native.read_fasta_native, read_fasta_with_names_python):
+        aln, names = reader(gz)
+        np.testing.assert_array_equal(aln, want)
+        assert names == want_names
+
+
+def test_gzip_vcf_both_backends_and_dispatch(tmp_path):
+    import gzip
+
+    import weightedld_tpu as wld
+
+    gts = ["0|1"] * 8 + ["1|1"] * 4 + ["0|0"] * 4
+    plain = _mk_vcf(tmp_path, [_row(1000, gts), _row(2000, gts)])
+    gz = tmp_path / "x.vcf.gz"
+    gz.write_bytes(gzip.compress(plain.read_bytes()))
+    want, want_pos = read_vcf_python(plain)
+    for reader in (native.read_vcf_native, read_vcf_python):
+        aln, pos = reader(gz)
+        np.testing.assert_array_equal(aln, want)
+        np.testing.assert_array_equal(pos, want_pos)
+    # Suffix dispatch: .vcf.gz must take the VCF path end-to-end.
+    res = wld.prepare(gz)
+    assert res.alignment.shape == want.shape
+    assert res.site_map.tolist() == want_pos.tolist()
+
+
+def test_gzip_truncated_rejected(tmp_path):
+    import gzip
+
+    plain = tmp_path / "x.fasta"
+    write_fasta(plain, ALL_FASTAS["example"])
+    blob = gzip.compress(plain.read_bytes())
+    bad = tmp_path / "trunc.fasta.gz"
+    bad.write_bytes(blob[: len(blob) // 2])
+    with pytest.raises((ValueError, EOFError)):
+        native.read_fasta_native(bad)
+    with pytest.raises((ValueError, EOFError)):
+        read_fasta_with_names_python(bad)
+
+
+# ---------------------------------------------------------------------------
 # TSV formatting (repr(round(x, n)) parity)
 # ---------------------------------------------------------------------------
 

@@ -34,6 +34,18 @@ def read_fasta_with_names(path: str | Path) -> tuple[np.ndarray, list[str]]:
     return read_fasta_with_names_python(path)
 
 
+def _open_maybe_gzip(path: str | Path):
+    """Binary handle; transparently inflates gzip inputs (magic 1f 8b)."""
+    fh = open(path, "rb")
+    magic = fh.read(2)
+    fh.seek(0)
+    if magic == b"\x1f\x8b":
+        import gzip
+
+        return gzip.open(fh, "rb")
+    return fh
+
+
 def read_fasta_with_names_python(
     path: str | Path,
 ) -> tuple[np.ndarray, list[str]]:
@@ -47,7 +59,7 @@ def read_fasta_with_names_python(
             rows.append(b"".join(current))
         current.clear()
 
-    with open(path, "rb") as fh:
+    with _open_maybe_gzip(path) as fh:
         for raw_line in fh:
             line = raw_line.strip()
             if not line:

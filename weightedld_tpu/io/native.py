@@ -86,9 +86,9 @@ def load() -> ctypes.CDLL | None:
             lib = ctypes.CDLL(str(path))
             _configure(lib)
             version = lib.wldio_version()
-            if version != b"wldio-2":
+            if version != b"wldio-3":
                 if explicit and str(path) == explicit:
-                    _warn_bad_override(path, f"version {version!r} != wldio-2")
+                    _warn_bad_override(path, f"version {version!r} != wldio-3")
                 continue
         except (OSError, AttributeError) as e:
             if explicit and str(path) == explicit:

@@ -119,8 +119,12 @@ def read_vcf(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
 
 def read_vcf_python(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     """Pure-Python fallback/oracle for :func:`read_vcf`."""
-    with open(path, "r") as fh:
-        lines = fh.read().split("\n")
+    from .fasta import _open_maybe_gzip
+
+    with _open_maybe_gzip(path) as fh:
+        text = fh.read().decode("utf-8", "replace")
+    # Universal newlines (the reference reads in text mode).
+    lines = text.replace("\r\n", "\n").replace("\r", "\n").split("\n")
 
     header_idx = None
     for i, line in enumerate(lines):

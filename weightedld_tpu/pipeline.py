@@ -106,7 +106,7 @@ def prepare_vcf(path: str | Path, cfg: WldConfig) -> PipelineResult:
 def prepare(path: str | Path, cfg: WldConfig | None = None) -> PipelineResult:
     """Dispatch on file suffix like the reference driver (``WeightedLD.py:385``)."""
     cfg = cfg or WldConfig()
-    if str(path).endswith(".vcf"):
+    if str(path).endswith((".vcf", ".vcf.gz")):
         return prepare_vcf(path, cfg)
     return prepare_fasta(path, cfg)
 
