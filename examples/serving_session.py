@@ -5,18 +5,21 @@ windows, resumed ranges): the alignment, weights, and tile plan live on the
 device mesh across scans.
 """
 
-import sys
-
 import numpy as np
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo checkout
 
 import weightedld_tpu as wld
 from weightedld_tpu.runtime.driver import DriverConfig, LdSession
 
-res = wld.prepare(sys.argv[1] if len(sys.argv) > 1 else "tests/example.fasta")
+res = wld.prepare(sys.argv[1] if len(sys.argv) > 1 else str(Path(__file__).with_name("example.fasta")))
 
 session = LdSession(
     res.alignment, res.weights, res.site_map,
-    DriverConfig(r2_threshold=0.1, tiles_per_shard_batch=2048),
+    DriverConfig(r2_threshold=0.1),  # tiles/batch auto-sizes per platform
 )
 
 # Reduction-only scan: O(1) host traffic per batch.
