@@ -245,6 +245,71 @@ def test_vcf_errors_match(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Differential fuzz: native and Python must agree on accept/reject AND output
+# ---------------------------------------------------------------------------
+
+def _mutate(rng, text: str) -> str:
+    b = bytearray(text.encode())
+    for _ in range(rng.integers(1, 4)):
+        if not b:
+            break
+        op = rng.integers(0, 4)
+        i = int(rng.integers(0, len(b)))
+        if op == 0:
+            b[i] = int(rng.integers(32, 127))
+        elif op == 1:
+            del b[i : i + int(rng.integers(1, 6))]
+        elif op == 2:
+            b[i:i] = bytes([int(rng.integers(32, 127))]) * int(
+                rng.integers(1, 6)
+            )
+        else:
+            b = b[:i]
+    return b.decode("latin-1")
+
+
+def test_differential_fuzz_fasta(tmp_path):
+    rng = np.random.default_rng(99)
+    base = ">a\nACGT\n>b\nTG-n\n>c wide\nAC\nGT\n"
+    for i in range(150):
+        text = _mutate(rng, base)
+        path = tmp_path / "f.fasta"
+        path.write_text(text)
+        try:
+            want = read_fasta_with_names_python(path)
+        except ValueError as e:
+            with pytest.raises(ValueError) as got:
+                native.read_fasta_native(path)
+            assert str(got.value) == str(e), text
+            continue
+        aln, names = native.read_fasta_native(path)
+        np.testing.assert_array_equal(aln, want[0], err_msg=repr(text))
+        assert names == want[1], repr(text)
+
+
+def test_differential_fuzz_vcf(tmp_path):
+    rng = np.random.default_rng(7)
+    base = (
+        HEADER + "\n"
+        + _row(5, ["0|1", ".|.", "1|1", "0/1"] * 4) + "\n"
+        + _row(9, ["0|0", "1|.", "2|3", "."] * 4) + "\n"
+    )
+    for i in range(150):
+        text = _mutate(rng, base)
+        path = tmp_path / "f.vcf"
+        path.write_text(text)
+        try:
+            want = read_vcf_python(path)
+        except (ValueError, OverflowError) as e:
+            with pytest.raises((ValueError, OverflowError)):
+                native.read_vcf_native(path)
+            continue
+        aln, pos = native.read_vcf_native(path)
+        np.testing.assert_array_equal(aln, want[0], err_msg=repr(text))
+        np.testing.assert_array_equal(pos, want[1], err_msg=repr(text))
+
+
+# ---------------------------------------------------------------------------
 # gzip-compressed inputs (.fasta.gz / .vcf.gz)
 # ---------------------------------------------------------------------------
 
