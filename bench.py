@@ -84,7 +84,8 @@ def bench_tpu() -> float:
                 total += len(rec)
         dt = time.monotonic() - t0
         best = max(best, scans_per_sample * n_pairs / dt)
-    print(f"[bench] tpu: {best:,.0f} pairs/s ({total} records emitted)",
+    print(f"[bench] tpu: {best:,.0f} pairs/s "
+          f"({total // scans_per_sample} records emitted per scan)",
           file=sys.stderr)
     return best, n_sites
 

@@ -71,6 +71,46 @@ void set_err(char* err, int64_t cap, const std::string& msg) {
   if (err && cap > 0) snprintf(err, (size_t)cap, "%s", msg.c_str());
 }
 
+// Length of a Unicode-whitespace codepoint (UTF-8) starting at d[b], or 0.
+// Mirrors str.strip()'s whitespace set (the Python reader strips FASTA
+// names *after* decoding): ASCII ws + 1C-1F, U+0085, U+00A0, U+1680,
+// U+2000-200A, U+2028/29/2F, U+205F, U+3000.
+size_t uws_len_at(const char* d, size_t b, size_t e) {
+  unsigned char c0 = (unsigned char)d[b];
+  if (is_ws((char)c0) || (c0 >= 0x1c && c0 <= 0x1f)) return 1;
+  if (e - b >= 2 && c0 == 0xC2) {
+    unsigned char c1 = (unsigned char)d[b + 1];
+    if (c1 == 0x85 || c1 == 0xA0) return 2;
+  }
+  if (e - b >= 3) {
+    unsigned char c1 = (unsigned char)d[b + 1], c2 = (unsigned char)d[b + 2];
+    if (c0 == 0xE1 && c1 == 0x9A && c2 == 0x80) return 3;
+    if (c0 == 0xE2 && c1 == 0x80 &&
+        ((c2 >= 0x80 && c2 <= 0x8A) || c2 == 0xA8 || c2 == 0xA9 || c2 == 0xAF))
+      return 3;
+    if (c0 == 0xE2 && c1 == 0x81 && c2 == 0x9F) return 3;
+    if (c0 == 0xE3 && c1 == 0x80 && c2 == 0x80) return 3;
+  }
+  return 0;
+}
+
+// Trim Unicode whitespace (as UTF-8 byte sequences) from both ends of
+// d[b, e).
+void trim_unicode_ws(const char* d, size_t* b, size_t* e) {
+  for (size_t n; *b < *e && (n = uws_len_at(d, *b, *e)) != 0;) *b += n;
+  while (*b < *e) {
+    bool trimmed = false;
+    for (size_t len = 1; len <= 3 && len <= *e - *b; ++len) {
+      if (uws_len_at(d, *e - len, *e) == len) {
+        *e -= len;
+        trimmed = true;
+        break;
+      }
+    }
+    if (!trimmed) break;
+  }
+}
+
 struct MappedFile {
   const char* data = nullptr;
   size_t size = 0;
@@ -101,10 +141,15 @@ struct MappedFile {
     return true;
   }
 
-  ~MappedFile() {
+  void release() {
     if (data) munmap((void*)data, size);
     if (fd >= 0) ::close(fd);
+    data = nullptr;
+    size = 0;
+    fd = -1;
   }
+
+  ~MappedFile() { release(); }
 };
 
 struct Span {
@@ -132,6 +177,12 @@ struct InputView {
     return true;
   }
 
+  // Inflate a (possibly multi-member) gzip stream.  BGZF files — the
+  // standard bgzip/bcftools .vcf.gz — are concatenations of small gzip
+  // members, so after each Z_STREAM_END we reset and continue while the
+  // remaining input starts with the gzip magic (the Python gzip module's
+  // behavior); anything else left over is trailing garbage and an error.
+  // Input is fed in <=1 GiB slices (zlib's avail_in is 32-bit).
   bool inflate_gzip(const char* path, std::string* err) {
     z_stream zs;
     memset(&zs, 0, sizeof(zs));
@@ -139,24 +190,55 @@ struct InputView {
       *err = std::string(path) + ": zlib init failed";
       return false;
     }
-    zs.next_in = (Bytef*)data;
-    zs.avail_in = (uInt)size;
+    const char* in = data;
+    size_t in_left = size;
     std::vector<char> out;
     out.resize(std::max<size_t>(size * 4, 1 << 20));
     size_t produced = 0;
-    int rc = Z_OK;
-    while (rc != Z_STREAM_END) {
+    while (true) {
       if (produced == out.size()) out.resize(out.size() * 2);
+      if (zs.avail_in == 0 && in_left > 0) {
+        uInt take = (uInt)std::min<size_t>(in_left, 1u << 30);
+        zs.next_in = (Bytef*)in;
+        zs.avail_in = take;
+        in += take;
+        in_left -= take;
+      }
       zs.next_out = (Bytef*)(out.data() + produced);
       zs.avail_out = (uInt)std::min<size_t>(out.size() - produced, 1u << 30);
-      rc = inflate(&zs, Z_NO_FLUSH);
-      produced = zs.total_out;
-      if (rc != Z_OK && rc != Z_STREAM_END) {
+      size_t before_out = zs.total_out;
+      int rc = inflate(&zs, Z_NO_FLUSH);
+      produced += zs.total_out - before_out;
+      if (rc == Z_STREAM_END) {
+        size_t rest = (size_t)zs.avail_in + in_left;
+        if (rest == 0) break;  // clean end of the last member
+        const char* next = in - zs.avail_in;
+        if (rest >= 2 && (unsigned char)next[0] == 0x1f &&
+            (unsigned char)next[1] == 0x8b) {
+          // Next gzip member (BGZF / concatenated .gz): keep going.
+          uInt take = (uInt)std::min<size_t>(rest, 1u << 30);
+          zs.next_in = (Bytef*)next;
+          zs.avail_in = take;
+          in = next + take;
+          in_left = rest - take;
+          if (inflateReset(&zs) != Z_OK) {
+            inflateEnd(&zs);
+            *err = std::string(path) + ": zlib reset failed";
+            return false;
+          }
+          continue;  // `produced` carries across members (delta-tracked)
+        }
+        inflateEnd(&zs);
+        *err = std::string(path) +
+               ": trailing garbage after gzip stream (corrupt file?)";
+        return false;
+      }
+      if (rc != Z_OK) {
         inflateEnd(&zs);
         *err = std::string(path) + ": corrupt gzip stream";
         return false;
       }
-      if (rc == Z_OK && zs.avail_in == 0 && zs.avail_out != 0) {
+      if (zs.avail_in == 0 && in_left == 0 && zs.avail_out != 0) {
         inflateEnd(&zs);
         *err = std::string(path) + ": truncated gzip stream";
         return false;
@@ -167,6 +249,7 @@ struct InputView {
     owned = std::move(out);
     data = owned.data();
     size = owned.size();
+    map.release();  // the compressed mapping is dead once inflated
     return true;
   }
 };
@@ -200,8 +283,7 @@ bool fasta_scan(FastaHandle* h, const char* path, std::string* err) {
     if (b < e) {
       if (d[b] == '>') {
         size_t nb = b + 1, ne = e;
-        while (nb < ne && is_ws(d[nb])) ++nb;
-        while (ne > nb && is_ws(d[ne - 1])) --ne;
+        trim_unicode_ws(d, &nb, &ne);  // Python strips names after decode
         if (!first_name) h->names_joined.push_back('\n');
         first_name = false;
         h->names_joined.append(d + nb, ne - nb);
@@ -277,11 +359,22 @@ bool parse_allele(const char* s, size_t b, size_t e, int8_t* out,
     return false;
   }
   int64_t v = 0;
+  bool prev_digit = false;
   for (; p < q; ++p) {
+    if (s[p] == '_') {
+      // CPython int(): underscores allowed only between digits.
+      if (!prev_digit || p + 1 >= q || s[p + 1] < '0' || s[p + 1] > '9') {
+        *err = "bad allele '" + std::string(s + b, e - b) + "'";
+        return false;
+      }
+      prev_digit = false;
+      continue;
+    }
     if (s[p] < '0' || s[p] > '9') {
       *err = "bad allele '" + std::string(s + b, e - b) + "'";
       return false;
     }
+    prev_digit = true;
     // Saturate instead of overflowing; anything > 5 is rejected below and
     // the value is only used in the message (exact up to 10^18).
     if (v < 1000000000000000000LL) v = v * 10 + (s[p] - '0');
@@ -334,8 +427,16 @@ bool parse_vcf_line(const char* s, size_t len, int64_t lineno,
       ++p;
     }
     int64_t v = 0;
-    bool any = false, overflow = false;
+    bool any = false, overflow = false, prev_digit = false;
     for (; p < q; ++p) {
+      if (s[p] == '_') {  // CPython int(): underscores between digits only
+        if (!prev_digit || p + 1 >= q || s[p + 1] < '0' || s[p + 1] > '9') {
+          any = false;
+          break;
+        }
+        prev_digit = false;
+        continue;
+      }
       if (s[p] < '0' || s[p] > '9') {
         any = false;
         break;
@@ -343,6 +444,7 @@ bool parse_vcf_line(const char* s, size_t len, int64_t lineno,
       if (v > (INT64_MAX - 9) / 10) overflow = true;
       if (!overflow) v = v * 10 + (s[p] - '0');
       any = true;
+      prev_digit = true;
     }
     if (!any) {
       *err = "invalid literal for int() with base 10: '" +

@@ -347,6 +347,69 @@ def test_gzip_vcf_both_backends_and_dispatch(tmp_path):
     assert res.site_map.tolist() == want_pos.tolist()
 
 
+def test_gzip_multimember_bgzf_style(tmp_path):
+    # bgzip/bcftools .vcf.gz files are CONCATENATED gzip members; both
+    # backends must inflate all members, not silently stop at the first.
+    import gzip
+
+    half1 = ">a\nACGT\n"
+    half2 = ">b\nTGCA\n"
+    gz = tmp_path / "multi.fasta.gz"
+    gz.write_bytes(gzip.compress(half1.encode()) + gzip.compress(half2.encode()))
+    for reader in (native.read_fasta_native, read_fasta_with_names_python):
+        aln, names = reader(gz)
+        assert names == ["a", "b"]
+        assert aln.shape == (2, 4)
+
+
+def test_gzip_trailing_garbage_rejected(tmp_path):
+    import gzip
+
+    gz = tmp_path / "garbage.fasta.gz"
+    gz.write_bytes(gzip.compress(b">a\nACGT\n") + b"NOT GZIP DATA")
+    with pytest.raises(ValueError, match="trailing garbage"):
+        native.read_fasta_native(gz)
+    with pytest.raises(Exception):  # gzip.BadGzipFile (OSError subclass)
+        read_fasta_with_names_python(gz)
+
+
+def test_missing_file_raises_oserror(tmp_path):
+    from weightedld_tpu.io.fasta import read_fasta_with_names
+    from weightedld_tpu.io.vcf import read_vcf
+
+    with pytest.raises(FileNotFoundError):
+        read_fasta_with_names(tmp_path / "nope.fasta")
+    with pytest.raises(FileNotFoundError):
+        read_vcf(tmp_path / "nope.vcf")
+    with pytest.raises(IsADirectoryError):
+        read_fasta_with_names(tmp_path)
+
+
+def test_vcf_pos_underscore_separators(tmp_path):
+    # CPython int() accepts digit-group underscores; both backends must.
+    gts = ["0|1"] * SAMPLES
+    path = _mk_vcf(tmp_path, [_row("1_000", gts)])
+    for reader in (native.read_vcf_native, read_vcf_python):
+        _, pos = reader(path)
+        assert pos.tolist() == [1000]
+    bad = _mk_vcf(tmp_path, [_row("1__0", gts)], "bad_us.vcf")
+    for reader in (native.read_vcf_native, read_vcf_python):
+        with pytest.raises(ValueError, match="invalid literal"):
+            reader(bad)
+
+
+def test_fasta_unicode_whitespace_name_trim(tmp_path):
+    # Python strips names AFTER decoding, so Unicode whitespace (NBSP,
+    # ideographic space) must come off in the native reader too.
+    path = tmp_path / "u.fasta"
+    path.write_bytes(
+        b">foo\xc2\xa0\nAC\n>\xe3\x80\x80bar baz\xe2\x80\x89\nGT\n"
+    )
+    for reader in (native.read_fasta_native, read_fasta_with_names_python):
+        _, names = reader(path)
+        assert names == ["foo", "bar baz"], reader
+
+
 def test_gzip_truncated_rejected(tmp_path):
     import gzip
 

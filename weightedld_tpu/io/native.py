@@ -114,6 +114,14 @@ def available() -> bool:
     return load() is not None
 
 
+def _check_readable(path) -> None:
+    """Raise the same OSError subclass the pure-Python readers would
+    (FileNotFoundError, IsADirectoryError, PermissionError, ...) instead of
+    the native library's generic 'cannot open'."""
+    with open(path, "rb"):
+        pass
+
+
 def read_fasta_native(path: str | Path) -> tuple[np.ndarray, list[str]]:
     """Native FASTA read: ``([n_seqs, n_sites] int8 codes, names)``.
 
@@ -121,6 +129,7 @@ def read_fasta_native(path: str | Path) -> tuple[np.ndarray, list[str]]:
     """
     lib = load()
     assert lib is not None, "native io library not loaded"
+    _check_readable(path)  # OSError subclasses, matching the Python reader
     n_seqs = ctypes.c_int64()
     n_sites = ctypes.c_int64()
     names_len = ctypes.c_int64()
@@ -156,6 +165,7 @@ def read_vcf_native(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
 
     lib = load()
     assert lib is not None, "native io library not loaded"
+    _check_readable(path)  # OSError subclasses, matching the Python reader
     n_sites = ctypes.c_int64()
     n_haps = ctypes.c_int64()
     err = ctypes.create_string_buffer(_ERR_CAP)
