@@ -172,3 +172,43 @@ def test_windowed_ld(rng):
     wm = {(int(a), int(b)): float(d)
           for a, b, d in zip(win.pos_a, win.pos_b, win.d)}
     assert wm == fm
+
+
+def test_matrices_match_dense(rng):
+    # Square-matrix assembly equals the dense engine on the strict upper
+    # triangle; below/at the diagonal and skipped pairs are NaN + keep=False.
+    from weightedld_tpu.runtime.driver import LdSession
+
+    aln = random_alignment(rng, 24, 70)
+    w = (np.abs(rng.normal(size=24)) + 0.1).astype(np.float32)
+    sm = np.arange(70)
+    sess = LdSession(aln, w, sm, DriverConfig(tile=16))
+    mats = sess.matrices()
+    stats = ld_all_pairs_dense(jnp.asarray(aln), jnp.asarray(w))
+    keep_dense = np.triu(np.asarray(stats.keep), k=1)
+    np.testing.assert_array_equal(mats["keep"], keep_dense)
+    for key, dense in (("d", stats.d), ("d_prime", stats.d_prime),
+                       ("r2", stats.r2)):
+        got = mats[key]
+        assert np.isnan(got[~keep_dense]).all()
+        np.testing.assert_allclose(
+            got[keep_dense], np.asarray(dense)[keep_dense], atol=1e-5
+        )
+
+
+def test_matrix_output_cli(tmp_path, rng):
+    from .fixtures import ALL_FASTAS, write_fasta
+    from weightedld_tpu.cli import main as cli_main
+
+    src = tmp_path / "e.fasta"
+    write_fasta(src, ALL_FASTAS["example"])
+    out = tmp_path / "m.npz"
+    assert cli_main(["--file", str(src), "--matrix-output", str(out),
+                     "--tile", "16"]) == 0
+    z = np.load(out)
+    assert set(z.files) == {"site_map", "d", "d_prime", "r2", "keep"}
+    s = len(z["site_map"])
+    assert z["r2"].shape == (s, s)
+    # Golden pair (0,1) from SURVEY A.1.
+    assert z["keep"][0, 1]
+    assert round(float(z["r2"][0, 1]), 4) == 0.2236

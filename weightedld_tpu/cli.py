@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output rounding digits [default 4, as reference]")
     p.add_argument("--stats-only", action="store_true",
                    help="print a JSON summary instead of per-pair records")
+    p.add_argument("--matrix-output", type=Path, default=None,
+                   help="write full square LD matrices (d, d_prime, r2 as "
+                   "[S,S] float32 with NaN off-pairs, keep mask, site_map) "
+                   "to this .npz instead of per-pair records; O(S^2) host "
+                   "memory, so bounded to S <= 32768")
     p.add_argument("--save-prepared", type=Path, default=None,
                    help="save encoded alignment/masks/weights to an .npz "
                    "cache after ingest")
@@ -207,6 +212,30 @@ def main(argv=None) -> int:
         from jax.sharding import Mesh
 
         mesh = Mesh(np.asarray(jax.devices()[: args.devices]), ("tiles",))
+
+    if args.matrix_output is not None:
+        if s > 32768:
+            print(f"error: --matrix-output needs O(S^2) host memory; "
+                  f"S={s} > 32768 kept sites — use the record outputs",
+                  file=sys.stderr)
+            return 2
+        from .runtime.driver import DriverConfig, LdSession
+
+        session = LdSession(
+            res.alignment, res.weights, res.site_map,
+            DriverConfig(
+                tile=args.tile,
+                tiles_per_shard_batch=args.tiles_per_batch,
+                max_site_distance=args.max_distance,
+            ),
+            mesh=mesh,
+        )
+        mats = session.matrices()
+        np.savez_compressed(args.matrix_output, site_map=res.site_map, **mats)
+        log.info("wrote %s (%d x %d, %d surviving pairs) in %.2fs",
+                 args.matrix_output, s, s, int(mats["keep"].sum()),
+                 time.monotonic() - t0)
+        return 0
 
     if args.stats_only:
         import json

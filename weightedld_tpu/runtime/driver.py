@@ -266,6 +266,52 @@ class LdSession:
             "r2_max": r2_max if n_pairs else None,
         }
 
+    def matrices(self) -> dict[str, np.ndarray]:
+        """Assemble full square LD matrices (a capability beyond the
+        reference, for heatmaps / downstream matrix consumers).
+
+        Returns ``{"d", "d_prime", "r2": [S, S] float32 (NaN where the pair
+        was skipped or below the diagonal), "keep": [S, S] bool}``.  Host
+        memory is O(S^2); the tile computation itself streams exactly like
+        :meth:`stream` (the r2 threshold is ignored — matrices are
+        complete)."""
+        s = self.n_sites
+        t = self.cfg.tile
+        out = {
+            k: np.full((s, s), np.nan, dtype=np.float32)
+            for k in ("d", "d_prime", "r2")
+        }
+        keep_m = np.zeros((s, s), dtype=bool)
+        pending = None
+        for b in range(self.n_batches):
+            if pending is None:
+                pending = self._dispatch(b)
+            nxt = self._dispatch(b + 1) if b + 1 < self.n_batches else None
+            (_tcnt, d_t, dp_t, r2_t, _mask, bi, bj, keep_t, _mc, _mv) = pending
+            pending = nxt
+            vals = {
+                "d": np.asarray(d_t),
+                "d_prime": np.asarray(dp_t),
+                "r2": np.asarray(r2_t),
+            }
+            keep_h = np.asarray(keep_t)   # emit/diagonal/skip rules folded in
+            bi_h = np.asarray(bi)
+            bj_h = np.asarray(bj)
+            for kk in range(len(bi_h)):
+                i0, j0 = int(bi_h[kk]) * t, int(bj_h[kk]) * t
+                if i0 >= s or j0 >= s:
+                    continue
+                h, w = min(t, s - i0), min(t, s - j0)
+                km = keep_h[kk, :h, :w]
+                if not km.any():  # padding tiles land here (keep all-False)
+                    continue
+                keep_m[i0:i0 + h, j0:j0 + w] |= km
+                for key, v in vals.items():
+                    np.copyto(out[key][i0:i0 + h, j0:j0 + w],
+                              v[kk, :h, :w], where=km)
+        out["keep"] = keep_m
+        return out
+
     def stream(
         self,
         start_batch: int = 0,
