@@ -128,6 +128,56 @@ def test_fixture_fastas_match_reference_end_to_end(ref, tmp_path):
         assert got == set(expected), name
 
 
+SAMPLES = 16
+_VCF_HEADER = (
+    "##fileformat=VCFv4.1\n"
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+    + "\t".join(f"s{i}" for i in range(SAMPLES))
+)
+
+
+def _vcf_row(pos, gts):
+    return f"1\t{pos}\trs\tA\tT\t100\tPASS\t.\tGT\t" + "\t".join(gts)
+
+
+@pytest.mark.parametrize("name,gts", [
+    ("phased", ["0|1"] * 8 + ["1|1"] * 4 + ["0|0"] * 4),
+    ("unphased", ["0/1"] * SAMPLES),                      # -> all missing
+    ("half_call", [".|1"] * 8 + ["1|."] * 8),
+    ("alt2", ["0|2", "2|1"] + ["0|0"] * (SAMPLES - 2)),
+])
+def test_vcf_matches_reference_execution(ref, tmp_path, name, gts):
+    """Run the ACTUAL reference handle_vcf on synthetic files (POS < 256 so
+    its uint8 wrap is the identity and it survives modern numpy) and demand
+    bit-exact alignment/site_map parity from our reader."""
+    from weightedld_tpu.io.vcf import read_vcf
+
+    path = tmp_path / f"{name}.vcf"
+    path.write_text(
+        _VCF_HEADER + "\n" + _vcf_row(100, gts)
+        + "\n" + _vcf_row(200, list(reversed(gts))) + "\n"
+    )
+    aln_r, sm_r = ref.handle_vcf(str(path))
+    aln_o, sm_o = read_vcf(path)
+    np.testing.assert_array_equal(aln_o, aln_r.astype(np.int8))
+    np.testing.assert_array_equal(sm_o, sm_r)
+
+
+def test_vcf_fully_missing_call_is_extension(ref, tmp_path):
+    """Documented divergence: a fully-missing diploid call '.|.' matches the
+    reference's non-digit-pipe strip regex (WeightedLD.py:352) and crashes
+    it with an empty token; we decode it as two missing haplotypes."""
+    from weightedld_tpu.io.vcf import read_vcf
+
+    gts = [".|."] * 4 + ["0|1"] * (SAMPLES - 4)
+    path = tmp_path / "missing.vcf"
+    path.write_text(_VCF_HEADER + "\n" + _vcf_row(100, gts) + "\n")
+    with pytest.raises(ValueError):
+        ref.handle_vcf(str(path))
+    aln, _ = read_vcf(path)
+    assert int((aln == 4).sum()) == 8  # 4 calls x 2 haplotypes
+
+
 @pytest.mark.parametrize("min_acgt,min_var", [(0.5, 0.1), (0.0, 0.0), (0.9, 0.3)])
 def test_mask_parameter_sweep_matches_reference(ref, min_acgt, min_var):
     # The host f64 masks (used by the ingest pipeline) must be bit-exact

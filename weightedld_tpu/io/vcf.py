@@ -23,8 +23,12 @@ whole-line regex munging.  Semantics preserved:
 * No site masking is applied on the VCF path (``WeightedLD.py:385-388``).
 
 Extensions beyond the reference: genotype fields may carry ``:``-separated
-FORMAT subfields (only the leading GT is read), and haploid calls ``a`` are
-accepted as a single haplotype.
+FORMAT subfields (only the leading GT is read), haploid calls ``a`` are
+accepted as a single haplotype, and fully-missing diploid calls ``.|.``
+decode as two missing haplotypes — the reference's strip regex
+(``WeightedLD.py:352``) deletes such fields outright and crashes on the
+empty token (verified by executing it:
+``tests/test_reference_execution_parity.py``).
 """
 
 from __future__ import annotations
