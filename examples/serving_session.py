@@ -29,3 +29,7 @@ print(session.summarize())
 for batch, records in session.stream():
     for pa, pb, r2 in zip(records.pos_a, records.pos_b, records.r2):
         print(pa, pb, round(float(r2), 4))
+
+# Re-scan at a different threshold: the threshold is a runtime scalar of
+# the compiled program, so this reuses everything already on device.
+print(session.summarize(r2_threshold=0.5))

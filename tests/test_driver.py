@@ -212,3 +212,33 @@ def test_matrix_output_cli(tmp_path, rng):
     # Golden pair (0,1) from SURVEY A.1.
     assert z["keep"][0, 1]
     assert round(float(z["r2"][0, 1]), 4) == 0.2236
+
+
+def test_per_scan_threshold_override(rng):
+    # A serving session scans at different r2 thresholds without recompiling;
+    # each scan must match a session configured with that threshold.
+    from weightedld_tpu.runtime.driver import LdSession
+
+    aln = random_alignment(rng, 20, 60)
+    w = np.ones(20, dtype=np.float32)
+    sm = np.arange(60)
+    sess = LdSession(aln, w, sm, DriverConfig(tile=16))  # default: emit all
+
+    def collect(it):
+        recs = [r for _, r in it]
+        return {
+            (int(a), int(b))
+            for r in recs for a, b in zip(r.pos_a, r.pos_b)
+        }
+
+    all_pairs = collect(sess.stream())
+    thr_pairs = collect(sess.stream(r2_threshold=0.3))
+    fixed = LdSession(aln, w, sm, DriverConfig(tile=16, r2_threshold=0.3))
+    assert thr_pairs == collect(fixed.stream())
+    assert thr_pairs <= all_pairs
+    # And the session default is untouched by the override.
+    assert collect(sess.stream()) == all_pairs
+    s_all = sess.summarize()
+    s_thr = sess.summarize(r2_threshold=0.3)
+    assert s_thr["n_over_threshold"] == len(thr_pairs)
+    assert s_all["n_pairs"] == s_thr["n_pairs"] == len(all_pairs)

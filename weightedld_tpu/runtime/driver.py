@@ -37,6 +37,8 @@ from ..parallel.triangle import cdiv, plan_tiles, stripe
 
 log = logging.getLogger("weightedld_tpu")
 
+_UNSET = object()  # "use the session default" sentinel (None is meaningful)
+
 
 @dataclass
 class DriverConfig:
@@ -183,10 +185,15 @@ class LdSession:
             em_h.reshape(n_dev, self.n_batches, k).sum(axis=(0, 2))
         )
 
-    def _dispatch(self, b: int):
-        """Enqueue one batch (async — nothing is fetched)."""
-        cfg = self.cfg
-        thr = -np.inf if cfg.r2_threshold is None else cfg.r2_threshold
+    def _dispatch(self, b: int, r2_threshold=_UNSET):
+        """Enqueue one batch (async — nothing is fetched).
+
+        ``r2_threshold`` overrides the session default for this dispatch
+        (``None`` = emit every surviving pair); it is a runtime scalar of
+        the compiled program, so per-scan thresholds never recompile (the
+        point of a device-resident serving session)."""
+        thr = self.cfg.r2_threshold if r2_threshold is _UNSET else r2_threshold
+        thr = -np.inf if thr is None else thr
         return self.runner(
             self.codes_dev, self.weights_dev,
             self.ti_dev, self.tj_dev, self.em_dev, b, thr,
@@ -236,11 +243,14 @@ class LdSession:
         """Evaluate one tile batch and return its surviving records."""
         return self._collect(self._dispatch(b))
 
-    def summarize(self) -> dict:
+    def summarize(self, r2_threshold=_UNSET) -> dict:
         """Whole-triangle reduction-only scan: pair counts and r2 moments,
         with O(1) host traffic per batch — the pod-scale 'stats-only' mode
         (no record materialization anywhere).  The moments come fused out of
-        the runner dispatch itself (one program per batch, double-buffered)."""
+        the runner dispatch itself (one program per batch, double-buffered).
+
+        ``r2_threshold`` overrides the session default for this scan only
+        (runtime scalar — no recompilation)."""
         n_pairs = 0
         n_over = 0
         r2_sum = 0.0
@@ -248,8 +258,9 @@ class LdSession:
         pending = None
         for b in range(self.n_batches):
             if pending is None:
-                pending = self._dispatch(b)
-            nxt = self._dispatch(b + 1) if b + 1 < self.n_batches else None
+                pending = self._dispatch(b, r2_threshold)
+            nxt = (self._dispatch(b + 1, r2_threshold)
+                   if b + 1 < self.n_batches else None)
             mc = np.asarray(pending[8])           # [n_dev, 2] int32
             mv = np.asarray(pending[9])           # [n_dev, 2] f32
             pending = nxt
@@ -316,7 +327,11 @@ class LdSession:
         self,
         start_batch: int = 0,
         on_progress: Callable[[Progress], None] | None = None,
+        r2_threshold=_UNSET,
     ) -> Iterator[tuple[int, LdRecords]]:
+        """Stream compacted records batch by batch.  ``r2_threshold``
+        overrides the session default for this scan only (runtime scalar —
+        no recompilation)."""
         t0 = time.monotonic()
         last_report = t0
         tiles_done = 0
@@ -330,8 +345,9 @@ class LdSession:
         pending = None
         for b in range(start_batch, self.n_batches):
             if pending is None:
-                pending = self._dispatch(b)
-            nxt = self._dispatch(b + 1) if b + 1 < self.n_batches else None
+                pending = self._dispatch(b, r2_threshold)
+            nxt = (self._dispatch(b + 1, r2_threshold)
+                   if b + 1 < self.n_batches else None)
             records = self._collect(pending)
             pending = nxt
             records_emitted += len(records)
