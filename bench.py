@@ -29,7 +29,7 @@ S_TPU = 16384
 S_CPU = 2048
 R2_THRESHOLD = 0.1
 TILE = 128
-TILES_PER_BATCH = 2048
+TILES_PER_BATCH = None  # auto: whole plan in one batch when HBM allows
 
 
 def synthetic_alignment(rng, n_seqs, n_sites):

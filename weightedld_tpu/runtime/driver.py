@@ -119,7 +119,16 @@ class LdSession:
         engine = _resolve_engine(cfg.engine)
         if k is None:
             on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-            k = 2048 if (engine == "pallas" and on_tpu) else 8
+            if engine == "pallas" and on_tpu:
+                # Dispatch roundtrips dominate mid-size scans (each batch
+                # costs a host->device->host count fetch; measured 924 M ->
+                # 1,559 M pairs/s at S=16k going from 5 batches to 1), so
+                # fit the whole per-shard plan in one batch when the
+                # [K, T, T] stat outputs stay within ~2 GB of HBM.
+                mem_cap = max(512, (1 << 31) // (cfg.tile * cfg.tile * 14))
+                k = min(max(cdiv(self.plan.n_tiles, n_dev), 1), mem_cap)
+            else:
+                k = 8
             cfg.tiles_per_shard_batch = k
         self.engine = engine
         if engine == "pallas":
