@@ -32,22 +32,27 @@ def initialize_distributed(
 ) -> None:
     """Bring up the JAX distributed runtime (no-op for single-process runs).
 
-    On TPU pods the three arguments are auto-detected from the environment;
-    pass them explicitly for manual bring-up.
+    Call BEFORE any other jax use: probing the backend first (even
+    ``jax.devices()``) would initialize it locally and make a later
+    ``jax.distributed.initialize`` fail.  On TPU pods the arguments are
+    auto-detected from the environment; pass them explicitly for manual
+    bring-up.
     """
-    if num_processes is None and coordinator_address is None:
+    if (coordinator_address is not None or num_processes is not None
+            or process_id is not None):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    else:
         try:
-            n = jax.process_count()
-        except Exception:
-            n = 1
-        if n <= 1:
-            log.info("single-process run; skipping jax.distributed")
+            jax.distributed.initialize()  # auto-detect (pod metadata)
+        except Exception as e:
+            # Single-process run (no coordinator to detect) — or the
+            # runtime was already brought up; either way proceed locally.
+            log.info("skipping jax.distributed: %s", e)
             return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
     log.info(
         "distributed runtime up: process %d/%d, %d local / %d global devices",
         jax.process_index(), jax.process_count(),
