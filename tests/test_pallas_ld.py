@@ -182,3 +182,58 @@ def test_unit_weights_kernel_matches(rng):
                                np.asarray(base.r2)[keep], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(unit.d)[keep],
                                np.asarray(base.d)[keep], rtol=1e-6, atol=1e-8)
+
+
+def test_lo_int8_weights_kernel_matches(rng):
+    # The int8 residual-weight pass (w ~= bf16(w) + alpha*q, per-weight
+    # absolute error <= 2^-9/254) must agree with the exact split-bf16
+    # kernel far inside the reference's 4-dp output rounding.
+    from weightedld_tpu.ops.pallas_ld import pad_weights_lo_int8
+    from weightedld_tpu.parallel.triangle import plan_tiles
+
+    n_seqs, n_sites, tile, chunk = 48, 40, 16, 64
+    aln = random_alignment(rng, n_seqs, n_sites)
+    w = (np.abs(rng.normal(size=n_seqs)) * 0.3 + 0.01).astype(np.float32)
+    w /= w.max()
+    plan = plan_tiles(n_sites, tile)
+    codes = jnp.asarray(pad_alignment_site_major(aln, tile, chunk))
+    ti = jnp.asarray(plan.tile_i); tj = jnp.asarray(plan.tile_j)
+    em = jnp.ones(plan.n_tiles, dtype=jnp.int32)
+
+    base = pallas_tile_stats(
+        codes, jnp.asarray(pad_weights(w, chunk)), ti, tj, em,
+        tile=tile, n_sites=n_sites, seq_chunk=chunk, interpret=True)
+    loq = pallas_tile_stats(
+        codes, jnp.asarray(pad_weights_lo_int8(w, chunk)), ti, tj, em,
+        tile=tile, n_sites=n_sites, seq_chunk=chunk,
+        lo_int8=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(loq.keep), np.asarray(base.keep))
+    keep = np.asarray(base.keep)
+    for field in ("d", "d_prime", "r2"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(loq, field))[keep],
+            np.asarray(getattr(base, field))[keep],
+            atol=2e-4, err_msg=field)
+
+
+def test_lo_int8_driver_matches(rng):
+    # Auto policy is off under interpret; force it through the driver and
+    # demand record-level agreement with the XLA engine.
+    from weightedld_tpu.runtime.driver import DriverConfig, collect_ld_records
+
+    aln = random_alignment(rng, 30, 60)
+    w = (np.abs(rng.normal(size=30)) + 0.1).astype(np.float32)
+    w /= w.max()
+    sm = np.arange(60)
+    want = collect_ld_records(aln, w, sm, DriverConfig(tile=16, engine="xla"))
+    got = collect_ld_records(
+        aln, w, sm,
+        DriverConfig(tile=16, engine="pallas", lo_int8_weights=True),
+    )
+    wm = {(int(a), int(b)): float(r) for a, b, r in
+          zip(want.pos_a, want.pos_b, want.r2)}
+    gm = {(int(a), int(b)): float(r) for a, b, r in
+          zip(got.pos_a, got.pos_b, got.r2)}
+    assert set(gm) == set(wm)
+    for k in wm:
+        np.testing.assert_allclose(gm[k], wm[k], atol=2e-4, err_msg=str(k))
