@@ -152,3 +152,31 @@ def test_reference_engine(tmp_path, capsys):
     _, ref_out = _run(capsys, "--file", str(f), "--engine", "reference")
     _, dense_out = _run(capsys, "--file", str(f), "--engine", "dense")
     assert ref_out == dense_out  # f64 audit engine agrees at 4 dp
+
+
+def test_gzip_pair_and_weights_output(tmp_path):
+    import gzip
+
+    src = tmp_path / "e.fasta"
+    write_fasta(src, ALL_FASTAS["example"])
+    plain = tmp_path / "p.tsv"
+    gz = tmp_path / "p.tsv.gz"
+    wgz = tmp_path / "w.tsv.gz"
+    assert main(["--file", str(src), "--pair-output", str(plain)]) == 0
+    assert main(["--file", str(src), "--pair-output", str(gz),
+                 "--weights-output", str(wgz)]) == 0
+    assert gzip.open(gz, "rt").read() == plain.read_text()
+    assert gzip.open(wgz, "rt").read().startswith("sequence\tweight\n")
+
+
+def test_gzip_checkpoint_refused(tmp_path):
+    from weightedld_tpu.runtime.driver import DriverConfig, run_to_tsv
+
+    from .fixtures import random_alignment
+
+    rng = np.random.default_rng(0)
+    aln = random_alignment(rng, 10, 30)
+    with pytest.raises(ValueError, match="gzip"):
+        run_to_tsv(aln, np.ones(10, np.float32), np.arange(30),
+                   tmp_path / "x.tsv.gz", DriverConfig(tile=16),
+                   checkpoint=True)

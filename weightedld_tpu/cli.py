@@ -120,7 +120,7 @@ def main(argv=None) -> int:
     )
     log = logging.getLogger("weightedld_tpu")
 
-    from .io.writer import write_pairs, write_weights
+    from .io.writer import open_text_output, write_pairs, write_weights
     from .pipeline import WldConfig, prepare
 
     if args.compat == "rust":
@@ -180,7 +180,7 @@ def main(argv=None) -> int:
              time.monotonic() - t0)
 
     if args.weights_output:
-        with open(args.weights_output, "w") as fh:
+        with open_text_output(args.weights_output) as fh:
             write_weights(res.weights, fh)
 
     if s < 2:
@@ -300,7 +300,7 @@ def main(argv=None) -> int:
         if args.r2_threshold is not None:
             m = records.r2 > args.r2_threshold
             records = LdRecords(*(np.asarray(f)[m] for f in records))
-        out = open(args.pair_output, "w") if args.pair_output else sys.stdout
+        out = open_text_output(args.pair_output) if args.pair_output else sys.stdout
         try:
             write_pairs(records, out, ndigits=args.ndigits)
         finally:
@@ -316,7 +316,7 @@ def main(argv=None) -> int:
                 jnp.asarray(res.alignment), jnp.asarray(res.weights)
             )
         records = extract_records(stats, res.site_map, args.r2_threshold)
-        out = open(args.pair_output, "w") if args.pair_output else sys.stdout
+        out = open_text_output(args.pair_output) if args.pair_output else sys.stdout
         try:
             write_pairs(records, out, ndigits=args.ndigits)
         finally:
@@ -346,7 +346,7 @@ def main(argv=None) -> int:
                 )
             order = np.lexsort((rec.pos_b, rec.pos_a))
             rec = LdRecords(*(np.asarray(f)[order] for f in rec))
-            out = open(args.pair_output, "w") if args.pair_output else sys.stdout
+            out = open_text_output(args.pair_output) if args.pair_output else sys.stdout
             try:
                 write_pairs(rec, out, ndigits=args.ndigits)
             finally:

@@ -19,6 +19,16 @@ from ..core.ld_dense import LdRecords
 PAIR_HEADER = "posa\tposb\tD\tD'\tR2"
 
 
+def open_text_output(path):
+    """Text handle for TSV output; a ``.gz`` suffix writes gzip-compressed
+    (symmetric with the readers' transparent gzip input support)."""
+    if str(path).endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "wt")
+    return open(path, "w")
+
+
 def _fmt(x: float, ndigits: int) -> str:
     # Python's print(round(x, 4)) semantics: shortest float repr.
     return repr(round(float(x), ndigits))

@@ -459,9 +459,16 @@ def run_to_tsv(
     """
     import hashlib
 
-    from ..io.writer import PAIR_HEADER, write_pairs
+    from ..io.writer import PAIR_HEADER, open_text_output, write_pairs
 
     out_path = Path(out_path)
+    is_gz = str(out_path).endswith(".gz")
+    if is_gz and checkpoint:
+        raise ValueError(
+            "checkpoint/resume needs byte-offset truncation, which a gzip "
+            "stream cannot support — use an uncompressed --pair-output or "
+            "drop --checkpoint"
+        )
     ckpt_path = out_path.with_suffix(out_path.suffix + ".ckpt.json")
 
     cfg_ = cfg or DriverConfig()
@@ -493,7 +500,7 @@ def run_to_tsv(
                  start_batch, n_written)
 
     if offset is None:
-        fh = open(out_path, "w")
+        fh = open_text_output(out_path)
         fh.write(PAIR_HEADER + "\n")
     else:
         fh = open(out_path, "r+")
