@@ -180,3 +180,37 @@ def test_gzip_checkpoint_refused(tmp_path):
         run_to_tsv(aln, np.ones(10, np.float32), np.arange(30),
                    tmp_path / "x.tsv.gz", DriverConfig(tile=16),
                    checkpoint=True)
+
+
+def test_gzip_output_deterministic(tmp_path):
+    from .fixtures import ALL_FASTAS, write_fasta
+
+    src = tmp_path / "e.fasta"
+    write_fasta(src, ALL_FASTAS["example"])
+    a, b = tmp_path / "a.tsv.gz", tmp_path / "b.tsv.gz"
+    assert main(["--file", str(src), "--pair-output", str(a)]) == 0
+    assert main(["--file", str(src), "--pair-output", str(b)]) == 0
+    # Byte-identical across runs and names (no mtime/filename in header).
+    assert a.read_bytes() == b.read_bytes()
+
+
+def test_gzip_checkpoint_flag_conflict_clean_error(tmp_path, capsys):
+    from .fixtures import ALL_FASTAS, write_fasta
+
+    src = tmp_path / "e.fasta"
+    write_fasta(src, ALL_FASTAS["example"])
+    rc = main(["--file", str(src), "--pair-output",
+               str(tmp_path / "x.tsv.gz"), "--checkpoint"])
+    assert rc == 2
+    assert "gzip" in capsys.readouterr().err
+
+
+def test_matrix_output_few_sites(tmp_path):
+    # <2 surviving sites must still produce the requested .npz (not a
+    # stray pair header).
+    src = tmp_path / "flat.fasta"
+    write_fasta(src, ["AAAA"] * 6)  # no variable sites
+    out = tmp_path / "m.npz"
+    assert main(["--file", str(src), "--matrix-output", str(out)]) == 0
+    z = np.load(out)
+    assert z["keep"].shape == (0, 0)

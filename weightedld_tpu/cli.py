@@ -123,6 +123,21 @@ def main(argv=None) -> int:
     from .io.writer import open_text_output, write_pairs, write_weights
     from .pipeline import WldConfig, prepare
 
+    # Flag-combination validation up front, before any work.
+    if args.checkpoint and args.pair_output and \
+            str(args.pair_output).endswith(".gz"):
+        print("error: --checkpoint needs byte-offset resume, which a gzip "
+              "--pair-output cannot support; drop one of the two",
+              file=sys.stderr)
+        return 2
+    if args.matrix_output is not None and args.stats_only:
+        print("error: --matrix-output and --stats-only are mutually "
+              "exclusive output modes", file=sys.stderr)
+        return 2
+    if args.matrix_output is not None and args.r2_threshold is not None:
+        print("warning: --matrix-output writes complete matrices; "
+              "--r2-threshold is ignored in this mode", file=sys.stderr)
+
     if args.compat == "rust":
         # Reference Rust binary semantics (main.rs:19-68 defaults); explicit
         # flags still win where the user set them.
@@ -185,8 +200,17 @@ def main(argv=None) -> int:
 
     if s < 2:
         log.info("fewer than 2 sites of interest; nothing to do")
-        if args.pair_output:
-            args.pair_output.write_text("posa\tposb\tD\tD'\tR2\n")
+        if args.matrix_output is not None:
+            np.savez_compressed(
+                args.matrix_output,
+                site_map=res.site_map,
+                keep=np.zeros((s, s), dtype=bool),
+                **{k: np.full((s, s), np.nan, dtype=np.float32)
+                   for k in ("d", "d_prime", "r2")},
+            )
+        elif args.pair_output:
+            with open_text_output(args.pair_output) as fh:
+                fh.write("posa\tposb\tD\tD'\tR2\n")
         else:
             print("posa\tposb\tD\tD'\tR2")
         return 0

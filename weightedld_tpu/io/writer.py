@@ -9,6 +9,7 @@ Python format, and :func:`write_weights` covers the Rust-only weights dump.
 
 from __future__ import annotations
 
+import io
 import sys
 from typing import IO
 
@@ -21,12 +22,34 @@ PAIR_HEADER = "posa\tposb\tD\tD'\tR2"
 
 def open_text_output(path):
     """Text handle for TSV output; a ``.gz`` suffix writes gzip-compressed
-    (symmetric with the readers' transparent gzip input support)."""
+    (symmetric with the readers' transparent gzip input support).
+
+    ``mtime=0`` keeps the gzip header free of the wall clock, so identical
+    runs produce byte-identical .gz files (deterministic outputs are an
+    advertised property of this framework)."""
     if str(path).endswith(".gz"):
+        return _DeterministicGzipText(path)
+    return open(path, "w")
+
+
+class _DeterministicGzipText(io.TextIOWrapper):
+    """Gzip text writer with no mtime and no embedded filename in the
+    header: identical runs produce byte-identical .gz files."""
+
+    def __init__(self, path):
         import gzip
 
-        return gzip.open(path, "wt")
-    return open(path, "w")
+        self._raw = open(path, "wb")
+        gz = gzip.GzipFile(
+            filename="", fileobj=self._raw, mode="wb", mtime=0
+        )
+        super().__init__(gz, encoding="utf-8")
+
+    def close(self):
+        try:
+            super().close()  # flushes and closes the GzipFile
+        finally:
+            self._raw.close()
 
 
 def _fmt(x: float, ndigits: int) -> str:

@@ -45,19 +45,45 @@ def initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif _multiprocess_env():
+        # A pod/cluster environment is clearly indicated: a failed
+        # bring-up here must NOT silently degrade to N independent
+        # "process 0"s all writing the same output — propagate it.
+        jax.distributed.initialize()  # auto-detect from the environment
     else:
-        try:
-            jax.distributed.initialize()  # auto-detect (pod metadata)
-        except Exception as e:
-            # Single-process run (no coordinator to detect) — or the
-            # runtime was already brought up; either way proceed locally.
-            log.info("skipping jax.distributed: %s", e)
-            return
+        log.info("no multi-process environment detected; running locally")
+        return
     log.info(
         "distributed runtime up: process %d/%d, %d local / %d global devices",
         jax.process_index(), jax.process_count(),
         jax.local_device_count(), jax.device_count(),
     )
+
+
+def _multiprocess_env() -> bool:
+    """Heuristic: does the environment indicate a multi-process job?
+
+    Explicit coordinator variables always count.  SLURM counts only when
+    the allocation has multiple tasks AND this process has a task id (a
+    user running N *independent* scans inside one allocation should not be
+    fused into one accidental distributed group — pass explicit arguments
+    for manual bring-up instead).  Cloud TPU pods expose worker variables.
+    """
+    import os
+
+    env = os.environ
+    if any(v in env for v in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+    )):
+        return True
+    hostnames = env.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hostnames.split(",") if h.strip()]) > 1:
+        return True  # a pod slice; single-worker values stay local
+    try:
+        return int(env.get("SLURM_NTASKS", "1")) > 1 and "SLURM_PROCID" in env
+    except ValueError:
+        return False
 
 
 def global_mesh(axis_name: str = "tiles") -> Mesh:

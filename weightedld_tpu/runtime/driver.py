@@ -51,10 +51,11 @@ class DriverConfig:
     engine: str = "auto"            # auto | pallas | xla
     seq_chunk: int = 512            # pallas: sequence-axis chunk
     max_site_distance: int | None = None  # windowed LD (kept-site indices)
-    lo_int8_weights: bool | None = None   # pallas: int8 residual-weight pass
-                                    # (None = auto: on for real-TPU weighted
-                                    # runs; ~7.7e-6 absolute weight error,
-                                    # 2.0 instead of 2.5 MXU pass-equivalents)
+    lo_int8_weights: bool = False   # pallas: int8 residual-weight pass
+                                    # (opt-in, +4% measured: ~7.7e-6 absolute
+                                    # weight error can move r2 by ~1e-4 — the
+                                    # 4-dp rounding quantum — so parity wins
+                                    # by default)
 
 
 def _resolve_engine(engine: str) -> str:
@@ -127,9 +128,17 @@ class LdSession:
                 # Dispatch roundtrips dominate mid-size scans (each batch
                 # costs a host->device->host count fetch; measured 924 M ->
                 # 1,559 M pairs/s at S=16k going from 5 batches to 1), so
-                # fit the whole per-shard plan in one batch when the
-                # [K, T, T] stat outputs stay within ~2 GB of HBM.
-                mem_cap = max(512, (1 << 31) // (cfg.tile * cfg.tile * 14))
+                # fit the whole per-shard plan in one batch when memory
+                # allows.  Budget: the [K, T, T] stat outputs (~14 B/pair)
+                # exist twice (double-buffered dispatch) — ~2 GiB each was
+                # measured safe on a 16 GiB v5e; with no r2 threshold every
+                # surviving pair becomes a record, so additionally cap the
+                # per-batch gather-compact buffers (~20 B/record, capacity
+                # bucketed up to 2x) at ~1 GiB.
+                t2 = cfg.tile * cfg.tile
+                mem_cap = max(1, (1 << 31) // (t2 * 14))
+                if cfg.r2_threshold is None:
+                    mem_cap = min(mem_cap, max(1, (1 << 30) // (t2 * 40)))
                 k = min(max(cdiv(self.plan.n_tiles, n_dev), 1), mem_cap)
             else:
                 k = 8
@@ -149,10 +158,10 @@ class LdSession:
             w_arr = np.asarray(weights, dtype=np.float32)
             exact = weights_bf16_exact(w_arr)
             unit = bool((w_arr == 1.0).all())
-            lo_int8 = cfg.lo_int8_weights
-            if lo_int8 is None:  # auto: the fast path for real weighted runs
-                lo_int8 = not interpret and not exact and not unit
-            lo_int8 = lo_int8 and not exact and not unit
+            # Opt-in (measured +4%): the quantized residual can move r2 by
+            # ~1e-4 — the size of the 4-dp rounding quantum — so parity
+            # stays the default and the speedup is a deliberate choice.
+            lo_int8 = bool(cfg.lo_int8_weights) and not exact and not unit
             self.runner = make_sharded_stats_runner(
                 self.mesh, tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k,
                 engine="pallas", planes=planes, seq_chunk=cfg.seq_chunk,
@@ -269,6 +278,19 @@ class LdSession:
         """Evaluate one tile batch and return its surviving records."""
         return self._collect(self._dispatch(b))
 
+    def _pipelined(self, start_batch: int = 0, r2_threshold=_UNSET):
+        """Yield (batch_index, dispatched) with batch b+1 already enqueued
+        on-device while b's results travel to the host — the single
+        double-buffering loop behind summarize/stream/matrices."""
+        pending = None
+        for b in range(start_batch, self.n_batches):
+            if pending is None:
+                pending = self._dispatch(b, r2_threshold)
+            nxt = (self._dispatch(b + 1, r2_threshold)
+                   if b + 1 < self.n_batches else None)
+            yield b, pending
+            pending = nxt
+
     def summarize(self, r2_threshold=_UNSET) -> dict:
         """Whole-triangle reduction-only scan: pair counts and r2 moments,
         with O(1) host traffic per batch — the pod-scale 'stats-only' mode
@@ -281,15 +303,9 @@ class LdSession:
         n_over = 0
         r2_sum = 0.0
         r2_max = -np.inf
-        pending = None
-        for b in range(self.n_batches):
-            if pending is None:
-                pending = self._dispatch(b, r2_threshold)
-            nxt = (self._dispatch(b + 1, r2_threshold)
-                   if b + 1 < self.n_batches else None)
-            mc = np.asarray(pending[8])           # [n_dev, 2] int32
-            mv = np.asarray(pending[9])           # [n_dev, 2] f32
-            pending = nxt
+        for _b, dispatched in self._pipelined(r2_threshold=r2_threshold):
+            mc = np.asarray(dispatched[8])        # [n_dev, 2] int32
+            mv = np.asarray(dispatched[9])        # [n_dev, 2] f32
             n_pairs += int(mc[:, 0].sum())
             n_over += int(mc[:, 1].sum())
             r2_sum += float(mv[:, 0].sum())
@@ -319,13 +335,10 @@ class LdSession:
             for k in ("d", "d_prime", "r2")
         }
         keep_m = np.zeros((s, s), dtype=bool)
-        pending = None
-        for b in range(self.n_batches):
-            if pending is None:
-                pending = self._dispatch(b)
-            nxt = self._dispatch(b + 1) if b + 1 < self.n_batches else None
-            (_tcnt, d_t, dp_t, r2_t, _mask, bi, bj, keep_t, _mc, _mv) = pending
-            pending = nxt
+        for _b, dispatched in self._pipelined():
+            (_tcnt, d_t, dp_t, r2_t, _mask, bi, bj, keep_t, _mc, _mv) = (
+                dispatched
+            )
             vals = {
                 "d": np.asarray(d_t),
                 "d_prime": np.asarray(dp_t),
@@ -368,14 +381,8 @@ class LdSession:
         tiles_total = self.plan.n_tiles
         # Double-buffer: batch b+1 computes on-device while batch b's counts
         # travel to the host and its records are compacted/written.
-        pending = None
-        for b in range(start_batch, self.n_batches):
-            if pending is None:
-                pending = self._dispatch(b, r2_threshold)
-            nxt = (self._dispatch(b + 1, r2_threshold)
-                   if b + 1 < self.n_batches else None)
-            records = self._collect(pending)
-            pending = nxt
+        for b, dispatched in self._pipelined(start_batch, r2_threshold):
+            records = self._collect(dispatched)
             records_emitted += len(records)
             tiles_done += int(self._emit_per_batch[b])
             now = time.monotonic()
