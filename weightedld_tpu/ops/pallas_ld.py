@@ -19,7 +19,16 @@ contracted on the MXU with joint-table accumulators persisting across the
 chunk axis:
 
   Jw += (X*w_hi) @ Y^T [+ (X*w_lo) @ Y^T]   bf16, f32 accumulation
-  Ju += X8 @ Y8^T                            int8 -> int32, exact
+  Ma += X8 @ v(B)^T ; Mb += v(A) @ Y8^T      int8 -> int32, exact
+
+where ``v(.)`` is the (T x Nc) validity plane (code != UNKNOWN).  The
+finalization needs the *unweighted* joint table only through its per-pair
+marginal counts (the reference's post-filter allele counts,
+``WeightedLD.py:194-211``), and the marginal of the joint over B's alleles
+is exactly ``#{A==s and B valid}`` — so two (pT x T) contractions replace
+the (pT x pT) joint at ``2/p`` of its FLOPs (exact, bit-identical counts).
+The unit-weight kernel still forms the full joint (its 4-cell selection
+reads individual joint entries).
 
 ``w = w_hi + w_lo`` is the split-bf16 weight decomposition (~2^-17 relative
 error); the one-hot planes are exact {0,1} in bf16 so each pass is exact
@@ -112,7 +121,7 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
                ti_ref, tj_ref, em_ref,
                a_ref, b_ref, w_ref,
                d_ref, dp_ref, r2_ref, keep_ref,
-               acc_ref, acci_ref):
+               acc_ref, ma_ref, mb_ref):
     t = tile
     p = len(planes)
     k = pl.program_id(0)
@@ -128,7 +137,8 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
     @pl.when(c == 0)
     def _():
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
-        acci_ref[:, :] = jnp.zeros_like(acci_ref)
+        ma_ref[:, :] = jnp.zeros_like(ma_ref)
+        mb_ref[:, :] = jnp.zeros_like(mb_ref)
 
     def dot16(x, y):
         # bf16 x bf16 -> f32-accumulated MXU contraction over the chunk axis.
@@ -152,6 +162,10 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
         # at default sizes — disappears; only casts and weight muls remain.
         xu8 = a_ref[:, :]                  # (PT, Nc) int8
         yu8 = b_ref[:, :]
+        # Validity = union of the one-hot planes (codes outside `planes`
+        # never occur by construction of detect_planes; padding is UNKNOWN).
+        xv8 = sum(xu8[s * t:(s + 1) * t, :] for s in range(p))  # (T, Nc)
+        yv8 = sum(yu8[s * t:(s + 1) * t, :] for s in range(p))
     else:
         # Widen int8 codes to int32: v5e Mosaic has no int8 vector compare.
         a = a_ref[:, :].astype(jnp.int32)  # (T, Nc)
@@ -162,6 +176,8 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
         yu8 = jnp.concatenate(
             [(b == s).astype(jnp.int8) for s in planes], axis=0
         )
+        xv8 = (a != UNKNOWN).astype(jnp.int8)   # (T, Nc) validity
+        yv8 = (b != UNKNOWN).astype(jnp.int8)
     xu = xu8.astype(bf16)
     yu = yu8.astype(bf16)
     jw_chunk = dot16(xu * w_hi, yu)
@@ -178,12 +194,17 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
         w_lo = (w - w_hi.astype(f32)).astype(bf16)
         jw_chunk = jw_chunk + dot16(xu * w_lo, yu)
     acc_ref[:, :] += jw_chunk
-    # Unweighted joint table: int8 x int8 -> int32, exact and at double
-    # MXU rate.
-    acci_ref[:, :] += jax.lax.dot_general(
-        xu8, yu8, (((1,), (1,)), ((), ())),
+    # Unweighted per-pair marginal counts: two int8 contractions against the
+    # validity plane at 2/p the FLOPs of the full (pT x pT) joint, exact
+    # (int8 x int8 -> int32, double MXU rate).
+    ma_ref[:, :] += jax.lax.dot_general(
+        xu8, yv8, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
-    )
+    )                                      # (PT, T): #{A==s, B valid}
+    mb_ref[:, :] += jax.lax.dot_general(
+        xv8, yu8, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                      # (T, PT): #{A valid, B==u}
 
     ti = ti_ref[k]
     tj = tj_ref[k]
@@ -193,10 +214,11 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
     def _finalize():
         load_jw = lambda s, u, lo, hi: acc_ref[s * t + lo:s * t + hi,
                                                u * t:(u + 1) * t]
-        load_ju = lambda s, u, lo, hi: acci_ref[s * t + lo:s * t + hi,
-                                                u * t:(u + 1) * t]
+        load_cnt_a = lambda s, lo, hi: ma_ref[s * t + lo:s * t + hi, :]
+        load_cnt_b = lambda u, lo, hi: mb_ref[lo:hi, u * t:(u + 1) * t]
         _ld_finalize(tile, n_sites, planes, ti, tj, em,
-                     d_ref, dp_ref, r2_ref, keep_ref, load_jw, load_ju)
+                     d_ref, dp_ref, r2_ref, keep_ref, load_jw,
+                     load_cnt_a, load_cnt_b)
 
 
 def _ld_kernel_unit(tile: int, n_sites: int, planes: tuple, preplaned: bool,
@@ -244,14 +266,20 @@ def _ld_kernel_unit(tile: int, n_sites: int, planes: tuple, preplaned: bool,
                                                 u * t:(u + 1) * t]
         load_jw = lambda s, u, lo, hi: load_ju(s, u, lo, hi).astype(
             jnp.float32)
+        # Counts = marginals of the (already materialized) full joint.
+        load_cnt_a = lambda s, lo, hi: sum(
+            load_ju(s, u, lo, hi) for u in range(p))
+        load_cnt_b = lambda u, lo, hi: sum(
+            load_ju(s, u, lo, hi) for s in range(p))
         _ld_finalize(tile, n_sites, planes, ti, tj, em,
-                     d_ref, dp_ref, r2_ref, keep_ref, load_jw, load_ju)
+                     d_ref, dp_ref, r2_ref, keep_ref, load_jw,
+                     load_cnt_a, load_cnt_b)
 
 
 def _ld_finalize(tile: int, n_sites: int, planes: tuple,
                  ti, tj, em,
                  d_ref, dp_ref, r2_ref, keep_ref,
-                 load_jw, load_ju, row_chunk: int = 128):
+                 load_jw, load_cnt_a, load_cnt_b, row_chunk: int = 128):
     """Branch-free per-pair finalization, processed in row chunks of the
     tile so peak VPU temporaries stay bounded for large T (every quantity
     here is element-wise per site pair, so row slicing is exact)."""
@@ -263,13 +291,14 @@ def _ld_finalize(tile: int, n_sites: int, planes: tuple,
     for lo in range(0, t, rc):
         hi = lo + rc
         jw = [[load_jw(s, u, lo, hi) for u in range(p)] for s in range(p)]
-        ju = [[load_ju(s, u, lo, hi) for u in range(p)] for s in range(p)]
 
-        # Per-pair post-filter allele counts = marginals of the unweighted
-        # joint (the reference recomputes them per pair via np.unique,
-        # WeightedLD.py:194-211).
-        cnt_a = [sum(ju[s][u] for u in range(p)) for s in range(p)]  # int32
-        cnt_b = [sum(ju[s][u] for s in range(p)) for u in range(p)]
+        # Per-pair post-filter allele counts (the reference recomputes them
+        # per pair via np.unique, WeightedLD.py:194-211): cnt_a[s] =
+        # #{A==planes[s], B valid}, cnt_b[u] = #{A valid, B==planes[u]} —
+        # the marginals of the unweighted joint over the other site's
+        # alleles, delivered by the loaders as (rc, t) int32 planes.
+        cnt_a = [load_cnt_a(s, lo, hi) for s in range(p)]  # int32
+        cnt_b = [load_cnt_b(u, lo, hi) for u in range(p)]
 
         def major_dmin(cnt):
             # integer score = 8*count + (5 - symbol code): ties -> lower
@@ -454,7 +483,8 @@ def pallas_tile_stats(
                          preplaned, lo_int8)
         scratch = [
             pltpu.VMEM((p * t, p * t), jnp.float32),   # weighted joint acc
-            pltpu.VMEM((p * t, p * t), jnp.int32),     # unweighted joint acc
+            pltpu.VMEM((p * t, t), jnp.int32),  # count marginal #{A==s,B valid}
+            pltpu.VMEM((t, p * t), jnp.int32),  # count marginal #{A valid,B==u}
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
