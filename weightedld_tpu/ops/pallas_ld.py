@@ -37,7 +37,11 @@ given its operand.  Static specializations drop passes when possible:
 ``unit_weights`` (--unweighted) drops both bf16 passes (Jw == Ju);
 ``planes`` restricts the alphabet (binary SNP data: P=3 or 2 instead of 5,
 a quadratic FLOP reduction); ``preplaned`` consumes precomputed one-hot
-planes from HBM (measured neutral — kept as an experimental variant).
+planes from HBM (measured neutral — kept as an experimental variant);
+``wquant`` quantizes the weighted passes to int8 (double MXU rate):
+``"lo_int8"`` only the residual pass (~7.7e-6 weight error), ``"int8"``
+both passes via ``w ~= a1*q1 + a2*q2`` (~1.6e-5 — 1.0 bf16-pass
+equivalents for the weighted joint).
 
 The finalization — per-pair marginal counts, major/dominant-minor with
 smallest-code tie-break, both skip rules, and the D/D'/r2 algebra — is the
@@ -116,8 +120,44 @@ def pad_weights_lo_int8(
     return out
 
 
+def pad_weights_int8(
+    weights: np.ndarray, seq_chunk: int = DEFAULT_SEQ_CHUNK
+) -> np.ndarray:
+    """Weights packed for the ``int8`` kernel variant (BOTH weight passes
+    quantized): ``[4, N_pad]`` f32 with rows q1 / q2 / a1 / a2 (the scales
+    broadcast), where ``w ~= a1*q1 + a2*q2``.
+
+    Two-level int8 quantization: ``a1 = max|w|/127``, ``q1 = round(w/a1)``;
+    the residual ``r = w - a1*q1`` (``|r| <= a1/2``) is re-quantized with
+    ``a2 = max|r|/127``.  Per-weight absolute error ``<= a2/2 <= a1/508 =
+    max|w|/64516 ~= 1.6e-5`` for max-normalized weights — about 2x the
+    split-bf16 bound, still an order of magnitude below the reference's
+    4-dp output rounding.  Both MXU passes then run int8 (double bf16
+    rate): 1.0 bf16-pass equivalents for the weighted joint instead of 2.0
+    (split-bf16) or 1.5 (lo_int8).
+    """
+    n = weights.shape[0]
+    n_pad = -(-n // seq_chunk) * seq_chunk
+    w32 = np.zeros(n_pad, dtype=np.float32)
+    w32[:n] = np.asarray(weights, dtype=np.float32)
+    out = np.zeros((4, n_pad), dtype=np.float32)
+    s1 = float(np.abs(w32).max())
+    if s1 > 0.0:
+        a1 = s1 / 127.0
+        q1 = np.round(w32 / a1).clip(-127, 127)
+        r = w32 - a1 * q1
+        out[0] = q1
+        out[2] = a1
+        s2 = float(np.abs(r).max())
+        if s2 > 0.0:
+            a2 = s2 / 127.0
+            out[1] = np.round(r / a2).clip(-127, 127)
+            out[3] = a2
+    return out
+
+
 def _ld_kernel(tile: int, n_sites: int, planes: tuple,
-               exact_weights: bool, preplaned: bool, lo_int8: bool,
+               exact_weights: bool, preplaned: bool, wquant: str,
                ti_ref, tj_ref, em_ref,
                a_ref, b_ref, w_ref,
                d_ref, dp_ref, r2_ref, keep_ref,
@@ -146,16 +186,6 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
             x, y, (((1,), (1,)), ((), ())), preferred_element_type=f32
         )
 
-    w = w_ref[0:1, :]                     # (1, Nc) f32
-    # Split-bf16 weights: w = w_hi + w_lo to ~2^-17 relative error; the
-    # one-hot planes are exact {0, 1} in bf16, so each of the MXU passes
-    # below is exact given its bf16 operand.  When the weights are
-    # bf16-representable (e.g. --unweighted), the w_lo pass vanishes and is
-    # skipped statically (2 passes instead of 3).  With ``lo_int8`` the
-    # residual pass instead runs int8 (double MXU rate) on the quantized
-    # residual q with scale alpha (see pad_weights_lo_int8) — 2.0 instead
-    # of 2.5 bf16-pass equivalents per chunk.
-    w_hi = w.astype(bf16)
     if preplaned:
         # One-hot planes precomputed in HBM (tile-contiguous layout): the
         # per-tile compare/widen/concat chain — about half the kernel time
@@ -178,33 +208,50 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
         )
         xv8 = (a != UNKNOWN).astype(jnp.int8)   # (T, Nc) validity
         yv8 = (b != UNKNOWN).astype(jnp.int8)
-    xu = xu8.astype(bf16)
-    yu = yu8.astype(bf16)
-    jw_chunk = dot16(xu * w_hi, yu)
-    if lo_int8 and not exact_weights:
-        q8 = w_ref[1:2, :].astype(jnp.int32)          # (1, Nc) quantized w_lo
-        xq = (xu8.astype(jnp.int32) * q8).astype(jnp.int8)
-        jq = jax.lax.dot_general(
-            xq, yu8, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
+
+    def dot8(x, y):
+        # int8 x int8 -> int32 MXU contraction (double the bf16 rate), exact.
+        return jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
         )
-        alpha = w_ref[2, 0]
-        jw_chunk = jw_chunk + alpha * jq.astype(f32)
-    elif not exact_weights:
-        w_lo = (w - w_hi.astype(f32)).astype(bf16)
-        jw_chunk = jw_chunk + dot16(xu * w_lo, yu)
+
+    # Weighted joint-table passes.  Three static variants (see module
+    # docstring): split-bf16 (default, w = w_hi + w_lo to ~2^-17 relative
+    # error — both operands exact in bf16 so each pass is exact given its
+    # operand), ``lo_int8`` (residual pass int8-quantized at double MXU
+    # rate), ``int8`` (BOTH passes int8: w ~= a1*q1 + a2*q2, the two integer
+    # joints are exact and combine in f32 — 1.0 bf16-pass equivalents).
+    # ``exact_weights`` (bf16-representable weights) drops the residual pass.
+    if wquant == "int8" and not exact_weights:
+        q1 = w_ref[0:1, :].astype(jnp.int32)  # (1, Nc) quantized w
+        q2 = w_ref[1:2, :].astype(jnp.int32)  # (1, Nc) quantized residual
+        xi = xu8.astype(jnp.int32)
+        xq1 = (xi * q1).astype(jnp.int8)      # one-hot * q fits int8 exactly
+        xq2 = (xi * q2).astype(jnp.int8)
+        a1 = w_ref[2, 0]
+        a2 = w_ref[3, 0]
+        jw_chunk = (a1 * dot8(xq1, yu8).astype(f32)
+                    + a2 * dot8(xq2, yu8).astype(f32))
+    else:
+        w = w_ref[0:1, :]                     # (1, Nc) f32
+        w_hi = w.astype(bf16)
+        xu = xu8.astype(bf16)
+        yu = yu8.astype(bf16)
+        jw_chunk = dot16(xu * w_hi, yu)
+        if wquant == "lo_int8" and not exact_weights:
+            q8 = w_ref[1:2, :].astype(jnp.int32)      # (1, Nc) quantized w_lo
+            xq = (xu8.astype(jnp.int32) * q8).astype(jnp.int8)
+            alpha = w_ref[2, 0]
+            jw_chunk = jw_chunk + alpha * dot8(xq, yu8).astype(f32)
+        elif not exact_weights:
+            w_lo = (w - w_hi.astype(f32)).astype(bf16)
+            jw_chunk = jw_chunk + dot16(xu * w_lo, yu)
     acc_ref[:, :] += jw_chunk
     # Unweighted per-pair marginal counts: two int8 contractions against the
     # validity plane at 2/p the FLOPs of the full (pT x pT) joint, exact
     # (int8 x int8 -> int32, double MXU rate).
-    ma_ref[:, :] += jax.lax.dot_general(
-        xu8, yv8, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )                                      # (PT, T): #{A==s, B valid}
-    mb_ref[:, :] += jax.lax.dot_general(
-        xv8, yu8, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )                                      # (T, PT): #{A valid, B==u}
+    ma_ref[:, :] += dot8(xu8, yv8)         # (PT, T): #{A==s, B valid}
+    mb_ref[:, :] += dot8(xv8, yu8)         # (T, PT): #{A valid, B==u}
 
     ti = ti_ref[k]
     tj = tj_ref[k]
@@ -441,12 +488,13 @@ def build_planes_tiled(codes_sm: jnp.ndarray, *, tile: int,
 
 @partial(jax.jit, static_argnames=("tile", "n_sites", "seq_chunk", "planes",
                                    "exact_weights", "unit_weights",
-                                   "preplaned", "lo_int8", "interpret"))
+                                   "preplaned", "wquant", "interpret"))
 def pallas_tile_stats(
     codes_sm: jnp.ndarray,     # [S_pad, N_pad] int8 site-major codes, or
                                # [grid*P*T, N_pad] planes when preplaned=True
-    weights_row: jnp.ndarray,  # [1, N_pad] f32 ([3, N_pad] when lo_int8:
-                               # rows w / q / alpha, see pad_weights_lo_int8)
+    weights_row: jnp.ndarray,  # [1, N_pad] f32 ([3, N_pad] when wquant=
+                               # "lo_int8": rows w / q / alpha; [4, N_pad]
+                               # when wquant="int8": rows q1 / q2 / a1 / a2)
     tile_i: jnp.ndarray,       # [K] int32
     tile_j: jnp.ndarray,       # [K] int32
     emit: jnp.ndarray,         # [K] int32 (0/1)
@@ -458,10 +506,15 @@ def pallas_tile_stats(
     exact_weights: bool = False,
     unit_weights: bool = False,
     preplaned: bool = False,
-    lo_int8: bool = False,
+    wquant: str = "",
     interpret: bool = False,
 ) -> PairStats:
-    """Fused-kernel equivalent of ``tile_stats_batch`` (same contract)."""
+    """Fused-kernel equivalent of ``tile_stats_batch`` (same contract).
+
+    ``wquant`` selects the weighted-pass quantization: ``""`` = split-bf16
+    (default, parity), ``"lo_int8"`` = int8 residual pass, ``"int8"`` = both
+    passes int8 (see the ``pad_weights*`` packers for layouts and error
+    bounds)."""
     k = tile_i.shape[0]
     n_pad = codes_sm.shape[1]
     t = tile
@@ -471,8 +524,11 @@ def pallas_tile_stats(
 
     in_rows = p * t if preplaned else t
     w_rows = weights_row.shape[0]
-    assert w_rows == (3 if (lo_int8 and not unit_weights) else 1), (
-        "weights layout does not match the lo_int8 flag"
+    expect_rows = 1
+    if not unit_weights and not exact_weights:
+        expect_rows = {"": 1, "lo_int8": 3, "int8": 4}[wquant]
+    assert w_rows == expect_rows, (
+        "weights layout does not match the wquant mode"
     )
     out_block = pl.BlockSpec((1, t, t), lambda g, c, ti, tj, em: (g, 0, 0))
     if unit_weights:
@@ -480,7 +536,7 @@ def pallas_tile_stats(
         scratch = [pltpu.VMEM((p * t, p * t), jnp.int32)]
     else:
         kernel = partial(_ld_kernel, t, n_sites, planes, exact_weights,
-                         preplaned, lo_int8)
+                         preplaned, wquant)
         scratch = [
             pltpu.VMEM((p * t, p * t), jnp.float32),   # weighted joint acc
             pltpu.VMEM((p * t, t), jnp.int32),  # count marginal #{A==s,B valid}

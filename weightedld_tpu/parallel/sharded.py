@@ -48,7 +48,7 @@ def make_sharded_stats_runner(
     seq_chunk: int = 512,
     exact_weights: bool = False,
     unit_weights: bool = False,
-    lo_int8: bool = False,
+    wquant: str = "",
     max_site_distance: int | None = None,
     interpret: bool = False,
 ):
@@ -67,7 +67,7 @@ def make_sharded_stats_runner(
     key = (
         "stats", tuple(d.id for d in mesh.devices.flat), tile, n_sites,
         k_per_batch, engine, planes, seq_chunk, exact_weights, unit_weights,
-        lo_int8, max_site_distance, interpret,
+        wquant, max_site_distance, interpret,
     )
     cached = _RUNNER_CACHE.get(key)
     if cached is not None:
@@ -88,7 +88,7 @@ def make_sharded_stats_runner(
                 codes, weights, tile_i, tile_j, emit,
                 tile=tile, n_sites=n_sites, seq_chunk=seq_chunk,
                 planes=planes, exact_weights=exact_weights,
-                unit_weights=unit_weights, lo_int8=lo_int8,
+                unit_weights=unit_weights, wquant=wquant,
                 interpret=interpret,
             )
         else:

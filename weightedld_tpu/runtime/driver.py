@@ -52,10 +52,14 @@ class DriverConfig:
     seq_chunk: int = 512            # pallas: sequence-axis chunk
     max_site_distance: int | None = None  # windowed LD (kept-site indices)
     lo_int8_weights: bool = False   # pallas: int8 residual-weight pass
-                                    # (opt-in, +4% measured: ~7.7e-6 absolute
+                                    # (opt-in, +16% measured: ~7.7e-6 absolute
                                     # weight error can move r2 by ~1e-4 — the
                                     # 4-dp rounding quantum — so parity wins
                                     # by default)
+    int8_weights: bool = False      # pallas: BOTH weight passes int8
+                                    # (opt-in, strongest speedup; ~1.6e-5
+                                    # weight error, ~2x the lo_int8 bound;
+                                    # takes precedence over lo_int8_weights)
 
 
 def _resolve_engine(engine: str) -> str:
@@ -149,6 +153,7 @@ class LdSession:
                 detect_planes,
                 pad_alignment_site_major,
                 pad_weights,
+                pad_weights_int8,
                 pad_weights_lo_int8,
                 weights_bf16_exact,
             )
@@ -158,23 +163,34 @@ class LdSession:
             w_arr = np.asarray(weights, dtype=np.float32)
             exact = weights_bf16_exact(w_arr)
             unit = bool((w_arr == 1.0).all())
-            # Opt-in (measured +4%): the quantized residual can move r2 by
-            # ~1e-4 — the size of the 4-dp rounding quantum — so parity
-            # stays the default and the speedup is a deliberate choice.
-            lo_int8 = bool(cfg.lo_int8_weights) and not exact and not unit
+            # Opt-in quantized weight passes (int8 at double MXU rate): the
+            # quantization error (~7.7e-6 lo_int8 / ~1.6e-5 int8 absolute)
+            # can move r2 by about the 4-dp output rounding quantum, so
+            # parity (split-bf16) stays the default and the speedup is a
+            # deliberate choice.
+            wquant = ""
+            if not exact and not unit:
+                if cfg.int8_weights:
+                    wquant = "int8"
+                elif cfg.lo_int8_weights:
+                    wquant = "lo_int8"
             self.runner = make_sharded_stats_runner(
                 self.mesh, tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k,
                 engine="pallas", planes=planes, seq_chunk=cfg.seq_chunk,
                 exact_weights=exact,
                 unit_weights=unit,
-                lo_int8=lo_int8,
+                wquant=wquant,
                 max_site_distance=cfg.max_site_distance,
                 interpret=interpret,
             )
             codes_host = pad_alignment_site_major(
                 alignment, cfg.tile, cfg.seq_chunk
             )
-            if lo_int8:
+            if wquant == "int8":
+                weights_host = pad_weights_int8(
+                    np.asarray(weights), cfg.seq_chunk
+                )
+            elif wquant == "lo_int8":
                 weights_host = pad_weights_lo_int8(
                     np.asarray(weights), cfg.seq_chunk
                 )
