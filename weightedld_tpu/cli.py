@@ -71,6 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "sharded driver (large S); reference: exact-f64 Python "
                    "audit engine (tiny inputs only) [default auto]")
     p.add_argument("--tile", type=int, default=128, help="site-tile side")
+    p.add_argument("--weight-quant", choices=("none", "lo_int8", "int8"),
+                   default="none",
+                   help="quantize the TPU kernel's weighted passes to int8 "
+                   "(double MXU rate): lo_int8 = residual pass only "
+                   "(~7.7e-6 weight error), int8 = both passes (~1.6e-5, "
+                   "fastest). Default none = exact split-bf16; the "
+                   "quantized modes can move r2 by about the 4-dp output "
+                   "rounding quantum (tiled engine on TPU only)")
     p.add_argument("--devices", type=int, default=None,
                    help="use only the first N local devices (default: all)")
     p.add_argument("--tiles-per-batch", type=int, default=None,
@@ -251,6 +259,8 @@ def main(argv=None) -> int:
                 tile=args.tile,
                 tiles_per_shard_batch=args.tiles_per_batch,
                 max_site_distance=args.max_distance,
+                lo_int8_weights=args.weight_quant == "lo_int8",
+                int8_weights=args.weight_quant == "int8",
             ),
             mesh=mesh,
         )
@@ -297,6 +307,8 @@ def main(argv=None) -> int:
                     tiles_per_shard_batch=args.tiles_per_batch,
                     r2_threshold=args.r2_threshold,
                     max_site_distance=args.max_distance,
+                    lo_int8_weights=args.weight_quant == "lo_int8",
+                    int8_weights=args.weight_quant == "int8",
                 ),
                 mesh=mesh,
             )
@@ -360,6 +372,8 @@ def main(argv=None) -> int:
             tiles_per_shard_batch=args.tiles_per_batch,
             r2_threshold=args.r2_threshold,
             max_site_distance=args.max_distance,
+            lo_int8_weights=args.weight_quant == "lo_int8",
+            int8_weights=args.weight_quant == "int8",
         )
         if args.sort:
             from .core.ld_dense import LdRecords

@@ -131,10 +131,16 @@ def pad_weights_int8(
     the residual ``r = w - a1*q1`` (``|r| <= a1/2``) is re-quantized with
     ``a2 = max|r|/127``.  Per-weight absolute error ``<= a2/2 <= a1/508 =
     max|w|/64516 ~= 1.6e-5`` for max-normalized weights — about 2x the
-    split-bf16 bound, still an order of magnitude below the reference's
-    4-dp output rounding.  Both MXU passes then run int8 (double bf16
-    rate): 1.0 bf16-pass equivalents for the weighted joint instead of 2.0
+    split-bf16 bound.  Both MXU passes then run int8 (double bf16 rate):
+    1.0 bf16-pass equivalents for the weighted joint instead of 2.0
     (split-bf16) or 1.5 (lo_int8).
+
+    Caveat: the error bound is ABSOLUTE (scaled by max|w|).  When weights
+    span orders of magnitude (e.g. t7-style VCFs where Henikoff weights
+    range 0.001..1.0), small weights lose relative accuracy (~1.6% at
+    w=0.001) and 4-dp outputs can shift by one ulp of the rounding; prefer
+    ``lo_int8`` there — its bf16 main pass keeps per-weight RELATIVE error
+    at 2^-9 and only the residual is absolute-quantized.
     """
     n = weights.shape[0]
     n_pad = -(-n // seq_chunk) * seq_chunk
