@@ -28,7 +28,7 @@ N_SEQS = 1000
 S_TPU = 16384
 S_CPU = 2048
 R2_THRESHOLD = 0.1
-TILE = 128
+TILE = None  # auto: 256 for the p=3 bench distribution on TPU
 TILES_PER_BATCH = None  # auto: whole plan in one batch when HBM allows
 
 
@@ -125,7 +125,7 @@ def main() -> int:
             "n_seqs": N_SEQS,
             "n_sites": n_sites,
             "r2_threshold": R2_THRESHOLD,
-            "tile": TILE,
+            "tile": TILE or "auto",
             "baseline": "native C++ -march=native -fopenmp (Rust-SIMD-equivalent)"
             if cpu else "unavailable",
             "cpu_baseline_pairs_per_s": round(cpu) if cpu else None,

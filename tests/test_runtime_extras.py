@@ -146,3 +146,23 @@ def test_load_prepared_flag_mismatch_warns(tmp_path, capsys):
     assert main(["--load-prepared", str(npz), "--unweighted"]) == 0
     err = capsys.readouterr().err
     assert "ignores preparation flags" in err and "unweighted" in err
+
+
+def test_resolve_tile_auto():
+    # Explicit tile always wins; on CPU (this suite) auto resolves to 128
+    # for every engine (T=256 is a TPU-only win, and the p=5 T=256 kernel
+    # would exceed VMEM there anyway).
+    import numpy as np
+
+    from weightedld_tpu.runtime.driver import resolve_tile
+
+    aln = np.zeros((4, 8), dtype=np.int8)
+    assert resolve_tile(64, "pallas", aln) == 64
+    assert resolve_tile(None, "xla", aln) == 128
+    assert resolve_tile(None, "pallas", aln) == 128  # CPU platform
+    # A session constructed with the auto default records the resolved tile.
+    from weightedld_tpu.runtime.driver import DriverConfig, LdSession
+
+    cfg = DriverConfig(engine="xla")
+    LdSession(aln, np.ones(4, np.float32), np.arange(8), cfg)
+    assert cfg.tile == 128

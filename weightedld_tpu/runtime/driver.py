@@ -42,7 +42,10 @@ _UNSET = object()  # "use the session default" sentinel (None is meaningful)
 
 @dataclass
 class DriverConfig:
-    tile: int = 128                 # site-tile side
+    tile: int | None = None         # site-tile side (None = auto: 256 for
+                                    # <=3 allele planes on TPU — measured
+                                    # +11-21% over 128; 128 otherwise, since
+                                    # the p=5 T=256 kernel exceeds VMEM)
     tiles_per_shard_batch: int | None = None  # tiles per device per dispatch
                                     # (None = auto: large batches on TPU to
                                     # amortize dispatch roundtrips)
@@ -69,6 +72,23 @@ def _resolve_engine(engine: str) -> str:
     # portable CPU/interpret fallback.
     platform = jax.devices()[0].platform
     return "pallas" if platform in ("tpu", "axon") else "xla"
+
+
+def resolve_tile(tile: int | None, engine: str, alignment: np.ndarray) -> int:
+    """Auto site-tile side: T=256 measured +11-21% over T=128 for the
+    <=3-plane Pallas kernel on v5e (the marginal-count kernel freed the
+    VMEM that used to block it), but the 5-plane T=256 variant exceeds
+    scoped VMEM (22.3 MB > 16 MB), so the general-alphabet default stays
+    128.  An explicit ``tile`` always wins."""
+    if tile is not None:
+        return tile
+    if (_resolve_engine(engine) == "pallas"
+            and jax.devices()[0].platform in ("tpu", "axon")):
+        from ..ops.pallas_ld import detect_planes
+
+        if len(detect_planes(alignment)) <= 3:
+            return 256
+    return 128
 
 
 def _next_bucket(n: int) -> int:
@@ -121,11 +141,12 @@ class LdSession:
         n_dev = self.mesh.devices.size
         self.n_dev = n_dev
         self.n_seqs, self.n_sites = alignment.shape
+        engine = _resolve_engine(cfg.engine)
+        cfg.tile = resolve_tile(cfg.tile, engine, alignment)
         self.plan = plan_tiles(self.n_sites, cfg.tile, cfg.max_site_distance)
         self.site_map = np.asarray(site_map)
 
         k = cfg.tiles_per_shard_batch
-        engine = _resolve_engine(cfg.engine)
         if k is None:
             on_tpu = jax.devices()[0].platform in ("tpu", "axon")
             if engine == "pallas" and on_tpu:
@@ -495,6 +516,9 @@ def run_to_tsv(
     ckpt_path = out_path.with_suffix(out_path.suffix + ".ckpt.json")
 
     cfg_ = cfg or DriverConfig()
+    # Resolve the auto tile BEFORE fingerprinting: batch indices in the
+    # checkpoint are only meaningful for one concrete tile plan.
+    cfg_.tile = resolve_tile(cfg_.tile, cfg_.engine, alignment)
     h = hashlib.sha256()
     h.update(repr((
         cfg_.tile, cfg_.tiles_per_shard_batch, cfg_.r2_threshold,
