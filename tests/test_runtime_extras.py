@@ -166,3 +166,15 @@ def test_resolve_tile_auto():
     cfg = DriverConfig(engine="xla")
     LdSession(aln, np.ones(4, np.float32), np.arange(8), cfg)
     assert cfg.tile == 128
+
+
+def test_resolve_tile_seq_chunk_guard():
+    # T=256 at seq_chunk=1024 exceeds scoped VMEM on v5e (measured +708 KB
+    # over): auto must fall back to 128 for non-default chunks.
+    import numpy as np
+
+    from weightedld_tpu.runtime.driver import resolve_tile
+
+    aln = np.zeros((4, 8), dtype=np.int8)
+    assert resolve_tile(None, "pallas", aln, seq_chunk=1024) == 128
+    assert resolve_tile(256, "pallas", aln, seq_chunk=1024) == 256  # explicit

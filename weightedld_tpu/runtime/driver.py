@@ -74,15 +74,19 @@ def _resolve_engine(engine: str) -> str:
     return "pallas" if platform in ("tpu", "axon") else "xla"
 
 
-def resolve_tile(tile: int | None, engine: str, alignment: np.ndarray) -> int:
+def resolve_tile(tile: int | None, engine: str, alignment: np.ndarray,
+                 seq_chunk: int = 512) -> int:
     """Auto site-tile side: T=256 measured +11-21% over T=128 for the
     <=3-plane Pallas kernel on v5e (the marginal-count kernel freed the
-    VMEM that used to block it), but the 5-plane T=256 variant exceeds
-    scoped VMEM (22.3 MB > 16 MB), so the general-alphabet default stays
-    128.  An explicit ``tile`` always wins."""
+    VMEM that used to block it).  The feasibility frontier is tight
+    (measured): p=5 T=256 exceeds scoped VMEM by 6.3 MB, p=4 T=256 and
+    p=2 T=512 also OOM, and even p=3 T=256 overflows by 0.7 MB at
+    seq_chunk=1024 — so auto picks 256 only for <=3 planes at the default
+    seq_chunk.  An explicit ``tile`` always wins (and can OOM)."""
     if tile is not None:
         return tile
-    if (_resolve_engine(engine) == "pallas"
+    if (seq_chunk <= 512
+            and _resolve_engine(engine) == "pallas"
             and jax.devices()[0].platform in ("tpu", "axon")):
         from ..ops.pallas_ld import detect_planes
 
@@ -142,7 +146,8 @@ class LdSession:
         self.n_dev = n_dev
         self.n_seqs, self.n_sites = alignment.shape
         engine = _resolve_engine(cfg.engine)
-        cfg.tile = resolve_tile(cfg.tile, engine, alignment)
+        cfg.tile = resolve_tile(cfg.tile, engine, alignment,
+                                cfg.seq_chunk)
         self.plan = plan_tiles(self.n_sites, cfg.tile, cfg.max_site_distance)
         self.site_map = np.asarray(site_map)
 
@@ -518,7 +523,8 @@ def run_to_tsv(
     cfg_ = cfg or DriverConfig()
     # Resolve the auto tile BEFORE fingerprinting: batch indices in the
     # checkpoint are only meaningful for one concrete tile plan.
-    cfg_.tile = resolve_tile(cfg_.tile, cfg_.engine, alignment)
+    cfg_.tile = resolve_tile(cfg_.tile, cfg_.engine, alignment,
+                             cfg_.seq_chunk)
     h = hashlib.sha256()
     h.update(repr((
         cfg_.tile, cfg_.tiles_per_shard_batch, cfg_.r2_threshold,
