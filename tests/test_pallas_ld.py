@@ -222,8 +222,8 @@ def test_quantized_weights_kernel_matches(rng, wquant):
             atol=4e-4, err_msg=field)
 
 
-@pytest.mark.parametrize("flag", ["lo_int8_weights", "int8_weights"])
-def test_quantized_weights_driver_matches(rng, flag):
+@pytest.mark.parametrize("wq", ["lo_int8", "int8"])
+def test_quantized_weights_driver_matches(rng, wq):
     # Auto policy is off under interpret; force it through the driver and
     # demand record-level agreement with the XLA engine.
     from weightedld_tpu.runtime.driver import DriverConfig, collect_ld_records
@@ -235,7 +235,7 @@ def test_quantized_weights_driver_matches(rng, flag):
     want = collect_ld_records(aln, w, sm, DriverConfig(tile=16, engine="xla"))
     got = collect_ld_records(
         aln, w, sm,
-        DriverConfig(tile=16, engine="pallas", **{flag: True}),
+        DriverConfig(tile=16, engine="pallas", weight_quant=wq),
     )
     wm = {(int(a), int(b)): float(r) for a, b, r in
           zip(want.pos_a, want.pos_b, want.r2)}

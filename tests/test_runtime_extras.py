@@ -160,12 +160,16 @@ def test_resolve_tile_auto():
     assert resolve_tile(64, "pallas", aln) == 64
     assert resolve_tile(None, "xla", aln) == 128
     assert resolve_tile(None, "pallas", aln) == 128  # CPU platform
-    # A session constructed with the auto default records the resolved tile.
+    # A session records the resolved tile on ITS OWN config copy; the
+    # caller's config is never mutated (one DriverConfig can be reused
+    # across sessions with different inputs).
     from weightedld_tpu.runtime.driver import DriverConfig, LdSession
 
     cfg = DriverConfig(engine="xla")
-    LdSession(aln, np.ones(4, np.float32), np.arange(8), cfg)
-    assert cfg.tile == 128
+    sess = LdSession(aln, np.ones(4, np.float32), np.arange(8), cfg)
+    assert sess.cfg.tile == 128
+    assert cfg.tile is None
+    assert cfg.tiles_per_shard_batch is None
 
 
 def test_resolve_tile_seq_chunk_guard():
@@ -178,3 +182,44 @@ def test_resolve_tile_seq_chunk_guard():
     aln = np.zeros((4, 8), dtype=np.int8)
     assert resolve_tile(None, "pallas", aln, seq_chunk=1024) == 128
     assert resolve_tile(256, "pallas", aln, seq_chunk=1024) == 256  # explicit
+
+
+def test_checkpoint_refuses_weight_quant_switch(rng, tmp_path):
+    # A resume must not silently mix quantized and exact r2 values in one
+    # TSV: weight_quant is part of the run fingerprint.  Simulate an
+    # interrupt after the first batch, then try to resume in a different
+    # mode.
+    from weightedld_tpu.runtime import driver as drv
+
+    aln = random_alignment(rng, 20, 48)
+    w = (rng.random(20) + 0.05).astype(np.float32)
+    sm = np.arange(48)
+    out = tmp_path / "switch.tsv"
+    ck = out.with_suffix(".tsv.ckpt.json")
+
+    orig = drv.stream_ld_records
+
+    def one_batch_then_die(*a, **kw):
+        for b, rec in orig(*a, **kw):
+            yield b, rec
+            raise KeyboardInterrupt
+
+    drv.stream_ld_records = one_batch_then_die
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            drv.run_to_tsv(aln, w, sm, out,
+                           DriverConfig(tile=16, weight_quant="int8"),
+                           checkpoint=True)
+    finally:
+        drv.stream_ld_records = orig
+    assert ck.exists(), "interrupted run should leave a checkpoint"
+
+    # Cross-mode resume: refused.
+    with pytest.raises(RuntimeError, match="different run"):
+        drv.run_to_tsv(aln, w, sm, out, DriverConfig(tile=16),
+                       checkpoint=True)
+    # Same-mode resume: accepted, completes, and removes the checkpoint.
+    n = drv.run_to_tsv(aln, w, sm, out,
+                       DriverConfig(tile=16, weight_quant="int8"),
+                       checkpoint=True)
+    assert n >= 0 and not ck.exists()

@@ -230,6 +230,11 @@ def main(argv=None) -> int:
         engine = "dense" if s <= 2048 else "tiled"
     if args.max_distance is not None:
         engine = "tiled"
+    if args.weight_quant != "none" and engine != "tiled" \
+            and args.matrix_output is None:
+        print(f"warning: --weight-quant only applies to the tiled TPU "
+              f"engine; the '{engine}' engine runs the exact path "
+              "(add --engine tiled to use it)", file=sys.stderr)
 
     on_progress = None
     if args.progress:
@@ -261,8 +266,7 @@ def main(argv=None) -> int:
                 tile=args.tile,
                 tiles_per_shard_batch=args.tiles_per_batch,
                 max_site_distance=args.max_distance,
-                lo_int8_weights=args.weight_quant == "lo_int8",
-                int8_weights=args.weight_quant == "int8",
+                weight_quant=args.weight_quant,
             ),
             mesh=mesh,
         )
@@ -309,8 +313,7 @@ def main(argv=None) -> int:
                     tiles_per_shard_batch=args.tiles_per_batch,
                     r2_threshold=args.r2_threshold,
                     max_site_distance=args.max_distance,
-                    lo_int8_weights=args.weight_quant == "lo_int8",
-                    int8_weights=args.weight_quant == "int8",
+                    weight_quant=args.weight_quant,
                 ),
                 mesh=mesh,
             )
@@ -374,8 +377,7 @@ def main(argv=None) -> int:
             tiles_per_shard_batch=args.tiles_per_batch,
             r2_threshold=args.r2_threshold,
             max_site_distance=args.max_distance,
-            lo_int8_weights=args.weight_quant == "lo_int8",
-            int8_weights=args.weight_quant == "int8",
+            weight_quant=args.weight_quant,
         )
         if args.sort:
             from .core.ld_dense import LdRecords

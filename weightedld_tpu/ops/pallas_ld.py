@@ -197,11 +197,23 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
         # per-tile compare/widen/concat chain — about half the kernel time
         # at default sizes — disappears; only casts and weight muls remain.
         xu8 = a_ref[:, :]                  # (PT, Nc) int8
+    # Validity = union of the one-hot planes, NOT (code != UNKNOWN): the
+    # two coincide under detect_planes' covering invariant, but a
+    # caller-restricted `planes` must exclude out-of-plane codes from the
+    # per-pair counts, and identically in both input layouts.  (Mosaic has
+    # no int8 vector add, so the union is bool-OR / int32-summed.)
+    if preplaned:
+        xu8 = a_ref[:, :]                  # (PT, Nc) int8
         yu8 = b_ref[:, :]
-        # Validity = union of the one-hot planes (codes outside `planes`
-        # never occur by construction of detect_planes; padding is UNKNOWN).
-        xv8 = sum(xu8[s * t:(s + 1) * t, :] for s in range(p))  # (T, Nc)
-        yv8 = sum(yu8[s * t:(s + 1) * t, :] for s in range(p))
+
+        def union(u8):
+            acc = u8[0 * t:1 * t, :].astype(jnp.int32)
+            for s in range(1, p):
+                acc = acc | u8[s * t:(s + 1) * t, :].astype(jnp.int32)
+            return acc.astype(jnp.int8)    # (T, Nc) {0, 1}
+
+        xv8 = union(xu8)
+        yv8 = union(yu8)
     else:
         # Widen int8 codes to int32: v5e Mosaic has no int8 vector compare.
         a = a_ref[:, :].astype(jnp.int32)  # (T, Nc)
@@ -212,8 +224,15 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
         yu8 = jnp.concatenate(
             [(b == s).astype(jnp.int8) for s in planes], axis=0
         )
-        xv8 = (a != UNKNOWN).astype(jnp.int8)   # (T, Nc) validity
-        yv8 = (b != UNKNOWN).astype(jnp.int8)
+
+        def union(v):
+            acc = v == planes[0]
+            for s in planes[1:]:
+                acc = acc | (v == s)
+            return acc.astype(jnp.int8)    # (T, Nc) {0, 1}
+
+        xv8 = union(a)
+        yv8 = union(b)
 
     def dot8(x, y):
         # int8 x int8 -> int32 MXU contraction (double the bf16 rate), exact.

@@ -54,15 +54,15 @@ class DriverConfig:
     engine: str = "auto"            # auto | pallas | xla
     seq_chunk: int = 512            # pallas: sequence-axis chunk
     max_site_distance: int | None = None  # windowed LD (kept-site indices)
-    lo_int8_weights: bool = False   # pallas: int8 residual-weight pass
-                                    # (opt-in, +16% measured: ~7.7e-6 absolute
-                                    # weight error can move r2 by ~1e-4 — the
-                                    # 4-dp rounding quantum — so parity wins
-                                    # by default)
-    int8_weights: bool = False      # pallas: BOTH weight passes int8
-                                    # (opt-in, strongest speedup; ~1.6e-5
-                                    # weight error, ~2x the lo_int8 bound;
-                                    # takes precedence over lo_int8_weights)
+    weight_quant: str = "none"      # pallas weighted-pass quantization:
+                                    # "none" = exact split-bf16 (parity,
+                                    # default) | "lo_int8" = int8 residual
+                                    # pass (+16%, ~7.7e-6 absolute weight
+                                    # error) | "int8" = both passes int8
+                                    # (+33%, ~1.6e-5).  The quantized modes
+                                    # can move r2 by about the 4-dp output
+                                    # rounding quantum, so parity wins by
+                                    # default and the speedup is opt-in.
 
 
 def _resolve_engine(engine: str) -> str:
@@ -75,22 +75,27 @@ def _resolve_engine(engine: str) -> str:
 
 
 def resolve_tile(tile: int | None, engine: str, alignment: np.ndarray,
-                 seq_chunk: int = 512) -> int:
+                 seq_chunk: int = 512, planes: tuple | None = None) -> int:
     """Auto site-tile side: T=256 measured +11-21% over T=128 for the
     <=3-plane Pallas kernel on v5e (the marginal-count kernel freed the
     VMEM that used to block it).  The feasibility frontier is tight
     (measured): p=5 T=256 exceeds scoped VMEM by 6.3 MB, p=4 T=256 and
     p=2 T=512 also OOM, and even p=3 T=256 overflows by 0.7 MB at
     seq_chunk=1024 — so auto picks 256 only for <=3 planes at the default
-    seq_chunk.  An explicit ``tile`` always wins (and can OOM)."""
+    seq_chunk.  An explicit ``tile`` always wins (and can OOM).
+
+    ``planes`` skips the O(N*S) detection scan when the caller already has
+    the detected allele planes."""
     if tile is not None:
         return tile
     if (seq_chunk <= 512
             and _resolve_engine(engine) == "pallas"
             and jax.devices()[0].platform in ("tpu", "axon")):
-        from ..ops.pallas_ld import detect_planes
+        if planes is None:
+            from ..ops.pallas_ld import detect_planes
 
-        if len(detect_planes(alignment)) <= 3:
+            planes = detect_planes(alignment)
+        if len(planes) <= 3:
             return 256
     return 128
 
@@ -139,15 +144,28 @@ class LdSession:
         cfg: DriverConfig | None = None,
         mesh=None,
     ):
+        from dataclasses import replace as _replace
+
         cfg = cfg or DriverConfig()
-        self.cfg = cfg
         self.mesh = mesh or default_mesh()
         n_dev = self.mesh.devices.size
         self.n_dev = n_dev
         self.n_seqs, self.n_sites = alignment.shape
         engine = _resolve_engine(cfg.engine)
-        cfg.tile = resolve_tile(cfg.tile, engine, alignment,
-                                cfg.seq_chunk)
+        planes = None
+        if engine == "pallas":
+            from ..ops.pallas_ld import detect_planes
+
+            planes = detect_planes(alignment)
+        # The resolved tile/batch size are properties of (alignment,
+        # platform, config), not of the caller's config object: work on a
+        # copy so one DriverConfig can be reused across sessions with
+        # different inputs.  Read the resolved values from session.cfg.
+        cfg = _replace(
+            cfg, tile=resolve_tile(cfg.tile, engine, alignment,
+                                   cfg.seq_chunk, planes=planes)
+        )
+        self.cfg = cfg
         self.plan = plan_tiles(self.n_sites, cfg.tile, cfg.max_site_distance)
         self.site_map = np.asarray(site_map)
 
@@ -172,11 +190,10 @@ class LdSession:
                 k = min(max(cdiv(self.plan.n_tiles, n_dev), 1), mem_cap)
             else:
                 k = 8
-            cfg.tiles_per_shard_batch = k
+            cfg.tiles_per_shard_batch = k  # our copy; callers read session.cfg
         self.engine = engine
         if engine == "pallas":
             from ..ops.pallas_ld import (
-                detect_planes,
                 pad_alignment_site_major,
                 pad_weights,
                 pad_weights_int8,
@@ -184,7 +201,6 @@ class LdSession:
                 weights_bf16_exact,
             )
 
-            planes = detect_planes(alignment)
             interpret = jax.devices()[0].platform not in ("tpu", "axon")
             w_arr = np.asarray(weights, dtype=np.float32)
             exact = weights_bf16_exact(w_arr)
@@ -194,12 +210,13 @@ class LdSession:
             # can move r2 by about the 4-dp output rounding quantum, so
             # parity (split-bf16) stays the default and the speedup is a
             # deliberate choice.
-            wquant = ""
-            if not exact and not unit:
-                if cfg.int8_weights:
-                    wquant = "int8"
-                elif cfg.lo_int8_weights:
-                    wquant = "lo_int8"
+            if cfg.weight_quant not in ("none", "lo_int8", "int8"):
+                raise ValueError(
+                    f"weight_quant must be none|lo_int8|int8, "
+                    f"got {cfg.weight_quant!r}"
+                )
+            wquant = "" if (exact or unit or cfg.weight_quant == "none") \
+                else cfg.weight_quant
             self.runner = make_sharded_stats_runner(
                 self.mesh, tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k,
                 engine="pallas", planes=planes, seq_chunk=cfg.seq_chunk,
@@ -520,15 +537,22 @@ def run_to_tsv(
         )
     ckpt_path = out_path.with_suffix(out_path.suffix + ".ckpt.json")
 
+    from dataclasses import replace as _replace
+
     cfg_ = cfg or DriverConfig()
-    # Resolve the auto tile BEFORE fingerprinting: batch indices in the
-    # checkpoint are only meaningful for one concrete tile plan.
-    cfg_.tile = resolve_tile(cfg_.tile, cfg_.engine, alignment,
-                             cfg_.seq_chunk)
+    # Resolve the auto tile BEFORE fingerprinting (on a copy — the caller's
+    # config is not mutated): batch indices in the checkpoint are only
+    # meaningful for one concrete tile plan.  cfg_ is then the config that
+    # actually runs (passed to stream_ld_records below), so the fingerprint
+    # describes the session it guards.
+    cfg_ = _replace(cfg_, tile=resolve_tile(cfg_.tile, cfg_.engine, alignment,
+                                            cfg_.seq_chunk))
     h = hashlib.sha256()
     h.update(repr((
         cfg_.tile, cfg_.tiles_per_shard_batch, cfg_.r2_threshold,
         cfg_.max_site_distance, cfg_.engine, cfg_.seq_chunk,
+        cfg_.weight_quant,  # quantized r2 differs at the 4-dp quantum:
+                            # never mix modes in one resumed TSV
         alignment.shape, ndigits,
     )).encode())
     h.update(np.ascontiguousarray(alignment[:: max(1, alignment.shape[0] // 64)]).tobytes())
@@ -562,7 +586,7 @@ def run_to_tsv(
 
     with fh:
         for b, rec in stream_ld_records(
-            alignment, weights, site_map, cfg, mesh,
+            alignment, weights, site_map, cfg_, mesh,
             start_batch=start_batch, on_progress=on_progress,
         ):
             write_pairs(rec, fh, ndigits=ndigits, header=False)
