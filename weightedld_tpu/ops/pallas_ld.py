@@ -473,8 +473,12 @@ def detect_planes(alignment: np.ndarray) -> tuple:
     FLOPs) with bit-identical results, since absent alleles have zero counts
     everywhere and can never be selected as major/dominant-minor.
     """
-    present = np.unique(alignment)
-    planes = tuple(int(c) for c in present if 0 <= c < N_ALLELES)
+    # bincount is a single O(N*S) pass (np.unique sorts — ~10x slower on
+    # the 1 GB pod-scale matrices this runs on at session setup).
+    counts = np.bincount(
+        np.asarray(alignment, dtype=np.uint8).reshape(-1), minlength=N_ALLELES
+    )
+    planes = tuple(int(c) for c in range(N_ALLELES) if counts[c] > 0)
     if len(planes) < 2:
         planes = ALL_PLANES  # degenerate input; keep the general kernel
     return planes
