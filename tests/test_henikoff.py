@@ -91,3 +91,59 @@ def test_ambiguous_mean_imputation():
     w = np.asarray(henikoff_weights(jnp.asarray(aln)))
     w_o = oracle_henikoff(aln)
     np.testing.assert_allclose(w, w_o, rtol=1e-5)
+
+
+def test_henikoff_site_major_matches_padded():
+    # The session's on-device site-major variant must equal the [N, S]
+    # formula on the unpadded matrix, for any padding amount.
+    import jax.numpy as jnp
+    import numpy as np
+
+    from weightedld_tpu.core.henikoff import (
+        henikoff_weights,
+        henikoff_weights_site_major,
+    )
+    from weightedld_tpu.ops.pallas_ld import pad_alignment_site_major
+
+    rng = np.random.default_rng(11)
+    aln = rng.integers(0, 6, size=(37, 53)).astype(np.int8)
+    want = np.asarray(henikoff_weights(jnp.asarray(aln)))
+    codes_sm = pad_alignment_site_major(aln, tile=16, seq_chunk=64)
+    got = np.asarray(
+        henikoff_weights_site_major(jnp.asarray(codes_sm), 37)
+    )
+    np.testing.assert_allclose(got[:37], want, rtol=1e-6)
+    np.testing.assert_array_equal(got[37:], 0.0)
+
+
+def test_session_weights_none_matches_explicit():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from weightedld_tpu.core.henikoff import henikoff_weights
+    from weightedld_tpu.runtime.driver import (
+        DriverConfig,
+        collect_ld_records,
+        LdSession,
+    )
+
+    rng = np.random.default_rng(12)
+    aln = rng.integers(0, 6, size=(30, 40)).astype(np.int8)
+    sm = np.arange(40)
+    w = np.asarray(henikoff_weights(jnp.asarray(aln)))
+
+    for engine in ("xla", "pallas"):
+        cfg = DriverConfig(tile=16, engine=engine)
+        sess = LdSession(aln, None, sm, cfg)
+        # Same values up to f32 reduction order (the site-major variant
+        # sums along the other axis)...
+        np.testing.assert_allclose(sess.weights, w, rtol=1e-6)
+        # ...and the records are exactly those of an explicit run with the
+        # weights the session computed.
+        want = collect_ld_records(aln, sess.weights, sm,
+                                  DriverConfig(tile=16, engine=engine))
+        got = collect_ld_records(aln, None, sm, DriverConfig(tile=16,
+                                                             engine=engine))
+        np.testing.assert_array_equal(got.pos_a, want.pos_a)
+        np.testing.assert_array_equal(got.pos_b, want.pos_b)
+        np.testing.assert_allclose(got.r2, want.r2, atol=1e-7)

@@ -130,6 +130,44 @@ def _henikoff_partial_sums(alignment: jnp.ndarray, dtype=jnp.float32):
     return contrib.sum(axis=1)
 
 
+@partial(jax.jit, static_argnames=("n_seqs", "dtype"))
+def henikoff_weights_site_major(
+    codes_sm: jnp.ndarray, n_seqs: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Python-formula Henikoff weights from the kernel's site-major layout.
+
+    Runs directly on the ``[S_pad, N_pad]`` int8 device buffer an
+    :class:`~weightedld_tpu.runtime.driver.LdSession` already uploaded
+    (padding = UNKNOWN on both axes), so pod-scale sessions can weight
+    on-device without a second host->device pass of the alignment.
+
+    Padding interacts with the reference's mean imputation
+    (``WeightedLD.py:141-145``): UNKNOWN cells are imputed with the site
+    mean, which would hand padded *sequences* nonzero weights — so rows
+    ``>= n_seqs`` are explicitly zeroed before max-normalization.  Padded
+    *sites* are all-UNKNOWN: their concrete count is 0 and the guarded
+    mean is 0, contributing nothing.  Matches :func:`henikoff_weights` on
+    the unpadded matrix exactly (same ops, scalar ``unique_base`` omitted
+    as it cancels — module docstring).
+    """
+    counts = jnp.stack(
+        [
+            (codes_sm == codes_sm.dtype.type(s)).sum(axis=1)
+            for s in range(N_CODES)
+        ],
+        axis=1,
+    ).astype(dtype)                                            # [S_pad, 6]
+    own = jnp.take_along_axis(counts, codes_sm.astype(jnp.int32), axis=1)
+    ok = codes_sm != UNKNOWN
+    contrib = jnp.where(ok, 1.0 / jnp.maximum(own, 1.0), 0.0)  # [S_pad, N_pad]
+    concrete_total = counts[:, :N_ALLELES].sum(axis=1)         # [S_pad]
+    site_avg = contrib.sum(axis=1) / jnp.maximum(concrete_total, 1.0)
+    contrib = jnp.where(ok, contrib, site_avg[:, None])
+    weights = contrib.sum(axis=0)                              # [N_pad]
+    weights = jnp.where(jnp.arange(weights.shape[0]) < n_seqs, weights, 0.0)
+    return weights / weights.max()
+
+
 def henikoff_weights_large(
     alignment, site_chunk: int = 16384, dtype=jnp.float32
 ) -> jnp.ndarray:

@@ -139,11 +139,15 @@ class LdSession:
     def __init__(
         self,
         alignment: np.ndarray,
-        weights: np.ndarray,
+        weights: np.ndarray | None,
         site_map: np.ndarray,
         cfg: DriverConfig | None = None,
         mesh=None,
     ):
+        """``weights=None`` computes Python-formula Henikoff weights ON
+        DEVICE from the uploaded codes (one alignment upload instead of
+        two — the setup bottleneck at pod scale is the host->device pass);
+        the result is exposed as ``session.weights``."""
         from dataclasses import replace as _replace
 
         cfg = cfg or DriverConfig()
@@ -202,6 +206,18 @@ class LdSession:
             )
 
             interpret = jax.devices()[0].platform not in ("tpu", "axon")
+            codes_host = pad_alignment_site_major(
+                alignment, cfg.tile, cfg.seq_chunk
+            )
+            codes_pre = None
+            if weights is None:
+                # On-device Henikoff from the buffer we're uploading anyway.
+                from ..core.henikoff import henikoff_weights_site_major
+
+                (codes_pre,) = replicate(self.mesh, codes_host)
+                weights = np.asarray(
+                    henikoff_weights_site_major(codes_pre, self.n_seqs)
+                )[: self.n_seqs]
             w_arr = np.asarray(weights, dtype=np.float32)
             exact = weights_bf16_exact(w_arr)
             unit = bool((w_arr == 1.0).all())
@@ -226,30 +242,33 @@ class LdSession:
                 max_site_distance=cfg.max_site_distance,
                 interpret=interpret,
             )
-            codes_host = pad_alignment_site_major(
-                alignment, cfg.tile, cfg.seq_chunk
-            )
             if wquant == "int8":
-                weights_host = pad_weights_int8(
-                    np.asarray(weights), cfg.seq_chunk
-                )
+                weights_host = pad_weights_int8(w_arr, cfg.seq_chunk)
             elif wquant == "lo_int8":
-                weights_host = pad_weights_lo_int8(
-                    np.asarray(weights), cfg.seq_chunk
-                )
+                weights_host = pad_weights_lo_int8(w_arr, cfg.seq_chunk)
             else:
-                weights_host = pad_weights(np.asarray(weights), cfg.seq_chunk)
+                weights_host = pad_weights(w_arr, cfg.seq_chunk)
         else:
+            if weights is None:
+                from ..core.henikoff import henikoff_weights
+
+                weights = np.asarray(henikoff_weights(jnp.asarray(alignment)))
             self.runner = make_sharded_stats_runner(
                 self.mesh, tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k,
                 max_site_distance=cfg.max_site_distance,
             )
             codes_host = pad_alignment(alignment, cfg.tile)
+            codes_pre = None
             weights_host = np.asarray(weights, dtype=np.float32)
 
-        self.codes_dev, self.weights_dev = replicate(
-            self.mesh, codes_host, weights_host
-        )
+        self.weights = np.asarray(weights, dtype=np.float32)
+        if codes_pre is not None:
+            self.codes_dev = codes_pre
+            (self.weights_dev,) = replicate(self.mesh, weights_host)
+        else:
+            self.codes_dev, self.weights_dev = replicate(
+                self.mesh, codes_host, weights_host
+            )
 
         # Stripe tiles over shards, pad every shard to a whole number of
         # batches, and upload the whole plan once (sharded over the mesh
