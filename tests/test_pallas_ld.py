@@ -244,3 +244,31 @@ def test_quantized_weights_driver_matches(rng, wq):
     assert set(gm) == set(wm)
     for k in wm:
         np.testing.assert_allclose(gm[k], wm[k], atol=4e-4, err_msg=str(k))
+
+
+def test_large_tile_row_chunked_finalize(rng):
+    # T=256 finalizes in two row chunks of 128 (rc=min(128, t)); cover the
+    # multi-chunk epilogue in interpret mode (on-TPU runs hit it via the
+    # auto T=256 rule, but the suite otherwise only uses tiny tiles).
+    from weightedld_tpu.parallel.triangle import plan_tiles
+
+    n_seqs, n_sites, tile, chunk = 24, 300, 256, 64
+    aln = random_alignment(rng, n_seqs, n_sites)
+    w = (rng.random(n_seqs) + 0.05).astype(np.float32)
+    plan = plan_tiles(n_sites, tile)
+    ref = tile_stats_batch(
+        jnp.asarray(pad_alignment(aln, tile)), jnp.asarray(w),
+        jnp.asarray(plan.tile_i), jnp.asarray(plan.tile_j),
+        jnp.ones(plan.n_tiles, dtype=bool), tile=tile, n_sites=n_sites,
+    )
+    got = pallas_tile_stats(
+        jnp.asarray(pad_alignment_site_major(aln, tile, chunk)),
+        jnp.asarray(pad_weights(w, chunk)),
+        jnp.asarray(plan.tile_i), jnp.asarray(plan.tile_j),
+        jnp.ones(plan.n_tiles, dtype=jnp.int32),
+        tile=tile, n_sites=n_sites, seq_chunk=chunk, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got.keep), np.asarray(ref.keep))
+    keep = np.asarray(ref.keep)
+    np.testing.assert_allclose(np.asarray(got.r2)[keep],
+                               np.asarray(ref.r2)[keep], rtol=1e-5, atol=1e-6)
