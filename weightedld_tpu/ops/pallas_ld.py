@@ -164,6 +164,7 @@ def pad_weights_int8(
 
 def _ld_kernel(tile: int, n_sites: int, planes: tuple,
                exact_weights: bool, preplaned: bool, wquant: str,
+               row_pass: bool,
                ti_ref, tj_ref, em_ref,
                a_ref, b_ref, w_ref,
                d_ref, dp_ref, r2_ref, keep_ref,
@@ -247,31 +248,52 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
     # rate), ``int8`` (BOTH passes int8: w ~= a1*q1 + a2*q2, the two integer
     # joints are exact and combine in f32 — 1.0 bf16-pass equivalents).
     # ``exact_weights`` (bf16-representable weights) drops the residual pass.
+    #
+    # ``row_pass`` computes and accumulates the joint one A-plane row at a
+    # time — identical math and FLOPs, but peak temporaries are (T, pT)
+    # instead of (pT, pT), which is what lets p>=4 alphabets fit T=256 in
+    # scoped VMEM (the full-joint temporary alone is 6.55 MB at p=5).
     if wquant == "int8" and not exact_weights:
         q1 = w_ref[0:1, :].astype(jnp.int32)  # (1, Nc) quantized w
         q2 = w_ref[1:2, :].astype(jnp.int32)  # (1, Nc) quantized residual
-        xi = xu8.astype(jnp.int32)
-        xq1 = (xi * q1).astype(jnp.int8)      # one-hot * q fits int8 exactly
-        xq2 = (xi * q2).astype(jnp.int8)
         a1 = w_ref[2, 0]
         a2 = w_ref[3, 0]
-        jw_chunk = (a1 * dot8(xq1, yu8).astype(f32)
+
+        def jw_rows(xs8):                     # (rows, Nc) int8 one-hot slice
+            xi = xs8.astype(jnp.int32)
+            xq1 = (xi * q1).astype(jnp.int8)  # one-hot * q fits int8 exactly
+            xq2 = (xi * q2).astype(jnp.int8)
+            return (a1 * dot8(xq1, yu8).astype(f32)
                     + a2 * dot8(xq2, yu8).astype(f32))
     else:
         w = w_ref[0:1, :]                     # (1, Nc) f32
         w_hi = w.astype(bf16)
-        xu = xu8.astype(bf16)
         yu = yu8.astype(bf16)
-        jw_chunk = dot16(xu * w_hi, yu)
         if wquant == "lo_int8" and not exact_weights:
             q8 = w_ref[1:2, :].astype(jnp.int32)      # (1, Nc) quantized w_lo
-            xq = (xu8.astype(jnp.int32) * q8).astype(jnp.int8)
             alpha = w_ref[2, 0]
-            jw_chunk = jw_chunk + alpha * dot8(xq, yu8).astype(f32)
+
+            def jw_rows(xs8):
+                xs = xs8.astype(bf16)
+                xq = (xs8.astype(jnp.int32) * q8).astype(jnp.int8)
+                return (dot16(xs * w_hi, yu)
+                        + alpha * dot8(xq, yu8).astype(f32))
         elif not exact_weights:
             w_lo = (w - w_hi.astype(f32)).astype(bf16)
-            jw_chunk = jw_chunk + dot16(xu * w_lo, yu)
-    acc_ref[:, :] += jw_chunk
+
+            def jw_rows(xs8):
+                xs = xs8.astype(bf16)
+                return dot16(xs * w_hi, yu) + dot16(xs * w_lo, yu)
+        else:
+
+            def jw_rows(xs8):
+                return dot16(xs8.astype(bf16) * w_hi, yu)
+
+    if row_pass:
+        for s in range(p):
+            acc_ref[s * t:(s + 1) * t, :] += jw_rows(xu8[s * t:(s + 1) * t, :])
+    else:
+        acc_ref[:, :] += jw_rows(xu8)
     # Unweighted per-pair marginal counts: two int8 contractions against the
     # validity plane at 2/p the FLOPs of the full (pT x pT) joint, exact
     # (int8 x int8 -> int32, double MXU rate).
@@ -564,8 +586,11 @@ def pallas_tile_stats(
         kernel = partial(_ld_kernel_unit, t, n_sites, planes, preplaned)
         scratch = [pltpu.VMEM((p * t, p * t), jnp.int32)]
     else:
+        # Row-pass accumulation once the full-joint temporary would be
+        # large: p*T > 768 is where p=4/p=5 T=256 kernels blow scoped VMEM.
+        row_pass = p * t > 768
         kernel = partial(_ld_kernel, t, n_sites, planes, exact_weights,
-                         preplaned, wquant)
+                         preplaned, wquant, row_pass)
         scratch = [
             pltpu.VMEM((p * t, p * t), jnp.float32),   # weighted joint acc
             pltpu.VMEM((p * t, t), jnp.int32),  # count marginal #{A==s,B valid}

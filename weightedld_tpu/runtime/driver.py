@@ -43,8 +43,8 @@ _UNSET = object()  # "use the session default" sentinel (None is meaningful)
 @dataclass
 class DriverConfig:
     tile: int | None = None         # site-tile side (None = auto: 256 for
-                                    # <=3 allele planes on TPU — measured
-                                    # +11-21% over 128; 128 otherwise, since
+                                    # <=4 allele planes on TPU — measured
+                                    # +4-21% over 128; 128 otherwise, since
                                     # the p=5 T=256 kernel exceeds VMEM)
     tiles_per_shard_batch: int | None = None  # tiles per device per dispatch
                                     # (None = auto: large batches on TPU to
@@ -76,12 +76,13 @@ def _resolve_engine(engine: str) -> str:
 
 def resolve_tile(tile: int | None, engine: str, alignment: np.ndarray,
                  seq_chunk: int = 512, planes: tuple | None = None) -> int:
-    """Auto site-tile side: T=256 measured +11-21% over T=128 for the
-    <=3-plane Pallas kernel on v5e (the marginal-count kernel freed the
-    VMEM that used to block it).  The feasibility frontier is tight
-    (measured): p=5 T=256 exceeds scoped VMEM by 6.3 MB, p=4 T=256 and
-    p=2 T=512 also OOM, and even p=3 T=256 overflows by 0.7 MB at
-    seq_chunk=1024 — so auto picks 256 only for <=3 planes at the default
+    """Auto site-tile side: T=256 measured +4-21% over T=128 for the
+    <=4-plane Pallas kernels on v5e (the marginal-count kernel freed the
+    VMEM that used to block it; the row-pass accumulation made p=4 fit).
+    The feasibility frontier is tight (measured): p=5 T=256 exceeds scoped
+    VMEM even row-passed (the (pT)^2 f32 accumulator alone is 6.55 MB),
+    p=2 T=512 OOMs, and even p=3 T=256 overflows by 0.7 MB at
+    seq_chunk=1024 — so auto picks 256 only for <=4 planes at the default
     seq_chunk.  An explicit ``tile`` always wins (and can OOM).
 
     ``planes`` skips the O(N*S) detection scan when the caller already has
@@ -95,7 +96,7 @@ def resolve_tile(tile: int | None, engine: str, alignment: np.ndarray,
             from ..ops.pallas_ld import detect_planes
 
             planes = detect_planes(alignment)
-        if len(planes) <= 3:
+        if len(planes) <= 4:
             return 256
     return 128
 
