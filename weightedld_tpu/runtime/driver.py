@@ -210,6 +210,11 @@ class LdSession:
             codes_host = pad_alignment_site_major(
                 alignment, cfg.tile, cfg.seq_chunk
             )
+            # (A nibble-packed upload was measured and rejected: the raw
+            # transfer is only ~3-7 s/GB even through the tunnel — setup
+            # time is compiles + host-side packing, so halving the bytes
+            # bought nothing and cost an extra first-time compile.  See
+            # PERF.md dead ends.)
             codes_pre = None
             if weights is None:
                 # On-device Henikoff from the buffer we're uploading anyway.
