@@ -19,8 +19,12 @@ res = wld.prepare(sys.argv[1] if len(sys.argv) > 1 else str(Path(__file__).with_
 
 session = LdSession(
     res.alignment, res.weights, res.site_map,
-    DriverConfig(r2_threshold=0.1),  # tiles/batch auto-sizes per platform
+    DriverConfig(r2_threshold=0.1),  # tile/batch auto-size per platform
 )
+# Tip: LdSession(res.alignment, None, res.site_map, ...) computes Henikoff
+# weights ON DEVICE from the uploaded codes (one alignment upload instead
+# of two; read them back from session.weights) — the fastest way to stand
+# up a pod-scale session from raw arrays.
 
 # Reduction-only scan: O(1) host traffic per batch.
 print(session.summarize())

@@ -64,8 +64,14 @@ def henikoff_weights(alignment: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
 
     unique_base = _unique_row_count(counts[:N_ALLELES]).astype(dtype)
 
-    # Count (at its own site) of each cell's own symbol.
-    own = jnp.take_along_axis(counts, alignment.astype(jnp.int32), axis=0)  # [N, S]
+    # Count (at its own site) of each cell's own symbol.  Computed with
+    # one-hot selects, NOT take_along_axis: a [N, S]-indexed gather lowers
+    # to a pathological per-element loop on TPU (measured ~148 s on the
+    # 10k x 100k pod matrix vs ~1 s for the 6 vectorized passes).
+    own = sum(
+        counts[c][None, :] * (alignment == alignment.dtype.type(c))
+        for c in range(N_CODES)
+    )                                                                  # [N, S]
 
     ok = alignment != UNKNOWN
     # 1 / (unique_base * count[own]); ambiguous cells contribute 0 for now.
@@ -98,7 +104,10 @@ def henikoff_weights_paper(alignment: jnp.ndarray, dtype=jnp.float32) -> jnp.nda
         axis=0,
     ).astype(dtype)                                                   # [6, S]
     distinct = (counts[:N_ALLELES] > 0).sum(axis=0).astype(dtype)     # [S]
-    own = jnp.take_along_axis(counts, alignment.astype(jnp.int32), axis=0)
+    own = sum(  # one-hot select; take_along_axis gathers are slow on TPU
+        counts[c][None, :] * (alignment == alignment.dtype.type(c))
+        for c in range(N_CODES)
+    )
     ok = alignment != UNKNOWN
     safe = jnp.maximum(distinct * own, 1.0)
     contrib = jnp.where(ok, 1.0 / safe, 0.0)
@@ -121,7 +130,10 @@ def _henikoff_partial_sums(alignment: jnp.ndarray, dtype=jnp.float32):
         ],
         axis=0,
     ).astype(dtype)
-    own = jnp.take_along_axis(counts, alignment.astype(jnp.int32), axis=0)
+    own = sum(  # one-hot select; take_along_axis gathers are slow on TPU
+        counts[c][None, :] * (alignment == alignment.dtype.type(c))
+        for c in range(N_CODES)
+    )
     ok = alignment != UNKNOWN
     contrib = jnp.where(ok, 1.0 / own, 0.0)
     concrete_total = counts[:N_ALLELES].sum(axis=0)
@@ -157,7 +169,10 @@ def henikoff_weights_site_major(
         ],
         axis=1,
     ).astype(dtype)                                            # [S_pad, 6]
-    own = jnp.take_along_axis(counts, codes_sm.astype(jnp.int32), axis=1)
+    own = sum(  # one-hot select; take_along_axis gathers are slow on TPU
+        counts[:, c:c + 1] * (codes_sm == codes_sm.dtype.type(c))
+        for c in range(N_CODES)
+    )
     ok = codes_sm != UNKNOWN
     contrib = jnp.where(ok, 1.0 / jnp.maximum(own, 1.0), 0.0)  # [S_pad, N_pad]
     concrete_total = counts[:, :N_ALLELES].sum(axis=1)         # [S_pad]
