@@ -63,3 +63,36 @@ def test_fixture_shapes(tmp_path, name):
     aln = read_fasta(path)
     assert aln.shape == (len(seqs), len(seqs[0]))
     assert aln.dtype == np.int8
+
+
+def test_header_only_fasta_rejected(tmp_path):
+    # Header-only files must be a clean ingest error on BOTH io paths, not
+    # an [N, 0] alignment (NaN weights downstream).
+    import pytest
+
+    from weightedld_tpu.io.fasta import (
+        read_fasta_with_names,
+        read_fasta_with_names_python,
+    )
+
+    f = tmp_path / "hdr.fasta"
+    f.write_text(">seq1\n>seq2\n")
+    for fn in (read_fasta_with_names, read_fasta_with_names_python):
+        with pytest.raises(ValueError, match="no sequences found"):
+            fn(f)
+
+
+def test_gzip_open_does_not_leak_fd(tmp_path):
+    import gzip
+
+    from weightedld_tpu.io.fasta import _open_maybe_gzip
+
+    f = tmp_path / "x.fasta.gz"
+    with gzip.open(f, "wt") as g:
+        g.write(">a\nACGT\n")
+    h = _open_maybe_gzip(f)
+    raw = getattr(h, "fileobj", None) or getattr(h, "myfileobj", None)
+    h.close()
+    # gzip.open(path) owns its underlying file and closes it with the
+    # GzipFile (a caller-supplied handle would be left open).
+    assert raw is None or raw.closed

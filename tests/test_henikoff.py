@@ -147,3 +147,23 @@ def test_session_weights_none_matches_explicit():
         np.testing.assert_array_equal(got.pos_a, want.pos_a)
         np.testing.assert_array_equal(got.pos_b, want.pos_b)
         np.testing.assert_allclose(got.r2, want.r2, atol=1e-7)
+
+
+def test_zero_concrete_site_does_not_nan_weights():
+    # A site whose every cell is UNKNOWN (possible on the unmasked VCF
+    # path) must contribute 0, not NaN-poison every weight through the
+    # mean imputation (the reference NaN-poisons here).
+    import jax.numpy as jnp
+    import numpy as np
+
+    from weightedld_tpu.core.henikoff import (
+        henikoff_weights,
+        henikoff_weights_large,
+    )
+
+    aln = np.array([[0, 5, 0], [3, 5, 0], [0, 5, 3]], dtype=np.int8)
+    for fn in (henikoff_weights, henikoff_weights_large):
+        w = np.asarray(fn(jnp.asarray(aln)) if fn is henikoff_weights
+                       else fn(aln))
+        assert np.isfinite(w).all(), fn.__name__
+        assert w.max() == 1.0

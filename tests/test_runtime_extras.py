@@ -223,3 +223,16 @@ def test_checkpoint_refuses_weight_quant_switch(rng, tmp_path):
                        DriverConfig(tile=16, weight_quant="int8"),
                        checkpoint=True)
     assert n >= 0 and not ck.exists()
+
+
+def test_save_prepared_honors_exact_path(tmp_path):
+    # np.savez_compressed(path) appends ".npz" to bare paths; save_prepared
+    # must write the literal path so --save/--load round-trip.
+    from .fixtures import ALL_FASTAS, write_fasta as _wf
+
+    f = tmp_path / "t5.fasta"
+    _wf(f, ALL_FASTAS["t5"])
+    cache = tmp_path / "prep.cache"  # no .npz suffix
+    assert main(["--file", str(f), "--save-prepared", str(cache)]) == 0
+    assert cache.exists() and not (tmp_path / "prep.cache.npz").exists()
+    assert main(["--load-prepared", str(cache)]) == 0

@@ -43,6 +43,29 @@ def _unique_row_count(rows: jnp.ndarray) -> jnp.ndarray:
     return (~is_dup).sum()
 
 
+def _counts_and_own(alignment: jnp.ndarray, dtype):
+    """Shared stanza of the sequence-major weighting variants: per-site
+    code histogram ``[6, S]`` plus each cell's own-symbol count ``[N, S]``.
+
+    ``own`` uses one-hot selects, NOT take_along_axis: an [N, S]-indexed
+    gather lowers to a pathological per-element loop on TPU (measured
+    ~148 s on the 10k x 100k pod matrix vs ~1 s for 6 vectorized passes).
+    """
+    counts = jnp.stack(
+        [
+            (alignment == alignment.dtype.type(s)).sum(axis=0)
+            for s in range(N_CODES)
+        ],
+        axis=0,
+    ).astype(dtype)                                                   # [6, S]
+    own = sum(
+        counts[c][None, :] * (alignment == alignment.dtype.type(c))
+        for c in range(N_CODES)
+    )                                                                 # [N, S]
+    return counts, own
+
+
+
 @partial(jax.jit, static_argnames=("dtype",))
 def henikoff_weights(alignment: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """Per-sequence Henikoff weights, max-normalized to 1.0.
@@ -53,34 +76,22 @@ def henikoff_weights(alignment: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     Returns:
         ``[n_seqs]`` weights in ``dtype``.
     """
-    # One reduction per code (not an [N, 6, S] one-hot): peak memory O(N*S).
-    counts = jnp.stack(
-        [
-            (alignment == alignment.dtype.type(s)).sum(axis=0)
-            for s in range(N_CODES)
-        ],
-        axis=0,
-    ).astype(dtype)                                                       # [6, S]
-
+    counts, own = _counts_and_own(alignment, dtype)
     unique_base = _unique_row_count(counts[:N_ALLELES]).astype(dtype)
-
-    # Count (at its own site) of each cell's own symbol.  Computed with
-    # one-hot selects, NOT take_along_axis: a [N, S]-indexed gather lowers
-    # to a pathological per-element loop on TPU (measured ~148 s on the
-    # 10k x 100k pod matrix vs ~1 s for the 6 vectorized passes).
-    own = sum(
-        counts[c][None, :] * (alignment == alignment.dtype.type(c))
-        for c in range(N_CODES)
-    )                                                                  # [N, S]
 
     ok = alignment != UNKNOWN
     # 1 / (unique_base * count[own]); ambiguous cells contribute 0 for now.
-    contrib = jnp.where(ok, 1.0 / (unique_base * own), 0.0)
+    # (own >= 1 wherever ok; the maximum() guard only protects the masked
+    # lanes from generating inf that the where() would discard anyway.)
+    contrib = jnp.where(ok, 1.0 / (unique_base * jnp.maximum(own, 1.0)), 0.0)
 
     # Mean imputation for ambiguous cells: site total over the number of
-    # concrete (codes 0..4) alleles at that site.
+    # concrete (codes 0..4) alleles at that site.  Guarded: a site with
+    # zero concrete alleles would otherwise impute 0/0 = NaN into EVERY
+    # sequence via max-normalization (the reference NaN-poisons here —
+    # possible only on the unmasked VCF path; we contribute 0 instead).
     concrete_total = counts[:N_ALLELES].sum(axis=0)                         # [S]
-    site_avg = contrib.sum(axis=0) / concrete_total
+    site_avg = contrib.sum(axis=0) / jnp.maximum(concrete_total, 1.0)
     contrib = jnp.where(ok, contrib, site_avg[None, :])
 
     weights = contrib.sum(axis=1)
@@ -96,18 +107,8 @@ def henikoff_weights_paper(alignment: jnp.ndarray, dtype=jnp.float32) -> jnp.nda
     concrete sequences — a verified Rust deviation, SURVEY.md §2.4.1).
     Offered as an alternative weighting; the default is Python parity.
     """
-    counts = jnp.stack(
-        [
-            (alignment == alignment.dtype.type(s)).sum(axis=0)
-            for s in range(N_CODES)
-        ],
-        axis=0,
-    ).astype(dtype)                                                   # [6, S]
+    counts, own = _counts_and_own(alignment, dtype)
     distinct = (counts[:N_ALLELES] > 0).sum(axis=0).astype(dtype)     # [S]
-    own = sum(  # one-hot select; take_along_axis gathers are slow on TPU
-        counts[c][None, :] * (alignment == alignment.dtype.type(c))
-        for c in range(N_CODES)
-    )
     ok = alignment != UNKNOWN
     safe = jnp.maximum(distinct * own, 1.0)
     contrib = jnp.where(ok, 1.0 / safe, 0.0)
@@ -123,21 +124,13 @@ def _henikoff_partial_sums(alignment: jnp.ndarray, dtype=jnp.float32):
     """Un-normalized per-sequence contribution sums for one site chunk,
     with the global ``unique_base`` scalar omitted (it cancels under the
     final max-normalization — see module docstring)."""
-    counts = jnp.stack(
-        [
-            (alignment == alignment.dtype.type(s)).sum(axis=0)
-            for s in range(N_CODES)
-        ],
-        axis=0,
-    ).astype(dtype)
-    own = sum(  # one-hot select; take_along_axis gathers are slow on TPU
-        counts[c][None, :] * (alignment == alignment.dtype.type(c))
-        for c in range(N_CODES)
-    )
+    counts, own = _counts_and_own(alignment, dtype)
     ok = alignment != UNKNOWN
-    contrib = jnp.where(ok, 1.0 / own, 0.0)
+    contrib = jnp.where(ok, 1.0 / jnp.maximum(own, 1.0), 0.0)
     concrete_total = counts[:N_ALLELES].sum(axis=0)
-    site_avg = contrib.sum(axis=0) / concrete_total
+    # Guarded like henikoff_weights: a zero-concrete site contributes 0
+    # instead of NaN-poisoning every weight.
+    site_avg = contrib.sum(axis=0) / jnp.maximum(concrete_total, 1.0)
     contrib = jnp.where(ok, contrib, site_avg[None, :])
     return contrib.sum(axis=1)
 

@@ -59,7 +59,8 @@ def compute_variable_sites(
     n_seqs = alignment.shape[0]
     counts = site_histogram(alignment)                       # [S, 5]
 
-    concrete = (alignment < N_CONCRETE).sum(axis=0)          # [S]
+    # Coverage from the histogram (codes 0..3) — no extra O(N*S) scan.
+    concrete = counts[:, :N_CONCRETE].sum(axis=1)            # [S]
     sufficient_data = concrete / n_seqs > min_acgt
 
     major = counts.max(axis=1)
@@ -108,7 +109,7 @@ def compute_variable_sites_host(
     counts = np.stack(
         [(alignment == s).sum(axis=0) for s in range(N_ALLELES)], axis=1
     )
-    concrete = (alignment < N_CONCRETE).sum(axis=0)
+    concrete = counts[:, :N_CONCRETE].sum(axis=1)  # coverage, no extra scan
     sufficient_data = concrete / n_seqs > min_acgt
 
     major = counts.max(axis=1)

@@ -36,14 +36,16 @@ def read_fasta_with_names(path: str | Path) -> tuple[np.ndarray, list[str]]:
 
 def _open_maybe_gzip(path: str | Path):
     """Binary handle; transparently inflates gzip inputs (magic 1f 8b)."""
-    fh = open(path, "rb")
-    magic = fh.read(2)
-    fh.seek(0)
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    # Re-open by PATH, not by handing gzip the raw handle:
+    # GzipFile.close() does not close a caller-supplied fileobj, which
+    # leaked one fd per .gz ingest.
     if magic == b"\x1f\x8b":
         import gzip
 
-        return gzip.open(fh, "rb")
-    return fh
+        return gzip.open(path, "rb")
+    return open(path, "rb")
 
 
 def read_fasta_with_names_python(
@@ -73,7 +75,10 @@ def read_fasta_with_names_python(
                 current.append(line)
     flush()
 
-    if not rows:
+    if not rows or not any(rows):
+        # `not any(rows)` catches header-only files: flush() appends b"" for
+        # each empty record, which would otherwise yield an [N, 0] alignment
+        # and NaN weights downstream instead of a clean ingest error.
         raise ValueError(f"{path}: no sequences found")
     return encode_alignment(rows), names
 

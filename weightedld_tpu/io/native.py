@@ -149,6 +149,10 @@ def read_fasta_native(path: str | Path) -> tuple[np.ndarray, list[str]]:
         raw = names_buf.raw[: names_len.value].decode("utf-8", "replace")
     finally:
         lib.wldio_fasta_close(h)
+    if out.shape[1] == 0:
+        # Header-only files: match the Python reader's ingest error instead
+        # of returning an [N, 0] alignment (NaN weights downstream).
+        raise ValueError(f"{path}: no sequences found")
     names = raw.split("\n") if raw else [""] * n_seqs.value
     if len(names) != n_seqs.value:  # all-empty names edge case
         names = (names + [""] * n_seqs.value)[: n_seqs.value]

@@ -157,6 +157,16 @@ def read_vcf_python(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     site_rows: list[np.ndarray] = []
     n_haps = None
 
+    def check_width(row, lineno):
+        nonlocal n_haps
+        if n_haps is None:
+            n_haps = len(row)
+        elif len(row) != n_haps:
+            raise VcfError(
+                f"{path}:{lineno}: inconsistent haplotype count "
+                f"({len(row)} vs {n_haps})"
+            )
+
     for lineno, line in enumerate(data_lines, header_idx + 2):
         cols = line.split("\t", 9)
         if len(cols) < 10:
@@ -165,13 +175,7 @@ def read_vcf_python(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
 
         fast = _fast_parse_gt_block(cols[9])
         if fast is not None:
-            if n_haps is None:
-                n_haps = len(fast)
-            elif len(fast) != n_haps:
-                raise VcfError(
-                    f"{path}:{lineno}: inconsistent haplotype count "
-                    f"({len(fast)} vs {n_haps})"
-                )
+            check_width(fast, lineno)
             site_rows.append(fast)
             continue
 
@@ -190,13 +194,7 @@ def read_vcf_python(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
                 haps.append(_parse_allele(gt))
 
         row = np.asarray(haps, dtype=np.int16)
-        if n_haps is None:
-            n_haps = len(row)
-        elif len(row) != n_haps:
-            raise VcfError(
-                f"{path}:{lineno}: inconsistent haplotype count "
-                f"({len(row)} vs {n_haps})"
-            )
+        check_width(row, lineno)
         site_rows.append(row.astype(ALIGNMENT_DTYPE))
 
     site_map = np.asarray(positions, dtype=np.int64)

@@ -23,18 +23,24 @@ def save_prepared(path: str | Path, res: PipelineResult,
                   prep_config: dict | None = None) -> None:
     import json
 
-    np.savez_compressed(
-        path,
-        format_version=_FORMAT_VERSION,
-        alignment=res.alignment,
-        site_map=res.site_map,
-        weights=res.weights,
-        hk_mask=res.hk_mask if res.hk_mask is not None else np.empty(0, bool),
-        ld_mask=res.ld_mask if res.ld_mask is not None else np.empty(0, bool),
-        prep_config=np.frombuffer(
-            json.dumps(prep_config or {}).encode(), dtype=np.uint8
-        ),
-    )
+    # Write through an explicit handle: np.savez_compressed(path, ...)
+    # silently appends ".npz" to bare paths, which would break the
+    # save/load round trip for any other extension.
+    with open(path, "wb") as fh:
+        np.savez_compressed(
+            fh,
+            format_version=_FORMAT_VERSION,
+            alignment=res.alignment,
+            site_map=res.site_map,
+            weights=res.weights,
+            hk_mask=res.hk_mask if res.hk_mask is not None
+            else np.empty(0, bool),
+            ld_mask=res.ld_mask if res.ld_mask is not None
+            else np.empty(0, bool),
+            prep_config=np.frombuffer(
+                json.dumps(prep_config or {}).encode(), dtype=np.uint8
+            ),
+        )
 
 
 def load_prepared(path: str | Path) -> tuple[PipelineResult, dict]:
