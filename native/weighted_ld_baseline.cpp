@@ -317,7 +317,13 @@ int main(int argc, char** argv) {
 
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
-    auto next = [&]() { return std::string(argv[++i]); };
+    auto next = [&]() -> std::string {
+      if (i + 1 >= argc) {  // flag given as the last argument
+        std::fprintf(stderr, "error: %s needs a value\n", a.c_str());
+        std::exit(2);
+      }
+      return std::string(argv[++i]);
+    };
     if (a == "--fasta-input") fasta = next();
     else if (a == "--pair-output") pair_out = next();
     else if (a == "--min-acgt") min_acgt = std::stod(next());

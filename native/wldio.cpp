@@ -380,7 +380,9 @@ bool parse_allele(const char* s, size_t b, size_t e, int8_t* out,
     if (v < 1000000000000000000LL) v = v * 10 + (s[p] - '0');
   }
   if (neg) v = -v;
-  if (v > 5) {
+  if (v > 5 || v < 0) {
+    // 0..5 only: negatives would truncate through int8 into arbitrary
+    // codes; matches the Python reader's guard (io/vcf.py:_parse_allele).
     *err = "allele index " + std::to_string(v) +
            " exceeds the supported alphabet (ALT1..ALT3 map to codes 1..3; "
            "ALT4/ALT5 alias the missing/ambiguous codes 4/5 for reference "
@@ -689,16 +691,21 @@ size_t py_repr(double v, char* out) {
   return render_py_float(neg, digits, nd, exp10 + 1, out);
 }
 
-// repr(round(v, ndigits)), slow path: snprintf("%.{n}f") is the rounding
-// engine (glibc is correctly rounded, half-even on exact decimal ties —
-// matching CPython's dtoa-based double_round).  After stripping trailing
-// zeros, a significand of <= 15 digits IS the shortest round-trip repr of
-// the rounded double: any shorter decimal in that range is further than
-// half an ULP away, so only then do we need the strtod + to_chars pass.
+// repr(round(v, ndigits)), slow path: fixed-precision std::to_chars is the
+// rounding engine (correctly rounded, half-even on exact decimal ties —
+// the standard specifies printf-"%f"-in-the-C-locale semantics — matching
+// CPython's dtoa-based double_round).  NOT snprintf/strtod: those honor
+// LC_NUMERIC, and a host process that set a comma-decimal locale would
+// silently corrupt the TSV.  After stripping trailing zeros, a significand
+// of <= 15 digits IS the shortest round-trip repr of the rounded double:
+// any shorter decimal in that range is further than half an ULP away, so
+// only then do we need the from_chars + to_chars pass.
 size_t py_round_repr_slow(double v, int ndigits, char* out) {
   if (!std::isfinite(v)) return py_repr(v, out);
   char fixed[512];
-  snprintf(fixed, sizeof(fixed), "%.*f", ndigits, v);
+  auto fres = std::to_chars(fixed, fixed + sizeof(fixed) - 1, v,
+                            std::chars_format::fixed, ndigits);
+  *fres.ptr = '\0';
   const char* p = fixed;
   bool neg = (*p == '-');
   if (neg) ++p;
@@ -734,7 +741,9 @@ size_t py_round_repr_slow(double v, int ndigits, char* out) {
     decpt = 1;
   }
   if (nd <= 15) return render_py_float(neg, digits, nd, decpt, out);
-  return py_repr(strtod(fixed, nullptr), out);
+  double rv = 0.0;
+  std::from_chars(fixed, fres.ptr, rv);  // locale-independent strtod
+  return py_repr(rv, out);
 }
 
 // repr(round(v, ndigits)), fast path: round the *shortest-repr digits*

@@ -571,3 +571,35 @@ def test_vcf_random_property(tmp_path):
         gts = forms[rng.integers(0, len(forms), size=SAMPLES)]
         rows.append(_row(pos, list(gts)))
     _assert_vcf_parity(_mk_vcf(tmp_path, rows, "rand.vcf"))
+
+
+def test_formatter_locale_independent():
+    # The TSV formatter must not honor LC_NUMERIC: a host process with a
+    # comma-decimal locale previously corrupted slow-path values
+    # (snprintf/strtod are locale-sensitive; std::to_chars is not).
+    import ctypes
+    import ctypes.util
+
+    from weightedld_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    libc = ctypes.CDLL(ctypes.util.find_library("c"))
+    libc.setlocale.restype = ctypes.c_char_p
+    LC_NUMERIC = 1
+    old = libc.setlocale(LC_NUMERIC, None)
+    if libc.setlocale(LC_NUMERIC, b"de_DE.UTF-8") is None and \
+            libc.setlocale(LC_NUMERIC, b"fr_FR.UTF-8") is None:
+        pytest.skip("no comma-decimal locale installed")
+    try:
+        vals = np.array([2.67485, 0.5, 1e-5, 123.450000049], dtype=np.float64)
+        rows = native.format_pairs_native(
+            np.zeros(4, np.int64), np.ones(4, np.int64),
+            vals, vals, vals, ndigits=4,
+        )
+        text = rows if isinstance(rows, str) else rows.decode()
+        assert "," not in text, text
+        for v in vals:
+            assert repr(round(float(v), 4)) in text
+    finally:
+        libc.setlocale(LC_NUMERIC, old)

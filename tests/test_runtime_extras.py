@@ -236,3 +236,38 @@ def test_save_prepared_honors_exact_path(tmp_path):
     assert main(["--file", str(f), "--save-prepared", str(cache)]) == 0
     assert cache.exists() and not (tmp_path / "prep.cache.npz").exists()
     assert main(["--load-prepared", str(cache)]) == 0
+
+
+def test_multiprocess_env_heuristics(monkeypatch):
+    from weightedld_tpu.parallel.multihost import _multiprocess_env
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                "SLURM_NTASKS", "SLURM_PROCID", "SLURM_STEP_NUM_TASKS"):
+        monkeypatch.delenv(var, raising=False)
+    assert not _multiprocess_env()
+    # sbatch batch step (no srun): NTASKS set but the step has one task —
+    # must stay local, not hang at the coordinator barrier.
+    monkeypatch.setenv("SLURM_NTASKS", "8")
+    monkeypatch.setenv("SLURM_PROCID", "0")
+    assert not _multiprocess_env()
+    # srun-launched multi-task step: distributed.
+    monkeypatch.setenv("SLURM_STEP_NUM_TASKS", "8")
+    assert _multiprocess_env()
+    monkeypatch.delenv("SLURM_STEP_NUM_TASKS")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "h:1234")
+    assert _multiprocess_env()
+
+
+def test_vcf_negative_allele_rejected(tmp_path):
+    import pytest
+
+    from weightedld_tpu.io.vcf import VcfError, read_vcf
+
+    header = ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+              + "\t".join(f"s{i}" for i in range(12)))
+    body = "1\t100\t.\tA\tT\t.\t.\t.\tGT\t" + "\t".join(["0|-1"] * 12)
+    p = tmp_path / "neg.vcf"
+    p.write_text(header + "\n" + body + "\n")
+    with pytest.raises(VcfError, match="exceeds the supported alphabet"):
+        read_vcf(p)

@@ -51,10 +51,11 @@ def _parse_allele(tok: str) -> int:
         v = int(tok)
     except ValueError as e:
         raise VcfError(f"bad allele {tok!r}") from e
-    if v > 5:
-        # The 6-code alphabet tops out at 5; larger ALT indices would alias
+    if v > 5 or v < 0:
+        # The 6-code alphabet is 0..5; larger ALT indices would alias
         # arbitrary codes and silently corrupt weighting/LD (the reference
-        # crashes here).  Fail fast instead.
+        # crashes here), and negative indices would flow through as
+        # out-of-alphabet int8 codes.  Fail fast instead.
         raise VcfError(
             f"allele index {v} exceeds the supported alphabet (ALT1..ALT3 "
             "map to codes 1..3; ALT4/ALT5 alias the missing/ambiguous codes "

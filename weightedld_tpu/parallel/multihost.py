@@ -81,7 +81,13 @@ def _multiprocess_env() -> bool:
     if len([h for h in hostnames.split(",") if h.strip()]) > 1:
         return True  # a pod slice; single-worker values stay local
     try:
-        return int(env.get("SLURM_NTASKS", "1")) > 1 and "SLURM_PROCID" in env
+        # SLURM_STEP_NUM_TASKS, not SLURM_NTASKS: an `sbatch --ntasks=N`
+        # batch step exports SLURM_NTASKS=N and SLURM_PROCID=0 even when
+        # the script runs this program ONCE without srun — initializing
+        # there would block forever waiting for N-1 peers that were never
+        # launched.  Only an srun-launched step has a multi-task step.
+        return (int(env.get("SLURM_STEP_NUM_TASKS", "1")) > 1
+                and "SLURM_PROCID" in env)
     except ValueError:
         return False
 
