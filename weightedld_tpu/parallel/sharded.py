@@ -143,17 +143,22 @@ def make_sharded_stats_runner(
     return runner
 
 
-def gather_compact(d, dp, r2, mask, tile_i, tile_j, live, *, tile, capacity):
+def gather_compact(d, dp, r2, mask, tile_i, tile_j, live, *, tile, capacity,
+                   mesh=None):
     """Gather live tiles and compact their records (cached jit by shapes).
 
     Args:
         d/dp/r2/mask: ``[K, T, T]`` batch stat tensors (device-resident).
         tile_i/tile_j: ``[K]`` tile coordinates of the batch.
         live: ``[M]`` int32 indices of tiles with records (M bucketed).
+        mesh: when given, the outputs are constrained FULLY REPLICATED over
+            it — required in multi-process runs so every host can fetch the
+            compacted records (GSPMD would otherwise leave them sharded on
+            non-addressable devices).
     Returns:
         (count, sites [capacity, 2], values [capacity, 3]).
     """
-    return _gather_compact_jit(
+    return _gather_compact_jit(mesh)(
         d, dp, r2, mask, tile_i, tile_j, live, tile=tile, capacity=capacity
     )
 
@@ -161,8 +166,7 @@ def gather_compact(d, dp, r2, mask, tile_i, tile_j, live, *, tile, capacity):
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("tile", "capacity"))
-def _gather_compact_jit(d, dp, r2, mask, tile_i, tile_j, live, *, tile, capacity):
+def _gc_impl(d, dp, r2, mask, tile_i, tile_j, live, *, tile, capacity):
     from ..core.ld_tiled import compact_tile_stats
     from ..core.paircore import PairStats
 
@@ -171,6 +175,24 @@ def _gather_compact_jit(d, dp, r2, mask, tile_i, tile_j, live, *, tile, capacity
         st, tile_i[live], tile_j[live], jnp.float32(-jnp.inf),
         tile=tile, capacity=capacity,
     )
+
+
+_GC_CACHE: dict = {}
+
+
+def _gather_compact_jit(mesh):
+    key = (None if mesh is None
+           else tuple(d.id for d in mesh.devices.flat))
+    fn = _GC_CACHE.get(key)
+    if fn is None:
+        if mesh is None:
+            fn = jax.jit(_gc_impl, static_argnames=("tile", "capacity"))
+        else:
+            repl = NamedSharding(mesh, P())
+            fn = jax.jit(_gc_impl, static_argnames=("tile", "capacity"),
+                         out_shardings=(repl, repl, repl))
+        _GC_CACHE[key] = fn
+    return fn
 
 
 @jax.jit

@@ -101,6 +101,20 @@ def resolve_tile(tile: int | None, engine: str, alignment: np.ndarray,
     return 128
 
 
+def _fetch(arr) -> np.ndarray:
+    """Host value of a possibly multi-process array.
+
+    Single-process: a plain device->host copy.  Multi-process: shards on
+    other hosts are not addressable, so all-gather them (communication =
+    the array itself; every call site keeps these small — counts, moments,
+    compacted records)."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
 def _next_bucket(n: int) -> int:
     """Round up to a power of FOUR: bounds the number of distinct compiled
     gather/fetch shapes (expensive in remote-compile environments) at the
@@ -327,7 +341,7 @@ class LdSession:
         # the live tiles in a second dispatch.  Host transfers and compaction
         # work stay O(records) — critical on slow device links and the reason
         # a sparse scan runs at kernel speed.
-        tcnt = np.asarray(tcnt)
+        tcnt = _fetch(tcnt)
         total = int(tcnt.sum())
 
         if total == 0:
@@ -346,6 +360,7 @@ class LdSession:
             cnt_dev, sites, values = gather_compact(
                 d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev, jnp.asarray(live),
                 tile=cfg.tile, capacity=cap,
+                mesh=self.mesh if jax.process_count() > 1 else None,
             )
             all_sites = np.asarray(sites)[:total]
             all_vals = np.asarray(values)[:total]
@@ -388,8 +403,8 @@ class LdSession:
         r2_sum = 0.0
         r2_max = -np.inf
         for _b, dispatched in self._pipelined(r2_threshold=r2_threshold):
-            mc = np.asarray(dispatched[8])        # [n_dev, 2] int32
-            mv = np.asarray(dispatched[9])        # [n_dev, 2] f32
+            mc = _fetch(dispatched[8])            # [n_dev, 2] int32
+            mv = _fetch(dispatched[9])            # [n_dev, 2] f32
             n_pairs += int(mc[:, 0].sum())
             n_over += int(mc[:, 1].sum())
             r2_sum += float(mv[:, 0].sum())
@@ -424,13 +439,13 @@ class LdSession:
                 dispatched
             )
             vals = {
-                "d": np.asarray(d_t),
-                "d_prime": np.asarray(dp_t),
-                "r2": np.asarray(r2_t),
+                "d": _fetch(d_t),
+                "d_prime": _fetch(dp_t),
+                "r2": _fetch(r2_t),
             }
-            keep_h = np.asarray(keep_t)   # emit/diagonal/skip rules folded in
-            bi_h = np.asarray(bi)
-            bj_h = np.asarray(bj)
+            keep_h = _fetch(keep_t)       # emit/diagonal/skip rules folded in
+            bi_h = _fetch(bi)
+            bj_h = _fetch(bj)
             for kk in range(len(bi_h)):
                 i0, j0 = int(bi_h[kk]) * t, int(bj_h[kk]) * t
                 if i0 >= s or j0 >= s:
