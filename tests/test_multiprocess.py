@@ -49,9 +49,18 @@ for _, rec in sess.stream():
     rows += [(int(a), int(b), round(float(r), 6))
              for a, b, r in zip(rec.pos_a, rec.pos_b, rec.r2)]
 summ = sess.summarize(r2_threshold=0.3)
+
+# run_to_tsv under multi-process: process 0 writes the real file, the
+# other drives its shards into /dev/null (the pod_scan pattern).
+from weightedld_tpu.runtime.driver import run_to_tsv
+tsv = sys.argv[4] + ".pairs.tsv" if is_output_process() else "/dev/null"
+n_tsv = run_to_tsv(aln, w, np.arange(64), tsv,
+                   DriverConfig(tile=16, tiles_per_shard_batch=2),
+                   mesh=global_mesh())
+
 out = {{"records": sorted(rows), "summary": {{
     "n_pairs": summ["n_pairs"], "n_over": summ["n_over_threshold"]}},
-    "is_output": is_output_process()}}
+    "n_tsv": int(n_tsv), "is_output": is_output_process()}}
 with open(sys.argv[4] + f".proc{{pid}}.json", "w") as f:
     json.dump(out, f)
 """
@@ -95,6 +104,9 @@ def test_two_process_distributed_matches_single(tmp_path):
     assert results[0]["is_output"] and not results[1]["is_output"]
     assert results[0]["records"] == results[1]["records"]
     assert results[0]["summary"] == results[1]["summary"]
+    assert results[0]["n_tsv"] == len(results[0]["records"])
+    tsv_rows = Path(f"{out_base}.pairs.tsv").read_text().strip().splitlines()
+    assert len(tsv_rows) - 1 == results[0]["n_tsv"]  # header + records
 
     # Single-process ground truth on the same input (this process: 8
     # virtual devices via conftest — a different mesh, same plan striping

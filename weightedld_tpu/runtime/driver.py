@@ -615,6 +615,15 @@ def run_to_tsv(
         n_written = state["n_records"]
         log.info("resuming at batch %d (%d records already written)",
                  start_batch, n_written)
+    if jax.process_count() > 1:
+        # Every process MUST iterate the same batches (the per-batch fetches
+        # all-gather across processes), but only the output process has the
+        # checkpoint file — broadcast its start_batch to the others.
+        from jax.experimental import multihost_utils
+
+        start_batch = int(multihost_utils.broadcast_one_to_all(
+            np.int32(start_batch)
+        ))
 
     if offset is None:
         fh = open_text_output(out_path)
