@@ -74,7 +74,10 @@ def test_paper_variant_divergence_demo():
 
 
 def test_chunked_large_path_matches():
-    from weightedld_tpu.core.henikoff import henikoff_weights_large
+    from weightedld_tpu.core.henikoff import (
+        henikoff_weights_large,
+        henikoff_weights_paper,
+    )
 
     rng = np.random.default_rng(9)
     aln = random_alignment(rng, 50, 300)
@@ -82,6 +85,11 @@ def test_chunked_large_path_matches():
     ref = np.asarray(henikoff_weights(jnp.asarray(aln)))
     got = np.asarray(henikoff_weights_large(aln, site_chunk=64))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+    # Paper variant is per-site additive too, so chunking is exact there.
+    ref_p = np.asarray(henikoff_weights_paper(jnp.asarray(aln)))
+    got_p = np.asarray(
+        henikoff_weights_large(aln, site_chunk=64, variant="paper"))
+    np.testing.assert_allclose(got_p, ref_p, rtol=2e-5, atol=2e-6)
 
 
 def test_ambiguous_mean_imputation():

@@ -119,13 +119,23 @@ def henikoff_weights_paper(alignment: jnp.ndarray, dtype=jnp.float32) -> jnp.nda
     return weights / weights.max()
 
 
-@partial(jax.jit, static_argnames=("dtype",))
-def _henikoff_partial_sums(alignment: jnp.ndarray, dtype=jnp.float32):
-    """Un-normalized per-sequence contribution sums for one site chunk,
-    with the global ``unique_base`` scalar omitted (it cancels under the
-    final max-normalization — see module docstring)."""
+@partial(jax.jit, static_argnames=("dtype", "variant"))
+def _henikoff_partial_sums(alignment: jnp.ndarray, dtype=jnp.float32,
+                           variant: str = "python"):
+    """Un-normalized per-sequence contribution sums for one site chunk.
+
+    Both formulas are per-site additive, so chunking over sites is exact:
+    ``python`` omits the global ``unique_base`` scalar (it cancels under the
+    final max-normalization — see module docstring); ``paper`` is the
+    per-site Rust formula of :func:`henikoff_weights_paper`."""
     counts, own = _counts_and_own(alignment, dtype)
     ok = alignment != UNKNOWN
+    if variant == "paper":
+        distinct = (counts[:N_ALLELES] > 0).sum(axis=0).astype(dtype)
+        contrib = jnp.where(ok, 1.0 / jnp.maximum(distinct * own, 1.0), 0.0)
+        imputed = contrib.sum(axis=0) / jnp.maximum(distinct, 1.0)
+        contrib = jnp.where(ok, contrib, imputed[None, :])
+        return contrib.sum(axis=1)
     contrib = jnp.where(ok, 1.0 / jnp.maximum(own, 1.0), 0.0)
     concrete_total = counts[:N_ALLELES].sum(axis=0)
     # Guarded like henikoff_weights: a zero-concrete site contributes 0
@@ -177,18 +187,21 @@ def henikoff_weights_site_major(
 
 
 def henikoff_weights_large(
-    alignment, site_chunk: int = 16384, dtype=jnp.float32
+    alignment, site_chunk: int = 16384, dtype=jnp.float32,
+    variant: str = "python",
 ) -> jnp.ndarray:
     """Chunked Henikoff weighting for pod-scale alignments.
 
     Accumulates per-sequence contribution sums over site chunks (bounded
     device memory), then max-normalizes.  The normalized result equals
-    :func:`henikoff_weights` because per-site contributions are additive
-    and the reference's global scalar cancels.
+    :func:`henikoff_weights` (or :func:`henikoff_weights_paper` for
+    ``variant="paper"``) because per-site contributions are additive and
+    the reference's global scalar cancels.
     """
     n, s = alignment.shape
     total = jnp.zeros(n, dtype=dtype)
     for lo in range(0, s, site_chunk):
         chunk = jnp.asarray(alignment[:, lo : lo + site_chunk])
-        total = total + _henikoff_partial_sums(chunk, dtype=dtype)
+        total = total + _henikoff_partial_sums(chunk, dtype=dtype,
+                                               variant=variant)
     return total / total.max()

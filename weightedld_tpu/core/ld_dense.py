@@ -71,10 +71,12 @@ def extract_records(
 
     ia, ib = iu[0][mask], iu[1][mask]
     site_map = np.asarray(site_map)
+    # Index the survivors directly: d[iu][mask] would materialize a full
+    # S(S-1)/2 temporary per stat before masking.
     return LdRecords(
         pos_a=site_map[ia],
         pos_b=site_map[ib],
-        d=d[iu][mask],
-        d_prime=dp[iu][mask],
-        r2=r2[iu][mask],
+        d=d[ia, ib],
+        d_prime=dp[ia, ib],
+        r2=r2[ia, ib],
     )

@@ -35,10 +35,14 @@ _LARGE_CELLS = 200_000_000
 
 
 def _weights_for(alignment_np: np.ndarray, variant: str = "python") -> np.ndarray:
+    # Pod-scale inputs take the site-chunked paths FIRST (bounded device
+    # memory) — for both formula variants; a full-matrix paper jit on a
+    # 1e9-cell alignment would materialize several [N, S] f32 temporaries.
+    if alignment_np.size > _LARGE_CELLS:
+        return np.asarray(henikoff_weights_large(alignment_np,
+                                                 variant=variant))
     if variant == "paper":
         return np.asarray(henikoff_weights_paper(jnp.asarray(alignment_np)))
-    if alignment_np.size > _LARGE_CELLS:
-        return np.asarray(henikoff_weights_large(alignment_np))
     return np.asarray(henikoff_weights(jnp.asarray(alignment_np)))
 
 
@@ -54,7 +58,6 @@ class WldConfig:
     weight_mask: str = "ld"        # "ld" (CLI parity) or "hk" (test.py parity)
     weighting: str = "python"      # "python" (WeightedLD.py) or "paper"
                                    # (Henikoff-1994 / Rust variant)
-    dtype: str = "float32"
 
 
 @dataclass

@@ -32,7 +32,8 @@ class StageTimer:
 
     def report(self) -> str:
         total = sum(self.spans.values())
-        lines = [f"{k:<20} {v:8.3f}s ({v / total:5.1%})"
+        denom = total or 1.0  # all-zero spans (coarse clocks) must not crash
+        lines = [f"{k:<20} {v:8.3f}s ({v / denom:5.1%})"
                  for k, v in self.spans.items()]
         lines.append(f"{'total':<20} {total:8.3f}s")
         return "\n".join(lines)
