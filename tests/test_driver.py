@@ -244,20 +244,19 @@ def test_per_scan_threshold_override(rng):
     assert s_all["n_pairs"] == s_thr["n_pairs"] == len(all_pairs)
 
 
-def test_nan_r2_pairs_not_dropped_without_threshold(rng):
-    # Tied allele counts can give a KEPT pair r2 = 0/0 = NaN (the
-    # count-major allele can end with zero weighted frequency after the
-    # second filter).  The reference emits such rows; the tiled engine's
-    # `r2 > -inf` mask used to silently drop them.  Find such an instance
-    # (seeded fuzz) and demand record-set equality incl. the NaN row, plus
-    # NaN-free summarize moments.
+def test_kept_r2_always_finite_and_engines_agree(rng):
+    # Pairs where the count-major allele retains zero post-filter weight
+    # are reference-crash cases (masked PA/PB TypeError) and must be
+    # SKIPPED — they are exactly the would-be r2 = 0/0 = NaN pairs.  Fuzz
+    # adversarial tiny alignments (code-5-heavy, tie-heavy) and demand:
+    # every dense record is finite-r2, the tiled engine emits the same
+    # record set, and summarize moments stay finite.
     import jax.numpy as jnp
 
     from weightedld_tpu.core.ld_dense import extract_records, ld_all_pairs_dense
     from weightedld_tpu.runtime.driver import DriverConfig, LdSession
 
-    found = False
-    for seed in range(200):
+    for seed in (1, 7, 23, 42, 77):  # seed 1 is a known ex-NaN instance
         r = np.random.default_rng(seed)
         aln = r.integers(0, 6, size=(6, 8)).astype(np.int8)
         w = (r.random(6) + 0.05).astype(np.float32)
@@ -265,25 +264,15 @@ def test_nan_r2_pairs_not_dropped_without_threshold(rng):
             ld_all_pairs_dense(jnp.asarray(aln), jnp.asarray(w)),
             np.arange(8),
         )
-        if not np.isnan(dense.r2).any():
-            continue
-        found = True
+        assert np.isfinite(dense.r2).all(), seed
         sess = LdSession(aln, w, np.arange(8), DriverConfig(tile=8))
         rows = []
         for _, rec in sess.stream():
             rows += list(zip(rec.pos_a, rec.pos_b, rec.r2))
-        assert len(rows) == len(dense.r2), (seed, len(rows), len(dense.r2))
         got = sorted((int(a), int(b)) for a, b, _ in rows)
         want = sorted(zip(dense.pos_a.tolist(), dense.pos_b.tolist()))
         assert got == want, seed
-        # Moments exclude the NaN pair instead of poisoning the summary.
         summ = sess.summarize()
         assert summ["n_pairs"] == len(dense.r2)
         assert np.isfinite(summ["r2_sum_over_threshold"])
         assert summ["r2_max"] is None or np.isfinite(summ["r2_max"])
-        # Explicit thresholds drop NaN rows (Rust semantics: NaN > t false).
-        n_thr = sum(len(rec) for _, rec in sess.stream(r2_threshold=0.0))
-        finite = dense.r2[np.isfinite(dense.r2)]
-        assert n_thr == int((finite > 0.0).sum())
-        break
-    assert found, "no NaN-keep instance found in 200 seeds"

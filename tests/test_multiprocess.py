@@ -122,12 +122,5 @@ def test_two_process_distributed_matches_single(tmp_path):
     for _, rec in sess.stream():
         rows += [(int(a), int(b), round(float(r), 6))
                  for a, b, r in zip(rec.pos_a, rec.pos_b, rec.r2)]
-
-    # NaN-aware equality: kept pairs with tied counts can carry r2 = NaN
-    # (emitted like the reference), and nan != nan under tuple ==.
-    def canon(t):
-        a, b, r = t
-        return (int(a), int(b), "nan" if r != r else round(float(r), 6))
-
-    assert sorted(map(canon, rows)) == sorted(
-        canon(r) for r in results[0]["records"])
+    assert sorted(rows) == [tuple(r) for r in results[0]["records"]]
+    assert all(np.isfinite(r) for _, _, r in rows)  # kept r2 is never NaN

@@ -178,6 +178,58 @@ def test_vcf_fully_missing_call_is_extension(ref, tmp_path):
     assert int((aln == 4).sum()) == 8  # 4 calls x 2 haplotypes
 
 
+def test_crash_pairs_are_skipped_exactly(ref):
+    """The reference CRASHES (TypeError on a masked ``round(PA, 1)``,
+    WeightedLD.py:227-235) whenever the count-major allele at either site
+    retains zero weight after the second filter — it defines no output for
+    such pairs.  Our engines skip them.  Demand exact kept-set equality on
+    adversarial tiny alignments by running the reference per pair and
+    treating a crash as "skipped"."""
+    import io
+    import warnings
+    from contextlib import redirect_stdout
+
+    import jax.numpy as jnp
+
+    from weightedld_tpu.core.ld_dense import extract_records, ld_all_pairs_dense
+
+    n_crashes = 0
+    for seed in range(24):
+        r = np.random.default_rng(seed)
+        aln = r.integers(0, 6, size=(6, 8)).astype(np.int8)
+        w = (r.random(6) + 0.05).astype(np.float64)
+
+        expected = {}
+        for a in range(8):
+            for b in range(a + 1, 8):
+                buf = io.StringIO()
+                try:
+                    with redirect_stdout(buf), warnings.catch_warnings():
+                        warnings.simplefilter("ignore")
+                        ref.ld(aln[:, [a, b]], w, np.array([a, b]))
+                except TypeError:
+                    n_crashes += 1  # masked PA/PB -> no defined output
+                    continue
+                for line in buf.getvalue().strip().split("\n")[1:]:
+                    if line:
+                        pa, pb, d, dp, r2 = line.split("\t")
+                        expected[(int(pa), int(pb))] = float(r2)
+
+        dense = extract_records(
+            ld_all_pairs_dense(jnp.asarray(aln),
+                               jnp.asarray(w, dtype=jnp.float32)),
+            np.arange(8),
+        )
+        got = {(int(a), int(b)): float(r2)
+               for a, b, r2 in zip(dense.pos_a, dense.pos_b, dense.r2)}
+        assert set(got) == set(expected), seed
+        assert np.isfinite(dense.r2).all(), seed
+        for key, r2_ref in expected.items():
+            np.testing.assert_allclose(got[key], r2_ref, atol=5e-4,
+                                       err_msg=str((seed, key)))
+    assert n_crashes > 0, "fuzz never hit a reference-crash pair"
+
+
 @pytest.mark.parametrize("min_acgt,min_var", [(0.5, 0.1), (0.0, 0.0), (0.9, 0.3)])
 def test_mask_parameter_sweep_matches_reference(ref, min_acgt, min_var):
     # The host f64 masks (used by the ingest pipeline) must be bit-exact

@@ -295,18 +295,13 @@ def main(argv=None) -> int:
                 over = keep  # no threshold: every surviving pair counts
             else:
                 over = keep & (r2 > args.r2_threshold)
-            # NaN r2 pairs (0/0 on tied counts) are emitted as records but
-            # excluded from the moments — same convention as the tiled
-            # engine's summarize().
-            finite = np.isfinite(r2)
             out = {
                 "n_sequences": n,
                 "n_sites": s,
                 "n_pairs": int(keep.sum()),
                 "n_over_threshold": int(over.sum()),
-                "r2_sum_over_threshold": float(r2[over & finite].sum()),
-                "r2_max": float(r2[keep & finite].max())
-                if (keep & finite).any() else None,
+                "r2_sum_over_threshold": float(r2[over].sum()),
+                "r2_max": float(r2[keep].max()) if keep.any() else None,
             }
         else:
             from .runtime.driver import DriverConfig, LdSession

@@ -101,13 +101,10 @@ def compact_tile_stats(
     gi = (tile_i[:, None, None] * tile + li[None, :, None]).astype(jnp.int32)
     gj = (tile_j[:, None, None] * tile + li[None, None, :]).astype(jnp.int32)
 
-    # Strict > threshold (Rust lib.rs:661); pass -inf for "emit everything".
-    # A kept pair's r2 can be NaN (tied allele counts can give pa_major == 0
-    # exactly -> r2 = 0/0 while keep is True): the no-threshold scan emits
-    # such rows like the Python reference (`NaN > -inf` would silently drop
-    # them), while an explicit threshold drops them (Rust semantics).
-    emit_nan = jnp.isnan(stats.r2) & jnp.isneginf(r2_threshold)
-    mask = stats.keep & ((stats.r2 > r2_threshold) | emit_nan)
+    # Strict > threshold (Rust lib.rs:661); pass -inf for "emit everything"
+    # (kept pairs have all four marginal frequencies strictly positive —
+    # paircore keep rules — so their r2 is non-NaN and nothing is lost).
+    mask = stats.keep & (stats.r2 > r2_threshold)
 
     flat_mask = mask.reshape(-1)
     count = flat_mask.sum().astype(jnp.int32)

@@ -31,8 +31,11 @@ Parity notes (vs ``WeightedLD.py``):
   unknown-sequence filter (``WeightedLD.py:196-201``); (2) ``round(PA,1)==1.0``
   or ``round(PB,1)==1.0`` (``WeightedLD.py:234-237``) — for an IEEE double
   that predicate is exactly ``P >= 0.95`` (the double nearest 0.95 is above
-  0.95 and rounds to 1.0); (3) additionally, an empty post-filter sequence
-  set is skipped (the reference produces masked-NaN garbage there).
+  0.95 and rounds to 1.0); (3) pairs whose count-major allele retains zero
+  post-filter weight at either site are skipped — there the reference's
+  masked PA/PB makes its own ``round(PA, 1)`` raise TypeError
+  (``WeightedLD.py:227-235``), i.e. it defines no output (this also covers
+  the empty post-filter set).
 * D is the mean of the four algebraically-equal estimates
   (``WeightedLD.py:260-266``); D' uses the sign-dependent denominator with the
   zero-denominator max<->min fallback (``WeightedLD.py:269-277``); r^2 is
@@ -157,6 +160,18 @@ def finalize_pair_tile(jw: jnp.ndarray, ju: jnp.ndarray) -> PairStats:
 
     # round(P, 1) == 1.0  <=>  P >= 0.95 in IEEE (WeightedLD.py:234-237).
     keep = keep & (pa_major < 0.95) & (pb_major < 0.95)
+
+    # Zero-major-weight pairs are skipped: when no second-filter survivor
+    # carries the count-major allele at a site, the reference's PA (or PB)
+    # is a fully-masked sum and ``round(PA, 1)`` raises TypeError
+    # (WeightedLD.py:227-235 with np.ma) — it defines no output for such
+    # pairs.  (The mirror case Pa == 0 implies PA == 1 and is already
+    # caught by the 0.95 rule; pa_major == 0 also forces D == 0, so these
+    # are exactly the would-be r2 = 0/0 = NaN pairs.)  With strictly
+    # positive weights this test equals the unweighted-count test; all-zero
+    # user weights are the one (degenerate) divergence, where the reference
+    # prints all-NaN rows instead.
+    keep = keep & (n_mm + n_md > 0) & (n_mm + n_dm > 0)
 
     obs_mm = n_mm / safe_w
     obs_md = n_md / safe_w

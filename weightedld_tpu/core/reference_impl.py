@@ -73,6 +73,11 @@ def reference_pair(col_a, col_b, weights):
     is_maj_a, is_maj_b = is_maj_a[keep], is_maj_b[keep]
     if w.size == 0:
         return None
+    # No surviving major carrier at a site makes the reference's masked
+    # PA/PB sum a MaskedConstant and its round(PA, 1) raise TypeError
+    # (WeightedLD.py:227-235): such pairs have no defined output — skip.
+    if not is_maj_a.any() or not is_maj_b.any():
+        return None
 
     total = w.sum()
     pa_major = w[is_maj_a].sum() / total

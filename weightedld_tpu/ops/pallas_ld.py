@@ -452,6 +452,10 @@ def _ld_finalize(tile: int, n_sites: int, planes: tuple,
         pb_minor = (n_md + n_dd) * inv_w
         # round(P,1)==1.0 <=> P >= 0.95 (WeightedLD.py:234-237)
         keep = keep & (pa_major < 0.95) & (pb_major < 0.95)
+        # Zero-major-weight pairs: the reference crashes there (masked PA /
+        # PB at WeightedLD.py:227-235), so they are skipped — see
+        # paircore.finalize_pair_tile.  Keeps kept-pair r2 NaN-free.
+        keep = keep & (n_mm + n_md > 0) & (n_mm + n_dm > 0)
 
         obs_mm = n_mm * inv_w
         obs_md = n_md * inv_w

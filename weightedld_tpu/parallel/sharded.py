@@ -105,12 +105,9 @@ def make_sharded_stats_runner(
             gi = tile_i[:, None, None] * tile + li[None, :, None]
             gj = tile_j[:, None, None] * tile + li[None, None, :]
             keep = keep & (gj - gi <= max_site_distance)
-        # A kept pair's r2 can be NaN (0/0 when the count-major allele has
-        # zero weighted frequency).  No-threshold scans (thr == -inf) must
-        # emit those rows like the Python reference; with an explicit
-        # threshold the Rust semantics drop them (NaN > thr is false).
-        emit_nan = jnp.isnan(st.r2) & jnp.isneginf(r2_threshold)
-        mask = keep & ((st.r2 > r2_threshold) | emit_nan)
+        # Strict > threshold; kept pairs have non-NaN r2 (paircore keep
+        # rules skip the reference's crash cases), so thr == -inf emits all.
+        mask = keep & (st.r2 > r2_threshold)
         tile_counts = mask.sum(axis=(1, 2)).astype(jnp.int32)
         # Per-batch reduction moments, fused into this dispatch so
         # summarize() never needs a second pass over the [K,T,T] outputs
@@ -121,13 +118,10 @@ def make_sharded_stats_runner(
             keep.sum().astype(jnp.int32),
             mask.sum().astype(jnp.int32),
         ])[None]                                        # [1, 2] per shard
-        finite = jnp.isfinite(st.r2)
         mom_vals = jnp.stack([
-            jnp.where(mask & finite, st.r2, 0.0).sum(),
-            jnp.where(keep & finite, st.r2, -jnp.inf).max(),
-        ])[None]       # [1, 2] per shard; NaN r2 (emitted as records) is
-                       # excluded from the moments so one 0/0 pair cannot
-                       # NaN-poison r2_sum / r2_max
+            jnp.where(mask, st.r2, 0.0).sum(),
+            jnp.where(keep, st.r2, -jnp.inf).max(),
+        ])[None]                                        # [1, 2] per shard
         return (tile_counts, st.d, st.d_prime, st.r2, mask, tile_i, tile_j,
                 keep, mom_counts, mom_vals)
 
