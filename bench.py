@@ -25,7 +25,11 @@ if str(REPO) not in sys.path:  # robust to being launched from any cwd
     sys.path.insert(0, str(REPO))
 
 N_SEQS = 1000
-S_TPU = 16384
+# S large enough that the scan splits into multiple pipelined batches: each
+# batch's [K] count fetch (a ~25 ms TPU-tunnel roundtrip) then overlaps the
+# next batch's compute.  A single-batch S=16,384 scan pays that latency
+# un-hidden (measured 1.92 G vs 2.80 G pairs/s at S=49,152, same kernel).
+S_TPU = 49152
 S_CPU = 2048
 R2_THRESHOLD = 0.1
 TILE = None  # auto: 256 for the p=3 bench distribution on TPU
@@ -113,7 +117,81 @@ def bench_cpu_baseline() -> float | None:
         return None
 
 
+SWEEP_N = (10, 50, 100, 250, 500, 1000)
+
+
+def bench_sweep() -> int:
+    """Criterion-parity sequence-count sweep (reference
+    ``benches/bench_weighted_pair_ld.rs:30-53``: n_seqs in {10..1000} on the
+    60% major / 30% minor / 10% missing distribution).  The reference
+    measures one pair-kernel call; the TPU analog is the full streaming
+    session, reported as pairs/s and element-throughput (pairs/s * N, the
+    criterion ``Throughput::Elements`` equivalent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from weightedld_tpu.core.henikoff import henikoff_weights
+    from weightedld_tpu.runtime.driver import DriverConfig, LdSession
+
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    # Headline S: at smaller S (measured at 4,096) every N flatlines at the
+    # ~60 ms per-scan dispatch latency of the TPU tunnel, hiding the
+    # kernel's N-scaling.
+    n_sites = S_TPU if on_tpu else 512
+    n_pairs = n_sites * (n_sites - 1) // 2
+    exe = REPO / "native" / "weighted_ld_baseline"
+    rows = []
+    for n in SWEEP_N:
+        rng = np.random.default_rng(42)
+        aln = synthetic_alignment(rng, n, n_sites)
+        weights = np.asarray(henikoff_weights(jnp.asarray(aln)))
+        session = LdSession(
+            aln, weights, np.arange(n_sites),
+            DriverConfig(r2_threshold=R2_THRESHOLD,
+                         engine="auto" if on_tpu else "xla"),
+        )
+        session.summarize()  # warm-up/compile
+        best = 0.0
+        for _ in range(3):
+            # Reduction-only scans (the criterion bench measures the pair
+            # kernel, not record extraction — small-N noise floods any r2
+            # threshold with records).  Loop >= ~0.5 s per sample to
+            # amortize per-scan dispatch latency through the TPU tunnel.
+            t0 = time.monotonic()
+            scans = 0
+            while True:
+                session.summarize()
+                scans += 1
+                dt = time.monotonic() - t0
+                if dt >= 0.5:
+                    break
+            best = max(best, scans * n_pairs / dt)
+        native = None
+        if exe.exists():
+            try:
+                out = subprocess.run(
+                    [str(exe), "--bench", str(n), str(min(n_sites, 2048))],
+                    capture_output=True, text=True, timeout=600, check=True,
+                ).stdout
+                native = float(json.loads(out.strip().splitlines()[-1])
+                               ["pairs_per_s"])
+            except Exception as e:
+                print(f"[sweep] native N={n} failed: {e}", file=sys.stderr)
+        rows.append({"n_seqs": n, "pairs_per_s": round(best),
+                     "elements_per_s": round(best * n),
+                     "native_pairs_per_s": round(native) if native else None,
+                     "vs_native": round(best / native, 2) if native else None})
+        print(f"[sweep] N={n:5d}: {best:14,.0f} pairs/s"
+              + (f"  (native {native:12,.0f}, {best / native:7.1f}x)"
+                 if native else ""), file=sys.stderr)
+    print(json.dumps({"metric": "weighted_ld_pairs_per_s_sweep",
+                      "n_sites": n_sites, "rows": rows}))
+    return 0
+
+
 def main() -> int:
+    if "--sweep" in sys.argv:
+        return bench_sweep()
     tpu, n_sites = bench_tpu()
     cpu = bench_cpu_baseline()
     result = {

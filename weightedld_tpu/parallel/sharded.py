@@ -117,19 +117,26 @@ def make_sharded_stats_runner(
         mom_counts = jnp.stack([
             keep.sum().astype(jnp.int32),
             mask.sum().astype(jnp.int32),
-        ])[None]                                        # [1, 2] per shard
+        ])
         mom_vals = jnp.stack([
             jnp.where(mask, st.r2, 0.0).sum(),
             jnp.where(keep, st.r2, -jnp.inf).max(),
-        ])[None]                                        # [1, 2] per shard
+        ])
+        # One fused [1, 4] int32 array per shard (f32 moments bitcast for
+        # transport): summarize() then needs a SINGLE host fetch per batch —
+        # each separate fetch costs a full ~25 ms roundtrip through the TPU
+        # tunnel, which dominated small/single-batch reduction scans.
+        moments = jnp.concatenate(
+            [mom_counts, jax.lax.bitcast_convert_type(mom_vals, jnp.int32)]
+        )[None]
         return (tile_counts, st.d, st.d_prime, st.r2, mask, tile_i, tile_j,
-                keep, mom_counts, mom_vals)
+                keep, moments)
 
     fn = jax.jit(jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(), P()),
-        out_specs=(P(AXIS),) * 10,
+        out_specs=(P(AXIS),) * 9,
         check_vma=False,
     ))
 
@@ -158,7 +165,10 @@ def gather_compact(d, dp, r2, mask, tile_i, tile_j, live, *, tile, capacity,
             compacted records (GSPMD would otherwise leave them sharded on
             non-addressable devices).
     Returns:
-        (count, sites [capacity, 2], values [capacity, 3]).
+        (count, packed [capacity, 5] int32) — columns 0-1 are the global
+        site indices, columns 2-4 the f32 (D, D', r2) bitcast to int32 so
+        the whole record block travels to the host in ONE fetch (each
+        separate fetch is a ~25 ms roundtrip through the TPU tunnel).
     """
     return _gather_compact_jit(mesh)(
         d, dp, r2, mask, tile_i, tile_j, live, tile=tile, capacity=capacity
@@ -173,10 +183,14 @@ def _gc_impl(d, dp, r2, mask, tile_i, tile_j, live, *, tile, capacity):
     from ..core.paircore import PairStats
 
     st = PairStats(d=d[live], d_prime=dp[live], r2=r2[live], keep=mask[live])
-    return compact_tile_stats(
+    count, sites, values = compact_tile_stats(
         st, tile_i[live], tile_j[live], jnp.float32(-jnp.inf),
         tile=tile, capacity=capacity,
     )
+    packed = jnp.concatenate(
+        [sites, jax.lax.bitcast_convert_type(values, jnp.int32)], axis=1
+    )
+    return count, packed
 
 
 _GC_CACHE: dict = {}
@@ -192,6 +206,6 @@ def _gather_compact_jit(mesh):
         else:
             repl = NamedSharding(mesh, P())
             fn = jax.jit(_gc_impl, static_argnames=("tile", "capacity"),
-                         out_shardings=(repl, repl, repl))
+                         out_shardings=(repl, repl))
         _GC_CACHE[key] = fn
     return fn

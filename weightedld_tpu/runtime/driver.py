@@ -336,7 +336,7 @@ class LdSession:
         """Fetch + compact the records of a dispatched batch."""
         cfg = self.cfg
         (tcnt, d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev,
-         _keep, _mc, _mv) = dispatched
+         _keep, _mom) = dispatched
         # Fetch only the [K] per-tile count vector; then gather-compact just
         # the live tiles in a second dispatch.  Host transfers and compaction
         # work stay O(records) — critical on slow device links and the reason
@@ -357,13 +357,15 @@ class LdSession:
                     [live, np.full(mb - m, dummy, dtype=np.int32)]
                 )
             cap = _next_bucket(total)
-            cnt_dev, sites, values = gather_compact(
+            cnt_dev, packed = gather_compact(
                 d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev, jnp.asarray(live),
                 tile=cfg.tile, capacity=cap,
                 mesh=self.mesh if jax.process_count() > 1 else None,
             )
-            all_sites = np.asarray(sites)[:total]
-            all_vals = np.asarray(values)[:total]
+            # One fetch for the whole record block (sites + bitcast values).
+            packed_h = np.asarray(packed)[:total]
+            all_sites = packed_h[:, :2]
+            all_vals = packed_h[:, 2:].view(np.float32)
 
         return LdRecords(
             pos_a=self.site_map[all_sites[:, 0]],
@@ -403,8 +405,11 @@ class LdSession:
         r2_sum = 0.0
         r2_max = -np.inf
         for _b, dispatched in self._pipelined(r2_threshold=r2_threshold):
-            mc = _fetch(dispatched[8])            # [n_dev, 2] int32
-            mv = _fetch(dispatched[9])            # [n_dev, 2] f32
+            # Single fused fetch: [n_dev, 4] int32, f32 moments bitcast
+            # (one ~25 ms tunnel roundtrip instead of two per batch).
+            mom = _fetch(dispatched[8])
+            mc = mom[:, :2]
+            mv = mom[:, 2:].view(np.float32)
             n_pairs += int(mc[:, 0].sum())
             n_over += int(mc[:, 1].sum())
             r2_sum += float(mv[:, 0].sum())
@@ -435,7 +440,7 @@ class LdSession:
         }
         keep_m = np.zeros((s, s), dtype=bool)
         for _b, dispatched in self._pipelined():
-            (_tcnt, d_t, dp_t, r2_t, _mask, bi, bj, keep_t, _mc, _mv) = (
+            (_tcnt, d_t, dp_t, r2_t, _mask, bi, bj, keep_t, _mom) = (
                 dispatched
             )
             vals = {
