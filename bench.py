@@ -94,7 +94,9 @@ def bench_tpu() -> float:
     return best, n_sites
 
 
-def bench_cpu_baseline() -> float | None:
+def _native_bench(n_seqs: int, n_sites: int) -> dict | None:
+    """Run the native C++ baseline's --bench mode (auto-building it once);
+    returns its stats dict or None."""
     exe = REPO / "native" / "weighted_ld_baseline"
     if not exe.exists():
         try:
@@ -105,16 +107,22 @@ def bench_cpu_baseline() -> float | None:
             return None
     try:
         out = subprocess.run(
-            [str(exe), "--bench", str(N_SEQS), str(S_CPU)],
+            [str(exe), "--bench", str(n_seqs), str(n_sites)],
             capture_output=True, text=True, timeout=600, check=True,
         ).stdout
-        stats = json.loads(out.strip().splitlines()[-1])
-        print(f"[bench] cpu baseline: {stats['pairs_per_s']:,.0f} pairs/s "
-              f"({stats['threads']} threads)", file=sys.stderr)
-        return float(stats["pairs_per_s"])
+        return json.loads(out.strip().splitlines()[-1])
     except Exception as e:
         print(f"[bench] native baseline run failed: {e}", file=sys.stderr)
         return None
+
+
+def bench_cpu_baseline() -> float | None:
+    stats = _native_bench(N_SEQS, S_CPU)
+    if stats is None:
+        return None
+    print(f"[bench] cpu baseline: {stats['pairs_per_s']:,.0f} pairs/s "
+          f"({stats['threads']} threads)", file=sys.stderr)
+    return float(stats["pairs_per_s"])
 
 
 SWEEP_N = (10, 50, 100, 250, 500, 1000)
@@ -139,7 +147,6 @@ def bench_sweep() -> int:
     # kernel's N-scaling.
     n_sites = S_TPU if on_tpu else 512
     n_pairs = n_sites * (n_sites - 1) // 2
-    exe = REPO / "native" / "weighted_ld_baseline"
     rows = []
     for n in SWEEP_N:
         rng = np.random.default_rng(42)
@@ -166,17 +173,8 @@ def bench_sweep() -> int:
                 if dt >= 0.5:
                     break
             best = max(best, scans * n_pairs / dt)
-        native = None
-        if exe.exists():
-            try:
-                out = subprocess.run(
-                    [str(exe), "--bench", str(n), str(min(n_sites, 2048))],
-                    capture_output=True, text=True, timeout=600, check=True,
-                ).stdout
-                native = float(json.loads(out.strip().splitlines()[-1])
-                               ["pairs_per_s"])
-            except Exception as e:
-                print(f"[sweep] native N={n} failed: {e}", file=sys.stderr)
+        stats = _native_bench(n, min(n_sites, 2048))
+        native = float(stats["pairs_per_s"]) if stats else None
         rows.append({"n_seqs": n, "pairs_per_s": round(best),
                      "elements_per_s": round(best * n),
                      "native_pairs_per_s": round(native) if native else None,

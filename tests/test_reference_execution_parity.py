@@ -178,6 +178,47 @@ def test_vcf_fully_missing_call_is_extension(ref, tmp_path):
     assert int((aln == 4).sum()) == 8  # 4 calls x 2 haplotypes
 
 
+def test_zero_weight_corner_documented_divergence(ref):
+    """Zero weights are not a supported exclusion mechanism: when a pair's
+    only surviving major carrier has weight exactly 0.0, the reference
+    prints an r2 = 0/0 = NaN row (PA is an unmasked 0.0).  The f64 audit
+    engine keeps that behaviour; the XLA engine skips the pair (documented
+    in paircore.finalize_pair_tile).  Pin both."""
+    import io
+    import warnings
+    from contextlib import redirect_stdout
+
+    import jax.numpy as jnp
+
+    from weightedld_tpu.core.ld_dense import extract_records, ld_all_pairs_dense
+    from weightedld_tpu.core.reference_impl import reference_pair
+
+    # Site pair where seq 0 is the sole major-at-A carrier surviving the
+    # second filter; its weight is 0.  A: 0 x3 / 1 x3 -> tie, major = 0.
+    # B: all kept.  Seqs 1,2 carry allele 2 at B (3rd symbol) -> dropped.
+    col_a = np.array([0, 0, 0, 1, 1, 1], dtype=np.int8)
+    col_b = np.array([0, 2, 2, 0, 1, 1], dtype=np.int8)
+    w = np.array([0.0, 1.0, 1.0, 1.0, 1.0, 1.0])
+    aln = np.stack([col_a, col_b], axis=1)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf), warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref.ld(aln, w, np.array([0, 1]))
+    rows = [ln for ln in buf.getvalue().strip().split("\n")[1:] if ln]
+    assert len(rows) == 1 and rows[0].split("\t")[4] == "nan"  # NaN row
+
+    res = reference_pair(col_a, col_b, w)          # audit engine: NaN row
+    assert res is not None and np.isnan(res[2])
+
+    dense = extract_records(                        # XLA engine: skipped
+        ld_all_pairs_dense(jnp.asarray(aln),
+                           jnp.asarray(w, dtype=jnp.float32)),
+        np.arange(2),
+    )
+    assert len(dense.r2) == 0
+
+
 def test_crash_pairs_are_skipped_exactly(ref):
     """The reference CRASHES (TypeError on a masked ``round(PA, 1)``,
     WeightedLD.py:227-235) whenever the count-major allele at either site

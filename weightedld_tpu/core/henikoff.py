@@ -107,15 +107,7 @@ def henikoff_weights_paper(alignment: jnp.ndarray, dtype=jnp.float32) -> jnp.nda
     concrete sequences — a verified Rust deviation, SURVEY.md §2.4.1).
     Offered as an alternative weighting; the default is Python parity.
     """
-    counts, own = _counts_and_own(alignment, dtype)
-    distinct = (counts[:N_ALLELES] > 0).sum(axis=0).astype(dtype)     # [S]
-    ok = alignment != UNKNOWN
-    safe = jnp.maximum(distinct * own, 1.0)
-    contrib = jnp.where(ok, 1.0 / safe, 0.0)
-    site_total = contrib.sum(axis=0)
-    imputed = site_total / jnp.maximum(distinct, 1.0)                 # lib.rs:373
-    contrib = jnp.where(ok, contrib, imputed[None, :])
-    weights = contrib.sum(axis=1)
+    weights = _henikoff_partial_sums(alignment, dtype=dtype, variant="paper")
     return weights / weights.max()
 
 

@@ -168,9 +168,13 @@ def finalize_pair_tile(jw: jnp.ndarray, ju: jnp.ndarray) -> PairStats:
     # pairs.  (The mirror case Pa == 0 implies PA == 1 and is already
     # caught by the 0.95 rule; pa_major == 0 also forces D == 0, so these
     # are exactly the would-be r2 = 0/0 = NaN pairs.)  With strictly
-    # positive weights this test equals the unweighted-count test; all-zero
-    # user weights are the one (degenerate) divergence, where the reference
-    # prints all-NaN rows instead.
+    # positive weights this test equals the unweighted-count test the
+    # reference's crash condition is defined by.  Degenerate divergence:
+    # a user-supplied weight of exactly 0.0 on a pair's only surviving
+    # major carrier makes the reference print an r2 = 0/0 = NaN row (PA
+    # is then an unmasked 0.0) where this engine skips — zero weights are
+    # not a supported sequence-exclusion mechanism (the f64 audit engine
+    # keeps the reference's NaN-row behaviour for that corner).
     keep = keep & (n_mm + n_md > 0) & (n_mm + n_dm > 0)
 
     obs_mm = n_mm / safe_w
