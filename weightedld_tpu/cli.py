@@ -170,8 +170,6 @@ def main(argv=None) -> int:
         weighting=args.weighting,
     )
 
-    from dataclasses import asdict
-
     prep_keys = ("min_acgt", "min_variability", "unweighted", "max_minor",
                  "weight_mask", "weighting")
     t0 = time.monotonic()

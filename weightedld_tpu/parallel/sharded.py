@@ -175,8 +175,6 @@ def gather_compact(d, dp, r2, mask, tile_i, tile_j, live, *, tile, capacity,
     )
 
 
-from functools import partial as _partial
-
 
 def _gc_impl(d, dp, r2, mask, tile_i, tile_j, live, *, tile, capacity):
     from ..core.ld_tiled import compact_tile_stats

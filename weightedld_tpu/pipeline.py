@@ -26,7 +26,7 @@ from .core.henikoff import (
     henikoff_weights_paper,
 )
 from .core.ld_dense import LdRecords, extract_records, ld_all_pairs_dense
-from .core.sites import compute_variable_sites, compute_variable_sites_host
+from .core.sites import compute_variable_sites_host
 from .io.fasta import read_fasta
 from .io.vcf import read_vcf
 
