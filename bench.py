@@ -44,7 +44,7 @@ def synthetic_alignment(rng, n_seqs, n_sites):
     return aln
 
 
-def bench_tpu() -> float:
+def bench_tpu() -> tuple[float, int]:
     import jax
 
     from weightedld_tpu.core.henikoff import henikoff_weights
@@ -100,8 +100,11 @@ def _native_bench(n_seqs: int, n_sites: int) -> dict | None:
     exe = REPO / "native" / "weighted_ld_baseline"
     if not exe.exists():
         try:
-            subprocess.run(["make", "-C", str(REPO / "native")], check=True,
-                           capture_output=True, timeout=120)
+            # Build only the baseline binary: the default target also links
+            # libwldio.so against zlib, which the bench does not need.
+            subprocess.run(
+                ["make", "-C", str(REPO / "native"), "weighted_ld_baseline"],
+                check=True, capture_output=True, timeout=120)
         except Exception as e:
             print(f"[bench] native baseline build failed: {e}", file=sys.stderr)
             return None
@@ -205,6 +208,10 @@ def main() -> int:
             "baseline": "native C++ -march=native -fopenmp (Rust-SIMD-equivalent)"
             if cpu else "unavailable",
             "cpu_baseline_pairs_per_s": round(cpu) if cpu else None,
+            # The baseline runs at a smaller S (its per-pair cost is O(N),
+            # S-independent; a full S=49k triangle would take ~6 min on 2
+            # vCPUs) — recorded so the ratio is traceable.
+            "cpu_baseline_n_sites": S_CPU if cpu else None,
         },
     }
     print(json.dumps(result))

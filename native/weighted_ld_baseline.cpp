@@ -324,6 +324,7 @@ int main(int argc, char** argv) {
       }
       return std::string(argv[++i]);
     };
+    try {
     if (a == "--fasta-input") fasta = next();
     else if (a == "--pair-output") pair_out = next();
     else if (a == "--min-acgt") min_acgt = std::stod(next());
@@ -342,6 +343,11 @@ int main(int argc, char** argv) {
       bench_s = std::stoll(next());
     } else {
       std::cerr << "unknown flag " << a << "\n";
+      return 2;
+    }
+    } catch (const std::exception&) {  // std::stod/stoi/stoll on bad input
+      std::fprintf(stderr, "error: %s got a malformed numeric value\n",
+                   a.c_str());
       return 2;
     }
   }

@@ -8,6 +8,7 @@
 // doesn't need to be preloaded into Python.
 
 #include <unistd.h>
+#include <zlib.h>
 
 #include <cmath>
 #include <cstdint>
@@ -124,6 +125,40 @@ void mutate(std::string* s) {
   }
 }
 
+std::string gzip_compress(const std::string& in) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  deflateInit2(&zs, Z_DEFAULT_COMPRESSION, Z_DEFLATED, 15 + 16, 8,
+               Z_DEFAULT_STRATEGY);
+  std::string out(in.size() + 128, '\0');
+  zs.next_in = (Bytef*)in.data();
+  zs.avail_in = (uInt)in.size();
+  zs.next_out = (Bytef*)&out[0];
+  zs.avail_out = (uInt)out.size();
+  while (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+    size_t used = out.size() - zs.avail_out;
+    out.resize(out.size() * 2);
+    zs.next_out = (Bytef*)&out[used];
+    zs.avail_out = (uInt)(out.size() - used);
+  }
+  out.resize(out.size() - zs.avail_out);
+  deflateEnd(&zs);
+  return out;
+}
+
+// Gzip family: the inflate loop in wldio.cpp (buffer resizing, multi-member
+// reset, corrupt/truncated streams) is unreachable from byte-random inputs
+// (the 1f 8b magic is ~2^-16 per input), so feed it deliberately: valid
+// single- and multi-member streams, then sanitizer-checked mutations of the
+// COMPRESSED bytes.
+void drive_gzip(const std::string& plain, void (*drive)(const std::string&)) {
+  std::string gz = gzip_compress(plain);
+  if (rng() % 3 == 0) gz += gzip_compress(plain);  // multi-member (BGZF-like)
+  drive(gz);
+  mutate(&gz);
+  drive(gz);
+}
+
 void drive_format(int iters) {
   std::uniform_real_distribution<double> u(-2.0, 2.0);
   for (int i = 0; i < iters; ++i) {
@@ -161,8 +196,10 @@ int main(int argc, char** argv) {
     drive_fasta(f);
     std::string v = random_vcf();
     drive_vcf(v);
+    drive_gzip(v, drive_vcf);
     mutate(&v);
     drive_vcf(v);
+    drive_gzip(f, drive_fasta);
   }
   drive_format(iters / 4);
   printf("fuzz ok: %d iterations\n", iters);

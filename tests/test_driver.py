@@ -139,12 +139,12 @@ def test_tsv_checkpoint_resume(rng, tmp_path):
             if calls["n"] >= 2 and not kwargs.get("start_batch"):
                 raise Stop
 
-    orig, drv.stream_ld_records = drv.stream_ld_records, limited_stream
+    orig, drv.LdSession.stream = drv.LdSession.stream, limited_stream
     try:
         with pytest.raises(Stop):
             run_to_tsv(aln, w, sm, part, cfg)
     finally:
-        drv.stream_ld_records = orig
+        drv.LdSession.stream = orig
 
     ckpt = part.with_suffix(part.suffix + ".ckpt.json")
     assert ckpt.exists()

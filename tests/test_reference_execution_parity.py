@@ -284,3 +284,59 @@ def test_mask_parameter_sweep_matches_reference(ref, min_acgt, min_var):
     hk_o, ld_o = compute_variable_sites_host(aln, min_acgt, min_var)
     np.testing.assert_array_equal(hk_o, hk_r)
     np.testing.assert_array_equal(ld_o, ld_r)
+
+
+def test_pa_095_boundary_pair_is_skipped(ref):
+    """The reference's PA is a np.float64, and np.float64.__round__ scales
+    by 10 before rounding — double(0.95) * 10 lands exactly on 9.5 and
+    half-evens UP, so round(PA, 1) == 1.0 and the exact-boundary pair
+    (PA = 19/20 under unit weights) is SKIPPED (WeightedLD.py:234-237).
+    Note a Python-float reimplementation would flip this: decimal-correct
+    round(0.95, 1) == 0.9 would KEEP the pair.  Executed here against the
+    actual reference, the f64 audit engine, the dense engine, and the
+    Pallas kernel."""
+    # The two round() semantics really do disagree at this boundary.
+    assert round(np.float64(0.95), 1) == 1.0
+    assert round(0.95, 1) == 0.9
+
+    from weightedld_tpu.core.ld_dense import extract_records, ld_all_pairs_dense
+    from weightedld_tpu.core.reference_impl import reference_pair
+
+    aln = np.zeros((20, 2), dtype=np.int8)
+    aln[0, 0] = 1   # site 0: 19 x A, 1 x C  ->  PA = 19/20 = 0.95 exactly
+    aln[0, 1] = 1   # site 1: same           ->  PB = 0.95 exactly
+    w = np.ones(20, dtype=np.float64)
+
+    assert _ref_ld_rows(ref, aln, w, np.arange(2)) == {}
+    assert reference_pair(aln[:, 0], aln[:, 1], w) is None
+
+    rec = extract_records(
+        ld_all_pairs_dense(jnp.asarray(aln), jnp.ones(20, jnp.float32)),
+        np.arange(2),
+    )
+    assert len(rec.pos_a) == 0, "engine kept the exact-0.95 boundary pair"
+
+    from weightedld_tpu.runtime.driver import DriverConfig, LdSession
+
+    session = LdSession(aln, np.ones(20, np.float32), np.arange(2),
+                        DriverConfig(engine="pallas", tile=8, seq_chunk=8))
+    pal = [(int(a), int(b))
+           for _, r in session.stream() for a, b in zip(r.pos_a, r.pos_b)]
+    assert pal == [], "pallas kernel kept the exact-0.95 boundary pair"
+
+    # Sanity that the rule is not over-aggressive: PA = 18/20 = 0.9 is kept
+    # by the reference and by every engine.
+    aln2 = np.zeros((20, 2), dtype=np.int8)
+    aln2[:2, 0] = 1
+    aln2[:2, 1] = 1
+    expected = _ref_ld_rows(ref, aln2, w, np.arange(2))
+    assert (0, 1) in expected
+    rec2 = extract_records(
+        ld_all_pairs_dense(jnp.asarray(aln2), jnp.ones(20, jnp.float32)),
+        np.arange(2),
+    )
+    assert [(int(a), int(b)) for a, b in zip(rec2.pos_a, rec2.pos_b)] \
+        == [(0, 1)]
+    np.testing.assert_allclose(
+        (rec2.d[0], rec2.d_prime[0], rec2.r2[0]), expected[(0, 1)],
+        atol=5e-4)

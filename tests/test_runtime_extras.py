@@ -197,21 +197,21 @@ def test_checkpoint_refuses_weight_quant_switch(rng, tmp_path):
     out = tmp_path / "switch.tsv"
     ck = out.with_suffix(".tsv.ckpt.json")
 
-    orig = drv.stream_ld_records
+    orig = drv.LdSession.stream
 
     def one_batch_then_die(*a, **kw):
         for b, rec in orig(*a, **kw):
             yield b, rec
             raise KeyboardInterrupt
 
-    drv.stream_ld_records = one_batch_then_die
+    drv.LdSession.stream = one_batch_then_die
     try:
         with pytest.raises(KeyboardInterrupt):
             drv.run_to_tsv(aln, w, sm, out,
                            DriverConfig(tile=16, weight_quant="int8"),
                            checkpoint=True)
     finally:
-        drv.stream_ld_records = orig
+        drv.LdSession.stream = orig
     assert ck.exists(), "interrupted run should leave a checkpoint"
 
     # Cross-mode resume: refused.

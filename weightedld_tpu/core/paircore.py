@@ -29,9 +29,15 @@ Parity notes (vs ``WeightedLD.py``):
   take an argmax.
 * Skip rules: (1) fewer than two distinct symbols at either site after the
   unknown-sequence filter (``WeightedLD.py:196-201``); (2) ``round(PA,1)==1.0``
-  or ``round(PB,1)==1.0`` (``WeightedLD.py:234-237``) — for an IEEE double
-  that predicate is exactly ``P >= 0.95`` (the double nearest 0.95 is above
-  0.95 and rounds to 1.0); (3) pairs whose count-major allele retains zero
+  or ``round(PB,1)==1.0`` (``WeightedLD.py:234-237``) — PA there is a
+  ``np.float64``, and ``np.float64.__round__`` scales by 10 before
+  rounding, so ``double(0.95) * 10`` lands exactly on 9.5 and half-evens
+  UP: the predicate is exactly ``P >= double(0.95)``.  (Python-float
+  ``round(0.95, 1)`` is 0.9 — decimal-correct rounding — so a
+  plain-float reimplementation would wrongly KEEP the exact-boundary
+  pair, e.g. PA = 19/20 under unit weights.  Pinned by
+  ``test_pa_095_boundary_pair_is_skipped``.); (3) pairs whose
+  count-major allele retains zero
   post-filter weight at either site are skipped — there the reference's
   masked PA/PB makes its own ``round(PA, 1)`` raise TypeError
   (``WeightedLD.py:227-235``), i.e. it defines no output (this also covers
@@ -158,7 +164,11 @@ def finalize_pair_tile(jw: jnp.ndarray, ju: jnp.ndarray) -> PairStats:
     pa_minor = (n_dm + n_dd) / safe_w    # Pa (WeightedLD.py:230-231)
     pb_minor = (n_md + n_dd) / safe_w    # Pb
 
-    # round(P, 1) == 1.0  <=>  P >= 0.95 in IEEE (WeightedLD.py:234-237).
+    # round(P, 1) == 1.0  <=>  P >= double(0.95) (WeightedLD.py:234-237).
+    # PA is a np.float64 there, whose __round__ scales by 10 first:
+    # double(0.95)*10 rounds to exactly 9.5 and half-evens UP, so the
+    # exact-boundary pair (PA == 19/20) is SKIPPED by the reference —
+    # unlike Python-float round(0.95, 1) == 0.9, which would keep it.
     keep = keep & (pa_major < 0.95) & (pb_major < 0.95)
 
     # Zero-major-weight pairs are skipped: when no second-filter survivor

@@ -84,6 +84,11 @@ def reference_pair(col_a, col_b, weights):
     pb_major = w[is_maj_b].sum() / total
     pa_minor = w[~is_maj_a].sum() / total
     pb_minor = w[~is_maj_b].sum() / total
+    # pa_major MUST stay a np.float64 here: np.float64.__round__ scales by
+    # 10 before rounding, so round(double(0.95), 1) == 1.0 and the exact
+    # PA == 19/20 boundary pair is skipped, matching the reference (whose
+    # PA is also a np.float64).  Converting to a Python float first would
+    # flip the boundary (float round(0.95, 1) == 0.9 — decimal-correct).
     if round(pa_major, 1) == 1.0 or round(pb_major, 1) == 1.0:
         return None
 

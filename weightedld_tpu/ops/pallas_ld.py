@@ -193,17 +193,15 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
             x, y, (((1,), (1,)), ((), ())), preferred_element_type=f32
         )
 
-    if preplaned:
-        # One-hot planes precomputed in HBM (tile-contiguous layout): the
-        # per-tile compare/widen/concat chain — about half the kernel time
-        # at default sizes — disappears; only casts and weight muls remain.
-        xu8 = a_ref[:, :]                  # (PT, Nc) int8
     # Validity = union of the one-hot planes, NOT (code != UNKNOWN): the
     # two coincide under detect_planes' covering invariant, but a
     # caller-restricted `planes` must exclude out-of-plane codes from the
     # per-pair counts, and identically in both input layouts.  (Mosaic has
     # no int8 vector add, so the union is bool-OR / int32-summed.)
     if preplaned:
+        # One-hot planes precomputed in HBM (tile-contiguous layout): the
+        # per-tile compare/widen/concat chain — about half the kernel time
+        # at default sizes — disappears; only casts and weight muls remain.
         xu8 = a_ref[:, :]                  # (PT, Nc) int8
         yu8 = b_ref[:, :]
 
@@ -450,7 +448,9 @@ def _ld_finalize(tile: int, n_sites: int, planes: tuple,
         pb_major = (n_mm + n_dm) * inv_w
         pa_minor = (n_dm + n_dd) * inv_w
         pb_minor = (n_md + n_dd) * inv_w
-        # round(P,1)==1.0 <=> P >= 0.95 (WeightedLD.py:234-237)
+        # round(P,1)==1.0 <=> P >= double(0.95): the reference rounds a
+        # np.float64, whose __round__ scales by 10 and half-evens UP at the
+        # boundary — the PA == 19/20 pair is SKIPPED (see paircore).
         keep = keep & (pa_major < 0.95) & (pb_major < 0.95)
         # Zero-major-weight pairs: the reference crashes there (masked PA /
         # PB at WeightedLD.py:227-235), so they are skipped — see

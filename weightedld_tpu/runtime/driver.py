@@ -582,26 +582,29 @@ def run_to_tsv(
         )
     ckpt_path = out_path.with_suffix(out_path.suffix + ".ckpt.json")
 
-    from dataclasses import replace as _replace
-
-    cfg_ = cfg or DriverConfig()
-    # Resolve the auto tile BEFORE fingerprinting (on a copy — the caller's
-    # config is not mutated): batch indices in the checkpoint are only
-    # meaningful for one concrete tile plan.  cfg_ is then the config that
-    # actually runs (passed to stream_ld_records below), so the fingerprint
-    # describes the session it guards.
-    cfg_ = _replace(cfg_, tile=resolve_tile(cfg_.tile, cfg_.engine, alignment,
-                                            cfg_.seq_chunk))
+    # Build the session FIRST and fingerprint its RESOLVED plan: batch
+    # indices in the checkpoint are only meaningful for one concrete tile
+    # striping, which depends on the resolved tile, the resolved
+    # tiles-per-batch (auto: platform- and threshold-dependent), the
+    # resolved engine, and the mesh/process geometry — fingerprinting the
+    # raw config (tile=None, engine="auto", ...) would let a resume on a
+    # different mesh or platform silently interleave two different tile
+    # plans into one file.  This also runs the O(N*S) plane-detection scan
+    # exactly once (inside the session) instead of once per fingerprint.
+    session = LdSession(alignment, weights, site_map, cfg or DriverConfig(),
+                        mesh)
+    cfg_r = session.cfg
     h = hashlib.sha256()
     h.update(repr((
-        cfg_.tile, cfg_.tiles_per_shard_batch, cfg_.r2_threshold,
-        cfg_.max_site_distance, cfg_.engine, cfg_.seq_chunk,
-        cfg_.weight_quant,  # quantized r2 differs at the 4-dp quantum:
+        cfg_r.tile, cfg_r.tiles_per_shard_batch, cfg_r.r2_threshold,
+        cfg_r.max_site_distance, session.engine, cfg_r.seq_chunk,
+        cfg_r.weight_quant,  # quantized r2 differs at the 4-dp quantum:
                             # never mix modes in one resumed TSV
+        session.n_dev, jax.process_count(),
         alignment.shape, ndigits,
     )).encode())
     h.update(np.ascontiguousarray(alignment[:: max(1, alignment.shape[0] // 64)]).tobytes())
-    h.update(np.asarray(weights).tobytes())
+    h.update(session.weights.tobytes())  # covers weights=None (on-device)
     h.update(np.asarray(site_map).tobytes())
     fingerprint = h.hexdigest()
 
@@ -639,8 +642,7 @@ def run_to_tsv(
         fh.seek(offset)
 
     with fh:
-        for b, rec in stream_ld_records(
-            alignment, weights, site_map, cfg_, mesh,
+        for b, rec in session.stream(
             start_batch=start_batch, on_progress=on_progress,
         ):
             write_pairs(rec, fh, ndigits=ndigits, header=False)
