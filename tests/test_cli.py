@@ -214,3 +214,29 @@ def test_matrix_output_few_sites(tmp_path):
     assert main(["--file", str(src), "--matrix-output", str(out)]) == 0
     z = np.load(out)
     assert z["keep"].shape == (0, 0)
+
+
+def test_top_k(tmp_path, capsys):
+    # --top K = the K strongest pairs by r2, descending, threshold-free.
+    f = tmp_path / "t3.fasta"
+    write_fasta(f, ALL_FASTAS["t3"])
+    rc, full = _run(capsys, "--file", str(f))
+    assert rc == 0
+    rows = [ln.split("\t") for ln in full.strip().split("\n")[1:]]
+    want = sorted((float(r[4]) for r in rows), reverse=True)[:3]
+
+    for engine in ("dense", "tiled"):
+        rc, out = _run(capsys, "--file", str(f), "--top", "3",
+                       "--engine", engine, "--tile", "16")
+        assert rc == 0
+        got = [float(ln.split("\t")[4])
+               for ln in out.strip().split("\n")[1:]]
+        assert got == pytest.approx(want, abs=1e-4), engine
+        assert got == sorted(got, reverse=True)
+
+    # K beyond the record count returns everything; bad K is a usage error.
+    rc, out = _run(capsys, "--file", str(f), "--top", "999",
+                   "--engine", "tiled", "--tile", "16")
+    assert rc == 0
+    assert len(out.strip().split("\n")) - 1 == len(rows)
+    assert main(["--file", str(f), "--top", "0"]) == 2

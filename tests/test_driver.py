@@ -276,3 +276,37 @@ def test_kept_r2_always_finite_and_engines_agree(rng):
         assert summ["n_pairs"] == len(dense.r2)
         assert np.isfinite(summ["r2_sum_over_threshold"])
         assert summ["r2_max"] is None or np.isfinite(summ["r2_max"])
+
+
+def test_top_pairs_matches_full_scan(rng):
+    from weightedld_tpu.runtime.driver import LdSession
+
+    aln = random_alignment(rng, 30, 96)
+    w = (rng.random(30) + 0.05).astype(np.float32)
+    sm = np.arange(96)
+    session = LdSession(aln, w, sm,
+                        DriverConfig(tile=16, tiles_per_shard_batch=2))
+    full = collect_ld_records(aln, w, sm, DriverConfig(tile=16))
+    fm = {(int(a), int(b)): (float(d), float(dp), float(r2))
+          for a, b, d, dp, r2 in zip(full.pos_a, full.pos_b, full.d,
+                                     full.d_prime, full.r2)}
+
+    top = session.top_pairs(10)
+    assert len(top.r2) == 10
+    # Values are the 10 largest r2 of the full scan, descending.
+    want = np.sort(np.asarray(full.r2))[::-1][:10]
+    np.testing.assert_allclose(np.asarray(top.r2), want, rtol=1e-6)
+    # Every returned pair is a real record with matching D/D'/r2.
+    for a, b, d, dp, r2 in zip(top.pos_a, top.pos_b, top.d, top.d_prime,
+                               top.r2):
+        fd, fdp, fr2 = fm[(int(a), int(b))]
+        np.testing.assert_allclose((d, dp, r2), (fd, fdp, fr2), rtol=1e-6)
+
+    # k beyond the population returns every surviving pair (pad slots
+    # filtered), still descending.
+    everything = session.top_pairs(10_000)
+    assert len(everything.r2) == len(full.r2)
+    np.testing.assert_allclose(np.asarray(everything.r2),
+                               np.sort(np.asarray(full.r2))[::-1], rtol=1e-6)
+    with pytest.raises(ValueError):
+        session.top_pairs(0)

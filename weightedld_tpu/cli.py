@@ -110,6 +110,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="windowed LD: only compute pairs at most this many "
                    "kept sites apart (prunes the tile plan to an O(S*W) "
                    "band; forces the tiled engine)")
+    p.add_argument("--top", type=int, default=None, metavar="K",
+                   help="emit only the K strongest surviving pairs by r2 "
+                   "(descending) — threshold-free; selection runs on device "
+                   "in the tiled engine (O(K) host traffic per batch)")
     p.add_argument("--sort", action="store_true",
                    help="sort tiled-engine output by (posa, posb) like the "
                    "Python reference (collects all records in memory; the "
@@ -323,6 +327,54 @@ def main(argv=None) -> int:
     from .runtime.profiling import device_trace
 
     trace_dir = str(args.profile_dir) if args.profile_dir else None
+
+    if args.top is not None:
+        if args.top <= 0:
+            print("error: --top needs a positive K", file=sys.stderr)
+            return 2
+        if args.r2_threshold is not None:
+            print("warning: --top is threshold-free; --r2-threshold is "
+                  "ignored in this mode", file=sys.stderr)
+        from .core.ld_dense import LdRecords
+
+        if engine in ("dense", "reference"):
+            import jax.numpy as jnp
+
+            from .core.ld_dense import extract_records, ld_all_pairs_dense
+
+            with device_trace(trace_dir):
+                stats = ld_all_pairs_dense(
+                    jnp.asarray(res.alignment), jnp.asarray(res.weights)
+                )
+            rec = extract_records(stats, res.site_map)
+            order = np.argsort(-np.asarray(rec.r2), kind="stable")[: args.top]
+            rec = LdRecords(*(np.asarray(f)[order] for f in rec))
+        else:
+            from .runtime.driver import DriverConfig, LdSession
+
+            session = LdSession(
+                res.alignment, res.weights, res.site_map,
+                DriverConfig(
+                    tile=args.tile,
+                    tiles_per_shard_batch=args.tiles_per_batch,
+                    max_site_distance=args.max_distance,
+                    weight_quant=args.weight_quant,
+                ),
+                mesh=mesh,
+            )
+            with device_trace(trace_dir):
+                rec = session.top_pairs(args.top)
+        out = open_text_output(args.pair_output) if args.pair_output \
+            else sys.stdout
+        try:
+            write_pairs(rec, out, ndigits=args.ndigits)
+        finally:
+            if args.pair_output:
+                out.close()
+        log.info("wrote top-%d pairs in %.2fs", len(rec),
+                 time.monotonic() - t0)
+        return 0
+
     if engine == "reference":
         from .core.ld_dense import LdRecords
         from .core.reference_impl import reference_ld

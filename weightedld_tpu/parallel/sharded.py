@@ -152,6 +152,62 @@ def make_sharded_stats_runner(
     return runner
 
 
+def make_topk_runner(mesh: Mesh, *, tile: int, k_out: int):
+    """Per-batch top-k selection by r2 over KEPT pairs (threshold-free).
+
+    Runs on the device-resident ``[K, T, T]`` stat tensors of a dispatched
+    batch: each shard selects its local top ``k_out`` via ``lax.top_k`` and
+    packs them as ``[1, k_out, 5]`` int32 records (global site indices +
+    D/D'/r2 bitcast) — the same one-fetch transport as ``gather_compact``.
+    Host traffic is O(n_dev * k_out) per batch; the host merges batches.
+    Slots beyond the shard's kept-pair count carry r2 == -inf (filter them
+    after the bitcast round-trip)."""
+    key = ("topk", tuple(d.id for d in mesh.devices.flat), tile, k_out)
+    cached = _RUNNER_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    def local_fn(d, dp, r2, keep, tile_i, tile_j):
+        t = tile
+        flat = jnp.where(keep, r2, -jnp.inf).reshape(-1)
+        kk = min(k_out, flat.shape[0])
+        vals, idx = jax.lax.top_k(flat, kk)
+        t2 = t * t
+        kt = idx // t2
+        rem = idx % t2
+        gi = tile_i[kt] * t + rem // t
+        gj = tile_j[kt] * t + rem % t
+        values = jnp.stack(
+            [d.reshape(-1)[idx], dp.reshape(-1)[idx], vals], axis=1
+        )
+        packed = jnp.concatenate(
+            [jnp.stack([gi, gj], axis=1),
+             jax.lax.bitcast_convert_type(values, jnp.int32)],
+            axis=1,
+        )
+        if kk < k_out:  # degenerate tiny batches: pad to the static shape
+            pad = jnp.tile(
+                jnp.concatenate([
+                    jnp.zeros(2, jnp.int32),
+                    jax.lax.bitcast_convert_type(
+                        jnp.asarray([0.0, 0.0, -jnp.inf], jnp.float32),
+                        jnp.int32),
+                ])[None], (k_out - kk, 1),
+            )
+            packed = jnp.concatenate([packed, pad], axis=0)
+        return packed[None]
+
+    fn = jax.jit(jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(AXIS),) * 6,
+        out_specs=P(AXIS),
+        check_vma=False,
+    ))
+    _RUNNER_CACHE[key] = fn
+    return fn
+
+
 def gather_compact(d, dp, r2, mask, tile_i, tile_j, live, *, tile, capacity,
                    mesh=None):
     """Gather live tiles and compact their records (cached jit by shapes).

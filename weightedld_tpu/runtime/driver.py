@@ -31,6 +31,7 @@ from ..parallel.sharded import (
     default_mesh,
     gather_compact,
     make_sharded_stats_runner,
+    make_topk_runner,
     replicate,
 )
 from ..parallel.triangle import cdiv, plan_tiles, stripe
@@ -422,6 +423,39 @@ class LdSession:
             "r2_sum_over_threshold": r2_sum,
             "r2_max": r2_max if n_pairs else None,
         }
+
+    def top_pairs(self, k: int) -> LdRecords:
+        """Global top-``k`` surviving pairs by r2, descending — a
+        threshold-free serving query (capability beyond the reference:
+        'show me the strongest LD' without guessing a cutoff).
+
+        Selection runs ON DEVICE (per-shard ``lax.top_k`` over each
+        batch's kept pairs), so host traffic is O(n_dev * k) per batch
+        regardless of how many pairs the scan covers.  The session's r2
+        threshold is ignored — every surviving pair competes.  Ties at the
+        k-th value are broken arbitrarily."""
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
+        runner = make_topk_runner(self.mesh, tile=self.cfg.tile, k_out=k)
+        parts = []
+        for _b, dispatched in self._pipelined():
+            (_tcnt, d_t, dp_t, r2_t, _mask, bi, bj, keep_t, _mom) = dispatched
+            packed = _fetch(runner(d_t, dp_t, r2_t, keep_t, bi, bj))
+            parts.append(packed.reshape(-1, 5))
+        cand = np.concatenate(parts, axis=0)
+        sites = cand[:, :2]
+        vals = cand[:, 2:].view(np.float32)
+        ok = vals[:, 2] > -np.inf          # drop unfilled top-k slots
+        sites, vals = sites[ok], vals[ok]
+        order = np.argsort(-vals[:, 2], kind="stable")[:k]
+        sites, vals = sites[order], vals[order]
+        return LdRecords(
+            pos_a=self.site_map[sites[:, 0]],
+            pos_b=self.site_map[sites[:, 1]],
+            d=vals[:, 0],
+            d_prime=vals[:, 1],
+            r2=vals[:, 2],
+        )
 
     def matrices(self) -> dict[str, np.ndarray]:
         """Assemble full square LD matrices (a capability beyond the
