@@ -49,6 +49,9 @@ for _, rec in sess.stream():
     rows += [(int(a), int(b), round(float(r), 6))
              for a, b, r in zip(rec.pos_a, rec.pos_b, rec.r2)]
 summ = sess.summarize(r2_threshold=0.3)
+top = sess.top_pairs(5)   # exercises the multihost P(AXIS) top-k fetch
+top_rows = [(int(a), int(b), round(float(r), 6))
+            for a, b, r in zip(top.pos_a, top.pos_b, top.r2)]
 
 # run_to_tsv under multi-process: process 0 writes the real file, the
 # other drives its shards into /dev/null (the pod_scan pattern).
@@ -60,6 +63,7 @@ n_tsv = run_to_tsv(aln, w, np.arange(64), tsv,
 
 out = {{"records": sorted(rows), "summary": {{
     "n_pairs": summ["n_pairs"], "n_over": summ["n_over_threshold"]}},
+    "top": top_rows,
     "n_tsv": int(n_tsv), "is_output": is_output_process()}}
 with open(sys.argv[4] + f".proc{{pid}}.json", "w") as f:
     json.dump(out, f)
@@ -104,6 +108,7 @@ def test_two_process_distributed_matches_single(tmp_path):
     assert results[0]["is_output"] and not results[1]["is_output"]
     assert results[0]["records"] == results[1]["records"]
     assert results[0]["summary"] == results[1]["summary"]
+    assert results[0]["top"] == results[1]["top"]
     assert results[0]["n_tsv"] == len(results[0]["records"])
     tsv_rows = Path(f"{out_base}.pairs.tsv").read_text().strip().splitlines()
     assert len(tsv_rows) - 1 == results[0]["n_tsv"]  # header + records
@@ -124,3 +129,8 @@ def test_two_process_distributed_matches_single(tmp_path):
                  for a, b, r in zip(rec.pos_a, rec.pos_b, rec.r2)]
     assert sorted(rows) == [tuple(r) for r in results[0]["records"]]
     assert all(np.isfinite(r) for _, _, r in rows)  # kept r2 is never NaN
+    # Top-5 r2 values match the full scan's 5 largest (pair identity can
+    # differ under ties, values cannot).
+    want_top = sorted((r for _, _, r in rows), reverse=True)[:5]
+    got_top = [r for _, _, r in results[0]["top"]]
+    np.testing.assert_allclose(got_top, want_top, atol=2e-6)
