@@ -240,3 +240,30 @@ def test_top_k(tmp_path, capsys):
     assert rc == 0
     assert len(out.strip().split("\n")) - 1 == len(rows)
     assert main(["--file", str(f), "--top", "0"]) == 2
+
+
+def test_ld_decay_cli(tmp_path, capsys):
+    # LD-decay curve on the real t7 VCF: distances in bp (site_map = POS).
+    import shutil
+
+    src = "/root/reference/tests/t7_1000genome.vcf"
+    import os
+    if not os.path.exists(src):
+        pytest.skip("reference fixture unavailable")
+    f = tmp_path / "t7.vcf"
+    shutil.copy(src, f)
+    rc, out = _run(capsys, "--file", str(f),
+                   "--ld-decay", "0,100,200,1000", "--tile", "16")
+    assert rc == 0
+    decay = json.loads(out)
+    # 10 surviving pairs total (SURVEY A.8); bin edges at bp distances.
+    assert decay["edges"] == [0, 100, 200, 1000]
+    assert sum(decay["n_pairs"]) == 10
+    # Spot check vs the golden rows (SURVEY A.8): 7 pairs lie closer than
+    # 100 bp, with r2 {.0148 x3, .0157, .0124, .0132 x2}.
+    assert decay["n_pairs"][0] == 7
+    assert decay["r2_mean"][0] == pytest.approx(
+        (0.0148 * 3 + 0.0157 + 0.0124 + 0.0132 * 2) / 7, abs=2e-4)
+
+    assert main(["--file", str(f), "--ld-decay", "nope"]) == 2
+    assert main(["--file", str(f), "--ld-decay", "5,5"]) == 2

@@ -310,3 +310,38 @@ def test_top_pairs_matches_full_scan(rng):
                                np.sort(np.asarray(full.r2))[::-1], rtol=1e-6)
     with pytest.raises(ValueError):
         session.top_pairs(0)
+
+
+def test_ld_decay_matches_full_scan(rng):
+    from weightedld_tpu.runtime.driver import LdSession
+
+    aln = random_alignment(rng, 30, 96)
+    w = (rng.random(30) + 0.05).astype(np.float32)
+    # Non-trivial site_map: distances are measured in map units (bp), not
+    # kept-index units.
+    sm = (np.arange(96) * 37 + 11).astype(np.int64)
+    session = LdSession(aln, w, sm,
+                        DriverConfig(tile=16, tiles_per_shard_batch=2))
+    edges = [0, 100, 500, 1000, 5000]
+    out = session.ld_decay(edges)
+
+    full = collect_ld_records(aln, w, sm, DriverConfig(tile=16))
+    dist = np.asarray(full.pos_b) - np.asarray(full.pos_a)
+    r2 = np.asarray(full.r2, dtype=np.float64)
+    for b in range(len(edges) - 1):
+        m = (dist >= edges[b]) & (dist < edges[b + 1])
+        assert out["n_pairs"][b] == int(m.sum()), b
+        np.testing.assert_allclose(out["r2_sum"][b], r2[m].sum(),
+                                   rtol=1e-5, err_msg=str(b))
+        if m.any():
+            np.testing.assert_allclose(out["r2_mean"][b], r2[m].mean(),
+                                       rtol=1e-5)
+        else:
+            assert out["r2_mean"][b] is None
+    # Every kept pair lands in some bin when the edges cover the range.
+    assert sum(out["n_pairs"]) == len(r2)
+
+    with pytest.raises(ValueError):
+        session.ld_decay([5, 5])
+    with pytest.raises(ValueError):
+        session.ld_decay([7])

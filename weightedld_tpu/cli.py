@@ -110,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="windowed LD: only compute pairs at most this many "
                    "kept sites apart (prunes the tile plan to an O(S*W) "
                    "band; forces the tiled engine)")
+    p.add_argument("--ld-decay", type=str, default=None, metavar="EDGES",
+                   help="print a JSON LD-decay curve (kept-pair count and "
+                   "mean r2 per distance bin) instead of pair records; "
+                   "EDGES = comma-separated ascending bin edges in site_map "
+                   "units (bp for VCF), e.g. 0,1000,10000,100000")
     p.add_argument("--top", type=int, default=None, metavar="K",
                    help="emit only the K strongest surviving pairs by r2 "
                    "(descending) — threshold-free; selection runs on device "
@@ -327,6 +332,37 @@ def main(argv=None) -> int:
     from .runtime.profiling import device_trace
 
     trace_dir = str(args.profile_dir) if args.profile_dir else None
+
+    if args.ld_decay is not None:
+        import json
+
+        try:
+            edges = [int(x) for x in args.ld_decay.split(",")]
+        except ValueError:
+            print(f"error: --ld-decay needs comma-separated integer edges, "
+                  f"got {args.ld_decay!r}", file=sys.stderr)
+            return 2
+        from .runtime.driver import DriverConfig, LdSession
+
+        session = LdSession(
+            res.alignment, res.weights, res.site_map,
+            DriverConfig(
+                tile=args.tile,
+                tiles_per_shard_batch=args.tiles_per_batch,
+                max_site_distance=args.max_distance,
+                weight_quant=args.weight_quant,
+            ),
+            mesh=mesh,
+        )
+        try:
+            with device_trace(trace_dir):
+                out = session.ld_decay(edges)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        out["elapsed_s"] = time.monotonic() - t0
+        print(json.dumps(out))
+        return 0
 
     if args.top is not None:
         if args.top <= 0:

@@ -30,6 +30,7 @@ from ..core.ld_tiled import pad_alignment
 from ..parallel.sharded import (
     default_mesh,
     gather_compact,
+    make_decay_runner,
     make_sharded_stats_runner,
     make_topk_runner,
     replicate,
@@ -422,6 +423,49 @@ class LdSession:
             "n_over_threshold": n_over,
             "r2_sum_over_threshold": r2_sum,
             "r2_max": r2_max if n_pairs else None,
+        }
+
+    def ld_decay(self, edges) -> dict:
+        """LD-decay curve: per distance bin, the kept-pair count, r2 sum
+        and mean — the classic 'r2 vs distance' analysis, computed ON
+        DEVICE in one pass per batch (O(B) host traffic).
+
+        Distance is measured in ``site_map`` coordinates — base pairs for
+        VCF input, original column indices for FASTA.  ``edges`` is an
+        ascending sequence; bin b covers ``edges[b] <= dist <
+        edges[b+1]``.  The session r2 threshold is ignored (every
+        surviving pair contributes)."""
+        edges = tuple(int(e) for e in edges)
+        if len(edges) < 2 or any(b <= a for a, b in zip(edges, edges[1:])):
+            raise ValueError(
+                f"edges must be ascending with >= 2 entries, got {edges}")
+        if getattr(self, "_sm_dev", None) is None:
+            sm = np.asarray(self.site_map)
+            if sm.size and (sm.max() > np.iinfo(np.int32).max
+                            or sm.min() < 0):
+                raise ValueError("site_map positions must fit int32 for "
+                                 "on-device distance binning")
+            sm_pad = np.zeros(self.plan.s_pad, dtype=np.int32)
+            sm_pad[: self.n_sites] = sm  # padding sites have keep == False
+            (self._sm_dev,) = replicate(self.mesh, sm_pad)
+        runner = make_decay_runner(self.mesh, tile=self.cfg.tile,
+                                   edges=edges)
+        nb = len(edges) - 1
+        counts = np.zeros(nb, dtype=np.int64)
+        sums = np.zeros(nb, dtype=np.float64)
+        for _b, dispatched in self._pipelined():
+            (_tcnt, _d, _dp, r2_t, _mask, bi, bj, keep_t, _mom) = dispatched
+            packed = _fetch(runner(r2_t, keep_t, bi, bj, self._sm_dev))
+            packed = packed.reshape(-1, nb, 2)            # [n_dev, B, 2]
+            counts += packed[:, :, 0].astype(np.int64).sum(axis=0)
+            sums += np.ascontiguousarray(packed[:, :, 1]).view(
+                np.float32).astype(np.float64).sum(axis=0)
+        return {
+            "edges": list(edges),
+            "n_pairs": counts.tolist(),
+            "r2_sum": sums.tolist(),
+            "r2_mean": [s / c if c else None
+                        for s, c in zip(sums, counts)],
         }
 
     def top_pairs(self, k: int) -> LdRecords:
