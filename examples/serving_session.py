@@ -37,3 +37,9 @@ for batch, records in session.stream():
 # Re-scan at a different threshold: the threshold is a runtime scalar of
 # the compiled program, so this reuses everything already on device.
 print(session.summarize(r2_threshold=0.5))
+
+# Threshold-free analytics against the same resident session:
+top = session.top_pairs(3)           # the 3 strongest pairs by r2
+for pa, pb, r2 in zip(top.pos_a, top.pos_b, top.r2):
+    print("top:", pa, pb, round(float(r2), 4))
+print(session.ld_decay([0, 2, 4]))   # r2-vs-distance curve (site_map units)

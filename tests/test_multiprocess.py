@@ -52,6 +52,9 @@ summ = sess.summarize(r2_threshold=0.3)
 top = sess.top_pairs(5)   # exercises the multihost P(AXIS) top-k fetch
 top_rows = [(int(a), int(b), round(float(r), 6))
             for a, b, r in zip(top.pos_a, top.pos_b, top.r2)]
+decay = sess.ld_decay([0, 16, 64])  # multihost [n_dev, B, 2] decay fetch
+decay = {{"n_pairs": decay["n_pairs"],
+          "r2_sum": [round(x, 6) for x in decay["r2_sum"]]}}
 
 # run_to_tsv under multi-process: process 0 writes the real file, the
 # other drives its shards into /dev/null (the pod_scan pattern).
@@ -63,7 +66,7 @@ n_tsv = run_to_tsv(aln, w, np.arange(64), tsv,
 
 out = {{"records": sorted(rows), "summary": {{
     "n_pairs": summ["n_pairs"], "n_over": summ["n_over_threshold"]}},
-    "top": top_rows,
+    "top": top_rows, "decay": decay,
     "n_tsv": int(n_tsv), "is_output": is_output_process()}}
 with open(sys.argv[4] + f".proc{{pid}}.json", "w") as f:
     json.dump(out, f)
@@ -109,6 +112,7 @@ def test_two_process_distributed_matches_single(tmp_path):
     assert results[0]["records"] == results[1]["records"]
     assert results[0]["summary"] == results[1]["summary"]
     assert results[0]["top"] == results[1]["top"]
+    assert results[0]["decay"] == results[1]["decay"]
     assert results[0]["n_tsv"] == len(results[0]["records"])
     tsv_rows = Path(f"{out_base}.pairs.tsv").read_text().strip().splitlines()
     assert len(tsv_rows) - 1 == results[0]["n_tsv"]  # header + records
@@ -134,3 +138,8 @@ def test_two_process_distributed_matches_single(tmp_path):
     want_top = sorted((r for _, _, r in rows), reverse=True)[:5]
     got_top = [r for _, _, r in results[0]["top"]]
     np.testing.assert_allclose(got_top, want_top, atol=2e-6)
+    # Decay bins partition the kept pairs (site_map = arange -> dist < 64).
+    assert sum(results[0]["decay"]["n_pairs"]) == len(rows)
+    want_bins = [sum(1 for a, b, _ in rows if b - a < 16),
+                 sum(1 for a, b, _ in rows if 16 <= b - a < 64)]
+    assert results[0]["decay"]["n_pairs"] == want_bins

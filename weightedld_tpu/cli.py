@@ -129,6 +129,24 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _build_session(args, res, mesh, r2_threshold=None):
+    """The one place a CLI mode turns args into a device session (four
+    output modes share it; a new DriverConfig field is threaded once)."""
+    from .runtime.driver import DriverConfig, LdSession
+
+    return LdSession(
+        res.alignment, res.weights, res.site_map,
+        DriverConfig(
+            tile=args.tile,
+            tiles_per_shard_batch=args.tiles_per_batch,
+            r2_threshold=r2_threshold,
+            max_site_distance=args.max_distance,
+            weight_quant=args.weight_quant,
+        ),
+        mesh=mesh,
+    )
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(
@@ -265,18 +283,7 @@ def main(argv=None) -> int:
                   f"S={s} > 32768 kept sites — use the record outputs",
                   file=sys.stderr)
             return 2
-        from .runtime.driver import DriverConfig, LdSession
-
-        session = LdSession(
-            res.alignment, res.weights, res.site_map,
-            DriverConfig(
-                tile=args.tile,
-                tiles_per_shard_batch=args.tiles_per_batch,
-                max_site_distance=args.max_distance,
-                weight_quant=args.weight_quant,
-            ),
-            mesh=mesh,
-        )
+        session = _build_session(args, res, mesh)
         mats = session.matrices()
         np.savez_compressed(args.matrix_output, site_map=res.site_map, **mats)
         log.info("wrote %s (%d x %d, %d surviving pairs) in %.2fs",
@@ -311,19 +318,8 @@ def main(argv=None) -> int:
                 "r2_max": float(r2[keep].max()) if keep.any() else None,
             }
         else:
-            from .runtime.driver import DriverConfig, LdSession
-
-            session = LdSession(
-                res.alignment, res.weights, res.site_map,
-                DriverConfig(
-                    tile=args.tile,
-                    tiles_per_shard_batch=args.tiles_per_batch,
-                    r2_threshold=args.r2_threshold,
-                    max_site_distance=args.max_distance,
-                    weight_quant=args.weight_quant,
-                ),
-                mesh=mesh,
-            )
+            session = _build_session(args, res, mesh,
+                                     r2_threshold=args.r2_threshold)
             out = session.summarize()
         out["elapsed_s"] = time.monotonic() - t0
         print(json.dumps(out))
@@ -336,24 +332,26 @@ def main(argv=None) -> int:
     if args.ld_decay is not None:
         import json
 
-        try:
-            edges = [int(x) for x in args.ld_decay.split(",")]
-        except ValueError:
-            print(f"error: --ld-decay needs comma-separated integer edges, "
-                  f"got {args.ld_decay!r}", file=sys.stderr)
-            return 2
-        from .runtime.driver import DriverConfig, LdSession
+        from .runtime.driver import validate_decay_edges
 
-        session = LdSession(
-            res.alignment, res.weights, res.site_map,
-            DriverConfig(
-                tile=args.tile,
-                tiles_per_shard_batch=args.tiles_per_batch,
-                max_site_distance=args.max_distance,
-                weight_quant=args.weight_quant,
-            ),
-            mesh=mesh,
-        )
+        if args.top is not None:
+            print("error: --ld-decay and --top are mutually exclusive "
+                  "output modes", file=sys.stderr)
+            return 2
+        if args.r2_threshold is not None:
+            print("warning: --ld-decay is threshold-free; --r2-threshold "
+                  "is ignored in this mode", file=sys.stderr)
+        if engine in ("dense", "reference"):
+            print(f"warning: --ld-decay always runs the tiled session "
+                  f"engine (--engine {engine} ignored)", file=sys.stderr)
+        try:
+            # Validate BEFORE building the session: a bad edge list must
+            # not cost the alignment upload + kernel compile.
+            edges = validate_decay_edges(args.ld_decay.split(","))
+        except ValueError as e:
+            print(f"error: --ld-decay: {e}", file=sys.stderr)
+            return 2
+        session = _build_session(args, res, mesh)
         try:
             with device_trace(trace_dir):
                 out = session.ld_decay(edges)
@@ -386,18 +384,7 @@ def main(argv=None) -> int:
             order = np.argsort(-np.asarray(rec.r2), kind="stable")[: args.top]
             rec = LdRecords(*(np.asarray(f)[order] for f in rec))
         else:
-            from .runtime.driver import DriverConfig, LdSession
-
-            session = LdSession(
-                res.alignment, res.weights, res.site_map,
-                DriverConfig(
-                    tile=args.tile,
-                    tiles_per_shard_batch=args.tiles_per_batch,
-                    max_site_distance=args.max_distance,
-                    weight_quant=args.weight_quant,
-                ),
-                mesh=mesh,
-            )
+            session = _build_session(args, res, mesh)
             with device_trace(trace_dir):
                 rec = session.top_pairs(args.top)
         out = open_text_output(args.pair_output) if args.pair_output \

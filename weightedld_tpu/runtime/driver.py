@@ -76,6 +76,21 @@ def _resolve_engine(engine: str) -> str:
     return "pallas" if platform in ("tpu", "axon") else "xla"
 
 
+def validate_decay_edges(edges) -> tuple:
+    """Validate LD-decay bin edges early (importable by the CLI so a bad
+    edge list fails BEFORE the session uploads/compiles anything): integer,
+    ascending, >= 2 entries, within int32 (the device distance dtype)."""
+    edges = tuple(int(e) for e in edges)
+    if len(edges) < 2 or any(b <= a for a, b in zip(edges, edges[1:])):
+        raise ValueError(
+            f"edges must be ascending with >= 2 entries, got {edges}")
+    lim = np.iinfo(np.int32)
+    if edges[0] < lim.min or edges[-1] > lim.max:
+        raise ValueError(
+            f"edges must fit int32 (device distance dtype), got {edges}")
+    return edges
+
+
 def resolve_tile(tile: int | None, engine: str, alignment: np.ndarray,
                  seq_chunk: int = 512, planes: tuple | None = None) -> int:
     """Auto site-tile side: T=256 measured +4-21% over T=128 for the
@@ -435,16 +450,21 @@ class LdSession:
         ascending sequence; bin b covers ``edges[b] <= dist <
         edges[b+1]``.  The session r2 threshold is ignored (every
         surviving pair contributes)."""
-        edges = tuple(int(e) for e in edges)
-        if len(edges) < 2 or any(b <= a for a, b in zip(edges, edges[1:])):
-            raise ValueError(
-                f"edges must be ascending with >= 2 entries, got {edges}")
+        edges = validate_decay_edges(edges)
         if getattr(self, "_sm_dev", None) is None:
             sm = np.asarray(self.site_map)
             if sm.size and (sm.max() > np.iinfo(np.int32).max
                             or sm.min() < 0):
                 raise ValueError("site_map positions must fit int32 for "
                                  "on-device distance binning")
+            if (np.diff(sm) < 0).any():
+                # e.g. a multi-chromosome VCF where POS resets: pair
+                # "distances" across the reset would be negative or
+                # meaningless — refuse rather than silently mis-bin.
+                raise ValueError(
+                    "ld_decay needs a non-decreasing site_map (positions "
+                    "restart mid-file — multi-chromosome input? run per "
+                    "chromosome)")
             sm_pad = np.zeros(self.plan.s_pad, dtype=np.int32)
             sm_pad[: self.n_sites] = sm  # padding sites have keep == False
             (self._sm_dev,) = replicate(self.mesh, sm_pad)
@@ -464,7 +484,7 @@ class LdSession:
             "edges": list(edges),
             "n_pairs": counts.tolist(),
             "r2_sum": sums.tolist(),
-            "r2_mean": [s / c if c else None
+            "r2_mean": [float(s / c) if c else None
                         for s, c in zip(sums, counts)],
         }
 
