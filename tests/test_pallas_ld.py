@@ -184,7 +184,7 @@ def test_unit_weights_kernel_matches(rng):
                                np.asarray(base.d)[keep], rtol=1e-6, atol=1e-8)
 
 
-@pytest.mark.parametrize("wquant", ["lo_int8", "int8"])
+@pytest.mark.parametrize("wquant", ["lo_int8", "int8", "int8x3"])
 def test_quantized_weights_kernel_matches(rng, wquant):
     # The int8-quantized weight passes (lo_int8: w ~= bf16(w) + alpha*q,
     # error <= 2^-9/254; int8: w ~= a1*q1 + a2*q2, error <= max|w|/64516)
@@ -205,7 +205,13 @@ def test_quantized_weights_kernel_matches(rng, wquant):
     ti = jnp.asarray(plan.tile_i); tj = jnp.asarray(plan.tile_j)
     em = jnp.ones(plan.n_tiles, dtype=jnp.int32)
 
-    pack = pad_weights_int8 if wquant == "int8" else pad_weights_lo_int8
+    if wquant == "int8":
+        pack = pad_weights_int8
+    elif wquant == "int8x3":
+        from functools import partial
+        pack = partial(pad_weights_int8, levels=3)
+    else:
+        pack = pad_weights_lo_int8
     base = pallas_tile_stats(
         codes, jnp.asarray(pad_weights(w, chunk)), ti, tj, em,
         tile=tile, n_sites=n_sites, seq_chunk=chunk, interpret=True)
@@ -215,14 +221,18 @@ def test_quantized_weights_kernel_matches(rng, wquant):
         wquant=wquant, interpret=True)
     np.testing.assert_array_equal(np.asarray(loq.keep), np.asarray(base.keep))
     keep = np.asarray(base.keep)
+    # int8x3's weight representation (~6e-8, one f32 ulp) is tighter than
+    # split-bf16's, so it must agree with the exact kernel essentially to
+    # f32 arithmetic noise; the lossier modes get the 4-dp-safe bound.
+    atol = 2e-5 if wquant == "int8x3" else 4e-4
     for field in ("d", "d_prime", "r2"):
         np.testing.assert_allclose(
             np.asarray(getattr(loq, field))[keep],
             np.asarray(getattr(base, field))[keep],
-            atol=4e-4, err_msg=field)
+            atol=atol, err_msg=field)
 
 
-@pytest.mark.parametrize("wq", ["lo_int8", "int8"])
+@pytest.mark.parametrize("wq", ["lo_int8", "int8", "int8x3"])
 def test_quantized_weights_driver_matches(rng, wq):
     # Auto policy is off under interpret; force it through the driver and
     # demand record-level agreement with the XLA engine.
@@ -272,3 +282,20 @@ def test_large_tile_row_chunked_finalize(rng):
     keep = np.asarray(ref.keep)
     np.testing.assert_allclose(np.asarray(got.r2)[keep],
                                np.asarray(ref.r2)[keep], rtol=1e-5, atol=1e-6)
+
+
+def test_int8_cascade_packer_error_bounds(rng):
+    # Reconstruction w ~= sum_l a_l q_l: levels=2 within max|w|/64516,
+    # levels=3 within one f32 ulp of max|w| (the documented bounds).
+    from weightedld_tpu.ops.pallas_ld import pad_weights_int8
+
+    w = (rng.random(1000).astype(np.float32) ** 4)  # spans 0..1, skewed low
+    w[0] = 1.0
+    for levels, bound in ((2, 1.0 / 64516), (3, 6.5e-8)):
+        out = pad_weights_int8(w, seq_chunk=512, levels=levels)
+        # f64 reconstruction: the bound is on the REPRESENTATION; the
+        # kernel's f32 combine adds at most ~1 extra f32 ulp on top.
+        rec = sum(out[levels + i][0].astype(np.float64)
+                  * out[i].astype(np.float64) for i in range(levels))
+        err = np.abs(rec[:1000] - w.astype(np.float64)).max()
+        assert err <= bound, (levels, err)

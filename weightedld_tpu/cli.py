@@ -73,14 +73,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile", type=int, default=None,
                    help="site-tile side (default: auto — 256 for <=4 "
                    "allele planes on TPU at seq-chunk <=512, else 128)")
-    p.add_argument("--weight-quant", choices=("none", "lo_int8", "int8"),
+    p.add_argument("--weight-quant",
+                   choices=("none", "split_bf16", "lo_int8", "int8",
+                            "int8x3"),
                    default="none",
-                   help="quantize the TPU kernel's weighted passes to int8 "
-                   "(double MXU rate): lo_int8 = residual pass only "
-                   "(~7.7e-6 weight error), int8 = both passes (~1.6e-5, "
-                   "fastest). Default none = exact split-bf16; the "
-                   "quantized modes can move r2 by about the 4-dp output "
-                   "rounding quantum (tiled engine on TPU only)")
+                   help="weighted-pass arithmetic of the TPU kernel. "
+                   "Default none = int8x3, a 3-level int8 cascade whose "
+                   "weight error (~6e-8, one f32 ulp) is at the f32 "
+                   "weights' own precision — full accuracy at 1.5 bf16-"
+                   "pass cost. split_bf16 = the two-pass bf16 splitting "
+                   "(the previous default). Lossy speedups: lo_int8 "
+                   "(~7.7e-6 weight error), int8 (~1.6e-5, fastest — can "
+                   "move r2 by about the 4-dp rounding quantum). Tiled "
+                   "engine on TPU only")
     p.add_argument("--devices", type=int, default=None,
                    help="use only the first N local devices (default: all)")
     p.add_argument("--tiles-per-batch", type=int, default=None,

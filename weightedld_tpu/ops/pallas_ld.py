@@ -38,10 +38,13 @@ given its operand.  Static specializations drop passes when possible:
 ``planes`` restricts the alphabet (binary SNP data: P=3 or 2 instead of 5,
 a quadratic FLOP reduction); ``preplaned`` consumes precomputed one-hot
 planes from HBM (measured neutral — kept as an experimental variant);
-``wquant`` quantizes the weighted passes to int8 (double MXU rate):
+``wquant`` replaces the weighted passes with int8 ones (double MXU rate):
 ``"lo_int8"`` only the residual pass (~7.7e-6 weight error), ``"int8"``
 both passes via ``w ~= a1*q1 + a2*q2`` (~1.6e-5 — 1.0 bf16-pass
-equivalents for the weighted joint).
+equivalents), ``"int8x3"`` three cascaded int8 passes (~6.1e-8 = ONE f32
+ulp of max|w|, i.e. numerically equivalent to the f32 weights, at 1.5
+bf16-pass equivalents — tighter AND cheaper than split-bf16, see
+``pad_weights_int8``).
 
 The finalization — per-pair marginal counts, major/dominant-minor with
 smallest-code tie-break, both skip rules, and the D/D'/r2 algebra — is the
@@ -121,44 +124,48 @@ def pad_weights_lo_int8(
 
 
 def pad_weights_int8(
-    weights: np.ndarray, seq_chunk: int = DEFAULT_SEQ_CHUNK
+    weights: np.ndarray, seq_chunk: int = DEFAULT_SEQ_CHUNK,
+    levels: int = 2,
 ) -> np.ndarray:
-    """Weights packed for the ``int8`` kernel variant (BOTH weight passes
-    quantized): ``[4, N_pad]`` f32 with rows q1 / q2 / a1 / a2 (the scales
-    broadcast), where ``w ~= a1*q1 + a2*q2``.
+    """Weights packed for the multi-level-int8 kernel variants (ALL weight
+    passes quantized): ``[2*levels, N_pad]`` f32 with rows q1..qL /
+    a1..aL (the scales broadcast), where ``w ~= sum_l a_l * q_l``.
 
-    Two-level int8 quantization: ``a1 = max|w|/127``, ``q1 = round(w/a1)``;
-    the residual ``r = w - a1*q1`` (``|r| <= a1/2``) is re-quantized with
-    ``a2 = max|r|/127``.  Per-weight absolute error ``<= a2/2 <= a1/508 =
-    max|w|/64516 ~= 1.6e-5`` for max-normalized weights — about 2x the
-    split-bf16 bound.  Both MXU passes then run int8 (double bf16 rate):
-    1.0 bf16-pass equivalents for the weighted joint instead of 2.0
-    (split-bf16) or 1.5 (lo_int8).
+    Cascaded int8 quantization: ``a1 = max|w|/127``, ``q1 = round(w/a1)``;
+    each residual ``r_l = r_{l-1} - a_l*q_l`` (``|r_l| <= a_l/2``) is
+    re-quantized at the next level.  Per-weight ABSOLUTE error bounds for
+    max-normalized weights:
 
-    Caveat: the error bound is ABSOLUTE (scaled by max|w|).  When weights
-    span orders of magnitude (e.g. t7-style VCFs where Henikoff weights
-    range 0.001..1.0), small weights lose relative accuracy (~1.6% at
-    w=0.001) and 4-dp outputs can shift by one ulp of the rounding; prefer
-    ``lo_int8`` there — its bf16 main pass keeps per-weight RELATIVE error
-    at 2^-9 and only the residual is absolute-quantized.
+    - ``levels=2`` (``wquant="int8"``): ``<= max|w|/64516 ~= 1.6e-5`` —
+      1.0 bf16-pass equivalents.  When weights span orders of magnitude
+      (t7-style VCFs, Henikoff weights 0.001..1.0) small weights lose
+      relative accuracy (~1.6% at w=0.001) and 4-dp outputs can shift by
+      one rounding ulp.
+    - ``levels=3`` (``wquant="int8x3"``): ``<= max|w| * 2^-23.97 ~=
+      6.1e-8`` — ONE f32 ulp of the max weight, i.e. at or below the f32
+      representation error of the weights themselves, and ~60x tighter in
+      absolute terms than split-bf16's ``2^-18 * |w|`` relative bound.
+      1.5 bf16-pass equivalents (vs split-bf16's 2.0) with BETTER summed
+      accuracy: the integer joints accumulate exactly and only 3 f32
+      scale-combines round, vs an N-deep f32 accumulation per bf16 pass.
     """
     n = weights.shape[0]
     n_pad = -(-n // seq_chunk) * seq_chunk
     w32 = np.zeros(n_pad, dtype=np.float32)
     w32[:n] = np.asarray(weights, dtype=np.float32)
-    out = np.zeros((4, n_pad), dtype=np.float32)
-    s1 = float(np.abs(w32).max())
-    if s1 > 0.0:
-        a1 = s1 / 127.0
-        q1 = np.round(w32 / a1).clip(-127, 127)
-        r = w32 - a1 * q1
-        out[0] = q1
-        out[2] = a1
-        s2 = float(np.abs(r).max())
-        if s2 > 0.0:
-            a2 = s2 / 127.0
-            out[1] = np.round(r / a2).clip(-127, 127)
-            out[3] = a2
+    out = np.zeros((2 * levels, n_pad), dtype=np.float32)
+    r = w32.astype(np.float64)  # exact residual cascade
+    for lv in range(levels):
+        s = float(np.abs(r).max())
+        if s <= 0.0:
+            break
+        # The kernel recombines with the f32-rounded scale: cascade the
+        # residual against THAT value so the bound holds end-to-end.
+        a = np.float32(s / 127.0)
+        q = np.round(r / float(a)).clip(-127, 127)
+        out[lv] = q
+        out[levels + lv] = a
+        r = r - float(a) * q
     return out
 
 
@@ -251,18 +258,19 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
     # time — identical math and FLOPs, but peak temporaries are (T, pT)
     # instead of (pT, pT), which is what lets p>=4 alphabets fit T=256 in
     # scoped VMEM (the full-joint temporary alone is 6.55 MB at p=5).
-    if wquant == "int8" and not exact_weights:
-        q1 = w_ref[0:1, :].astype(jnp.int32)  # (1, Nc) quantized w
-        q2 = w_ref[1:2, :].astype(jnp.int32)  # (1, Nc) quantized residual
-        a1 = w_ref[2, 0]
-        a2 = w_ref[3, 0]
+    if wquant in ("int8", "int8x3") and not exact_weights:
+        nlev = 2 if wquant == "int8" else 3
+        qs = [w_ref[i:i + 1, :].astype(jnp.int32) for i in range(nlev)]
+        scales = [w_ref[nlev + i, 0] for i in range(nlev)]
 
         def jw_rows(xs8):                     # (rows, Nc) int8 one-hot slice
             xi = xs8.astype(jnp.int32)
-            xq1 = (xi * q1).astype(jnp.int8)  # one-hot * q fits int8 exactly
-            xq2 = (xi * q2).astype(jnp.int8)
-            return (a1 * dot8(xq1, yu8).astype(f32)
-                    + a2 * dot8(xq2, yu8).astype(f32))
+            acc = None
+            for q, a in zip(qs, scales):
+                xq = (xi * q).astype(jnp.int8)  # one-hot * q fits int8 exactly
+                term = a * dot8(xq, yu8).astype(f32)
+                acc = term if acc is None else acc + term
+            return acc
     else:
         w = w_ref[0:1, :]                     # (1, Nc) f32
         w_hi = w.astype(bf16)
@@ -591,7 +599,7 @@ def pallas_tile_stats(
     w_rows = weights_row.shape[0]
     expect_rows = 1
     if not unit_weights and not exact_weights:
-        expect_rows = {"": 1, "lo_int8": 3, "int8": 4}[wquant]
+        expect_rows = {"": 1, "lo_int8": 3, "int8": 4, "int8x3": 6}[wquant]
     assert w_rows == expect_rows, (
         "weights layout does not match the wquant mode"
     )
