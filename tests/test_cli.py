@@ -267,3 +267,22 @@ def test_ld_decay_cli(tmp_path, capsys):
 
     assert main(["--file", str(f), "--ld-decay", "nope"]) == 2
     assert main(["--file", str(f), "--ld-decay", "5,5"]) == 2
+
+
+def test_prune_cli(tmp_path, capsys):
+    f = tmp_path / "t3.fasta"
+    write_fasta(f, ALL_FASTAS["t3"])
+    # t3 has a perfect-LD pair (3,4) at r2=1.0: pruning at 0.9 must drop
+    # one of the two and keep a conflict-free set.
+    rc, out = _run(capsys, "--file", str(f), "--prune-r2", "0.9",
+                   "--engine", "tiled", "--tile", "16")
+    assert rc == 0
+    kept = [int(x) for x in out.split()]
+    assert not ({3, 4} <= set(kept))
+    rc, full = _run(capsys, "--file", str(f))
+    rows = [ln.split("\t") for ln in full.strip().split("\n")[1:]]
+    for a, b, *_, r2 in rows:
+        if int(a) in kept and int(b) in kept:
+            assert float(r2) <= 0.9
+    # Mutually exclusive output modes.
+    assert main(["--file", str(f), "--prune-r2", "0.5", "--top", "2"]) == 2

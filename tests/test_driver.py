@@ -345,3 +345,61 @@ def test_ld_decay_matches_full_scan(rng):
         session.ld_decay([5, 5])
     with pytest.raises(ValueError):
         session.ld_decay([7])
+
+
+def test_prune_matches_greedy_oracle(rng):
+    from weightedld_tpu.runtime.driver import LdSession
+
+    aln = random_alignment(rng, 40, 80)
+    w = np.ones(40, dtype=np.float32)
+    sm = (np.arange(80) * 3 + 5)  # non-trivial positions
+    thr = 0.25
+    session = LdSession(aln, w, sm,
+                        DriverConfig(tile=16, tiles_per_shard_batch=2))
+    full = collect_ld_records(aln, w, sm, DriverConfig(tile=16))
+    over = [(int(a), int(b)) for a, b, r in
+            zip(full.pos_a, full.pos_b, full.r2) if r > thr]
+    over.sort()
+
+    # Independent greedy oracle (reference-definition MAF).
+    counts = np.stack([(aln == c).sum(axis=0) for c in range(5)])
+    major = counts.max(axis=0)
+    maf = (counts.sum(axis=0) - major) / np.maximum(counts.sum(axis=0), 1)
+    idx = {int(p): i for i, p in enumerate(sm)}
+    for rule in ("maf", "first"):
+        kept = np.ones(80, dtype=bool)
+        for qa, qb in over:
+            a, b = idx[qa], idx[qb]
+            if kept[a] and kept[b]:
+                if rule == "maf" and maf[a] < maf[b]:
+                    kept[a] = False
+                else:
+                    kept[b] = False
+        got = session.prune(thr, rule=rule)
+        np.testing.assert_array_equal(got, sm[kept], err_msg=rule)
+
+    # Post-condition: no surviving pair between kept sites exceeds thr.
+    kept_set = set(int(p) for p in session.prune(thr))
+    for a, b, r in zip(full.pos_a, full.pos_b, full.r2):
+        if int(a) in kept_set and int(b) in kept_set:
+            assert r <= thr
+    # Degenerate: threshold above every r2 keeps everything.
+    assert len(session.prune(1.1)) == 80
+    with pytest.raises(ValueError):
+        session.prune(0.2, rule="bogus")
+
+
+def test_prune_windowed(rng):
+    # With --max-distance, only in-window conflicts prune.
+    from weightedld_tpu.runtime.driver import LdSession
+
+    aln = random_alignment(rng, 24, 60)
+    w = np.ones(24, dtype=np.float32)
+    sm = np.arange(60)
+    sess_w = LdSession(aln, w, sm,
+                       DriverConfig(tile=16, max_site_distance=8))
+    kept = set(int(p) for p in sess_w.prune(0.3))
+    full = collect_ld_records(aln, w, sm, DriverConfig(tile=16))
+    for a, b, r in zip(full.pos_a, full.pos_b, full.r2):
+        if b - a <= 8 and int(a) in kept and int(b) in kept:
+            assert r <= 0.3

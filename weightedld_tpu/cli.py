@@ -120,6 +120,15 @@ def build_parser() -> argparse.ArgumentParser:
                    "mean r2 per distance bin) instead of pair records; "
                    "EDGES = comma-separated ascending bin edges in site_map "
                    "units (bp for VCF), e.g. 0,1000,10000,100000")
+    p.add_argument("--prune-r2", type=float, default=None, metavar="THR",
+                   help="LD pruning: print the positions of a subset of "
+                   "sites in which no surviving pair has r2 > THR "
+                   "(greedy, PLINK --indep-pairwise style; combine with "
+                   "--max-distance for windowed pruning)")
+    p.add_argument("--prune-rule", choices=("maf", "first"), default="maf",
+                   help="which endpoint of a conflicting pair to drop: "
+                   "'maf' = the lower-minor-allele-frequency site "
+                   "(default), 'first' = always the later site")
     p.add_argument("--top", type=int, default=None, metavar="K",
                    help="emit only the K strongest surviving pairs by r2 "
                    "(descending) — threshold-free; selection runs on device "
@@ -339,9 +348,9 @@ def main(argv=None) -> int:
 
         from .runtime.driver import validate_decay_edges
 
-        if args.top is not None:
-            print("error: --ld-decay and --top are mutually exclusive "
-                  "output modes", file=sys.stderr)
+        if args.top is not None or args.prune_r2 is not None:
+            print("error: --ld-decay, --top and --prune-r2 are mutually "
+                  "exclusive output modes", file=sys.stderr)
             return 2
         if args.r2_threshold is not None:
             print("warning: --ld-decay is threshold-free; --r2-threshold "
@@ -365,6 +374,29 @@ def main(argv=None) -> int:
             return 2
         out["elapsed_s"] = time.monotonic() - t0
         print(json.dumps(out))
+        return 0
+
+    if args.prune_r2 is not None:
+        if args.top is not None or args.ld_decay is not None:
+            print("error: --prune-r2, --top and --ld-decay are mutually "
+                  "exclusive output modes", file=sys.stderr)
+            return 2
+        if args.r2_threshold is not None:
+            print("warning: --prune-r2 supplies its own threshold; "
+                  "--r2-threshold is ignored in this mode", file=sys.stderr)
+        session = _build_session(args, res, mesh)
+        with device_trace(trace_dir):
+            kept = session.prune(args.prune_r2, rule=args.prune_rule)
+        out = open_text_output(args.pair_output) if args.pair_output \
+            else sys.stdout
+        try:
+            for pos in kept:
+                out.write(f"{int(pos)}\n")
+        finally:
+            if args.pair_output:
+                out.close()
+        log.info("kept %d of %d sites (r2 <= %g) in %.2fs", len(kept), s,
+                 args.prune_r2, time.monotonic() - t0)
         return 0
 
     if args.top is not None:

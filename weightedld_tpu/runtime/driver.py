@@ -204,6 +204,9 @@ class LdSession:
         self.cfg = cfg
         self.plan = plan_tiles(self.n_sites, cfg.tile, cfg.max_site_distance)
         self.site_map = np.asarray(site_map)
+        # Host reference (no copy) for analyses needing per-site stats
+        # (prune's minor-allele frequencies); the device copy is separate.
+        self._alignment = alignment
 
         k = cfg.tiles_per_shard_batch
         if k is None:
@@ -503,6 +506,54 @@ class LdSession:
             "r2_mean": [float(s / c) if c else None
                         for s, c in zip(sums, counts)],
         }
+
+    def prune(self, r2_threshold: float, rule: str = "maf") -> np.ndarray:
+        """Greedy LD pruning (the PLINK ``--indep-pairwise`` idea): return
+        the ``site_map`` positions of a subset of sites in which no
+        surviving pair has ``r2 > r2_threshold`` (within the session's
+        ``max_site_distance`` window, if one is set).
+
+        Deterministic greedy sweep over conflicting pairs in (pos_a,
+        pos_b) order; when both endpoints are still kept, ``rule="maf"``
+        drops the endpoint with the LOWER minor-allele frequency (ties ->
+        the later site; MAF uses the reference's all-minor definition,
+        ``WeightedLD.py:79-87``), ``rule="first"`` always drops the later
+        site.  Post-condition (exact, since pairwise r2 does not change
+        when other sites are removed): no kept pair in the scanned plan
+        exceeds the threshold.
+
+        Host memory is O(#pairs above threshold) — use a window and/or a
+        meaningful threshold at chromosome scale."""
+        if rule not in ("maf", "first"):
+            raise ValueError(f"rule must be maf|first, got {rule!r}")
+        pos_to_idx = {int(p): i for i, p in enumerate(self.site_map)}
+        if len(pos_to_idx) != self.n_sites:
+            raise ValueError("prune needs unique site_map positions")
+        pa_parts, pb_parts = [], []
+        for _b, rec in self.stream(r2_threshold=float(r2_threshold)):
+            pa_parts.append(np.asarray(rec.pos_a))
+            pb_parts.append(np.asarray(rec.pos_b))
+        kept = np.ones(self.n_sites, dtype=bool)
+        if pa_parts:
+            pa = np.concatenate(pa_parts)
+            pb = np.concatenate(pb_parts)
+            order = np.lexsort((pb, pa))
+            pa, pb = pa[order], pb[order]
+            if rule == "maf":
+                aln = self._alignment
+                counts = np.stack(
+                    [(aln == c).sum(axis=0) for c in range(5)])
+                major = counts.max(axis=0)
+                minor = counts.sum(axis=0) - major
+                maf = minor / np.maximum(major + minor, 1)
+            for qa, qb in zip(pa, pb):
+                a, b = pos_to_idx[int(qa)], pos_to_idx[int(qb)]
+                if kept[a] and kept[b]:
+                    if rule == "maf" and maf[a] < maf[b]:
+                        kept[a] = False
+                    else:
+                        kept[b] = False
+        return self.site_map[kept]
 
     def top_pairs(self, k: int) -> LdRecords:
         """Global top-``k`` surviving pairs by r2, descending — a
