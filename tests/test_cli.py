@@ -286,3 +286,27 @@ def test_prune_cli(tmp_path, capsys):
             assert float(r2) <= 0.9
     # Mutually exclusive output modes.
     assert main(["--file", str(f), "--prune-r2", "0.5", "--top", "2"]) == 2
+
+
+def test_degenerate_single_site_modes(tmp_path, capsys):
+    # One surviving LD site: each output mode keeps its own (empty) format.
+    f = tmp_path / "one.fasta"
+    # Site 0 variable, others invariant -> exactly one LD site.
+    write_fasta(f, ["AAAA", "AAAA", "TAAA", "TAAA"])
+    rc, out = _run(capsys, "--file", str(f))
+    assert rc == 0 and out.strip() == "posa\tposb\tD\tD'\tR2"
+    rc, out = _run(capsys, "--file", str(f), "--stats-only")
+    assert rc == 0 and json.loads(out)["n_pairs"] == 0
+    rc, out = _run(capsys, "--file", str(f), "--ld-decay", "0,10")
+    assert rc == 0
+    assert json.loads(out) == {"edges": [0, 10], "n_pairs": [0],
+                               "r2_sum": [0.0], "r2_mean": [None]}
+    rc, out = _run(capsys, "--file", str(f), "--prune-r2", "0.5")
+    assert rc == 0 and out.split() == ["0"]  # the lone site is kept
+    assert main(["--file", str(f), "--ld-decay", "9,9"]) == 2
+
+
+def test_prune_rejects_nan_and_duplicates(tmp_path, capsys):
+    f = tmp_path / "t5.fasta"
+    write_fasta(f, ALL_FASTAS["t5"])
+    assert main(["--file", str(f), "--prune-r2", "nan"]) == 2

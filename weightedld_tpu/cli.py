@@ -257,11 +257,40 @@ def main(argv=None) -> int:
                 **{k: np.full((s, s), np.nan, dtype=np.float32)
                    for k in ("d", "d_prime", "r2")},
             )
-        elif args.pair_output:
+            return 0
+        # Each output mode keeps its own (empty) format.
+        if args.stats_only:
+            import json
+
+            print(json.dumps({
+                "n_sequences": n, "n_sites": s, "n_pairs": 0,
+                "n_over_threshold": 0, "r2_sum_over_threshold": 0.0,
+                "r2_max": None,
+            }))
+            return 0
+        if args.ld_decay is not None:
+            import json
+
+            from .runtime.driver import validate_decay_edges
+
+            try:
+                edges = validate_decay_edges(args.ld_decay.split(","))
+            except ValueError as e:
+                print(f"error: --ld-decay: {e}", file=sys.stderr)
+                return 2
+            nb = len(edges) - 1
+            print(json.dumps({"edges": list(edges), "n_pairs": [0] * nb,
+                              "r2_sum": [0.0] * nb, "r2_mean": [None] * nb}))
+            return 0
+        body = "posa\tposb\tD\tD'\tR2\n"
+        if args.prune_r2 is not None:
+            # A lone site is trivially conflict-free: emit its position.
+            body = "".join(f"{int(p)}\n" for p in res.site_map)
+        if args.pair_output:
             with open_text_output(args.pair_output) as fh:
-                fh.write("posa\tposb\tD\tD'\tR2\n")
+                fh.write(body)
         else:
-            print("posa\tposb\tD\tD'\tR2")
+            sys.stdout.write(body)
         return 0
 
     engine = args.engine
@@ -381,12 +410,31 @@ def main(argv=None) -> int:
             print("error: --prune-r2, --top and --ld-decay are mutually "
                   "exclusive output modes", file=sys.stderr)
             return 2
+        if not np.isfinite(args.prune_r2):
+            print(f"error: --prune-r2 needs a finite threshold, got "
+                  f"{args.prune_r2}", file=sys.stderr)
+            return 2
         if args.r2_threshold is not None:
             print("warning: --prune-r2 supplies its own threshold; "
                   "--r2-threshold is ignored in this mode", file=sys.stderr)
+        if engine in ("dense", "reference"):
+            print(f"warning: --prune-r2 always runs the tiled session "
+                  f"engine (--engine {engine} ignored)", file=sys.stderr)
+        if len(np.unique(res.site_map)) != s:
+            # Validate BEFORE the session upload/compile (the session-level
+            # check would raise after minutes of setup on big inputs).
+            print("error: --prune-r2 needs unique site positions "
+                  "(multi-chromosome input? run per chromosome)",
+                  file=sys.stderr)
+            return 2
         session = _build_session(args, res, mesh)
-        with device_trace(trace_dir):
-            kept = session.prune(args.prune_r2, rule=args.prune_rule)
+        try:
+            with device_trace(trace_dir):
+                kept = session.prune(args.prune_r2, rule=args.prune_rule,
+                                     on_progress=on_progress)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         out = open_text_output(args.pair_output) if args.pair_output \
             else sys.stdout
         try:

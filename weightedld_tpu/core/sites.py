@@ -86,6 +86,18 @@ def compute_variable_sites(
     return sufficient_data, ld_mask
 
 
+def site_histogram_host(alignment) -> "np.ndarray":
+    """``[S, N_ALLELES]`` per-site allele counts over codes 0..4 — the
+    numpy twin of :func:`site_histogram`, shared by the host f64 mask path
+    and analyses needing per-site stats (prune's MAF)."""
+    import numpy as np
+
+    alignment = np.asarray(alignment)
+    return np.stack(
+        [(alignment == s).sum(axis=0) for s in range(N_ALLELES)], axis=1
+    )
+
+
 def compute_variable_sites_host(
     alignment,
     min_acgt: float,
@@ -106,9 +118,7 @@ def compute_variable_sites_host(
 
     alignment = np.asarray(alignment)
     n_seqs = alignment.shape[0]
-    counts = np.stack(
-        [(alignment == s).sum(axis=0) for s in range(N_ALLELES)], axis=1
-    )
+    counts = site_histogram_host(alignment)
     concrete = counts[:, :N_CONCRETE].sum(axis=1)  # coverage, no extra scan
     sufficient_data = concrete / n_seqs > min_acgt
 

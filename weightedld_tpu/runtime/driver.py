@@ -205,8 +205,11 @@ class LdSession:
         self.plan = plan_tiles(self.n_sites, cfg.tile, cfg.max_site_distance)
         self.site_map = np.asarray(site_map)
         # Host reference (no copy) for analyses needing per-site stats
-        # (prune's minor-allele frequencies); the device copy is separate.
+        # (prune's minor-allele frequencies); released after the first MAF
+        # computation so a chromosome-scale session does not pin the host
+        # alignment for its lifetime.
         self._alignment = alignment
+        self._maf_cache = None
 
         k = cfg.tiles_per_shard_batch
         if k is None:
@@ -507,7 +510,9 @@ class LdSession:
                         for s, c in zip(sums, counts)],
         }
 
-    def prune(self, r2_threshold: float, rule: str = "maf") -> np.ndarray:
+    def prune(self, r2_threshold: float, rule: str = "maf",
+              on_progress: Callable[[Progress], None] | None = None,
+              ) -> np.ndarray:
         """Greedy LD pruning (the PLINK ``--indep-pairwise`` idea): return
         the ``site_map`` positions of a subset of sites in which no
         surviving pair has ``r2 > r2_threshold`` (within the session's
@@ -526,11 +531,17 @@ class LdSession:
         meaningful threshold at chromosome scale."""
         if rule not in ("maf", "first"):
             raise ValueError(f"rule must be maf|first, got {rule!r}")
+        if not np.isfinite(r2_threshold):
+            raise ValueError(
+                f"r2_threshold must be finite, got {r2_threshold!r}")
         pos_to_idx = {int(p): i for i, p in enumerate(self.site_map)}
         if len(pos_to_idx) != self.n_sites:
-            raise ValueError("prune needs unique site_map positions")
+            raise ValueError("prune needs unique site_map positions "
+                             "(multi-chromosome input? run per chromosome)")
+        maf = self._maf() if rule == "maf" else None
         pa_parts, pb_parts = [], []
-        for _b, rec in self.stream(r2_threshold=float(r2_threshold)):
+        for _b, rec in self.stream(r2_threshold=float(r2_threshold),
+                                   on_progress=on_progress):
             pa_parts.append(np.asarray(rec.pos_a))
             pb_parts.append(np.asarray(rec.pos_b))
         kept = np.ones(self.n_sites, dtype=bool)
@@ -539,13 +550,6 @@ class LdSession:
             pb = np.concatenate(pb_parts)
             order = np.lexsort((pb, pa))
             pa, pb = pa[order], pb[order]
-            if rule == "maf":
-                aln = self._alignment
-                counts = np.stack(
-                    [(aln == c).sum(axis=0) for c in range(5)])
-                major = counts.max(axis=0)
-                minor = counts.sum(axis=0) - major
-                maf = minor / np.maximum(major + minor, 1)
             for qa, qb in zip(pa, pb):
                 a, b = pos_to_idx[int(qa)], pos_to_idx[int(qb)]
                 if kept[a] and kept[b]:
@@ -554,6 +558,22 @@ class LdSession:
                     else:
                         kept[b] = False
         return self.site_map[kept]
+
+    def _maf(self) -> np.ndarray:
+        """Per-site minor-allele fraction (reference all-minor definition,
+        ``WeightedLD.py:79-87``), computed once and cached; the host
+        alignment reference is released afterwards."""
+        if self._maf_cache is None:
+            if self._alignment is None:
+                raise RuntimeError("MAF already released; internal error")
+            from ..core.sites import site_histogram_host
+
+            counts = site_histogram_host(self._alignment)   # [S, 5]
+            major = counts.max(axis=1)
+            total = counts.sum(axis=1)
+            self._maf_cache = (total - major) / np.maximum(total, 1)
+            self._alignment = None
+        return self._maf_cache
 
     def top_pairs(self, k: int) -> LdRecords:
         """Global top-``k`` surviving pairs by r2, descending — a
