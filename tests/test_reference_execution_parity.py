@@ -58,16 +58,22 @@ def _ref_ld_rows(ref, alignment, weights, site_map):
     return rows
 
 
-@pytest.mark.parametrize("seed,n_seqs,n_sites", [
-    (101, 24, 14), (102, 50, 10), (103, 12, 20), (104, 80, 12), (105, 9, 16),
+@pytest.mark.parametrize("seed,n_seqs,n_sites,kw", [
+    (101, 24, 14, {}), (102, 50, 10, {}), (103, 12, 20, {}),
+    (104, 80, 12, {}), (105, 9, 16, {}), (106, 120, 40, {}),
+    # Adversarial mixes: gap-heavy (gaps count as alleles but not
+    # coverage) and ambiguity-heavy (code-5 drops drive the per-pair
+    # major/minor recomputation).
+    (107, 40, 18, {"p_gap": 0.14, "p_unknown": 0.02}),
+    (108, 40, 18, {"p_gap": 0.02, "p_unknown": 0.25}),
 ])
-def test_masks_weights_ld_match_reference(ref, seed, n_seqs, n_sites):
+def test_masks_weights_ld_match_reference(ref, seed, n_seqs, n_sites, kw):
     from weightedld_tpu.core.henikoff import henikoff_weights
     from weightedld_tpu.core.ld_dense import extract_records, ld_all_pairs_dense
     from weightedld_tpu.core.sites import compute_variable_sites
 
     rng = np.random.default_rng(seed)
-    aln = random_alignment(rng, n_seqs, n_sites)
+    aln = random_alignment(rng, n_seqs, n_sites, **kw)
 
     # Masks: bit-for-bit (host f64 twin, as used by the ingest pipeline).
     from weightedld_tpu.core.sites import compute_variable_sites_host
