@@ -43,3 +43,4 @@ top = session.top_pairs(3)           # the 3 strongest pairs by r2
 for pa, pb, r2 in zip(top.pos_a, top.pos_b, top.r2):
     print("top:", pa, pb, round(float(r2), 4))
 print(session.ld_decay([0, 2, 4]))   # r2-vs-distance curve (site_map units)
+print("independent sites:", list(session.prune(0.5)))  # greedy LD pruning
