@@ -6,8 +6,9 @@ making the whole pipeline HBM-bound (~8 M pairs/s/chip measured).  This
 kernel keeps everything for one site-pair tile resident in VMEM: HBM traffic
 per tile is two (T x Nc) int8 code blocks per chunk plus the T x T outputs,
 so arithmetic intensity is thousands of FLOPs/byte and the kernel is
-MXU-bound at large N (measured ~1.7 G pairs/s/chip at N=1k with
-single-batch dispatch, ~82% of the pass-count ceiling at N=10k on v5e).
+MXU-bound at large N (measured ~3.2 G pairs/s/chip at the N=1k headline
+under the int8x3 default, ~84% of the pass-count roofline at N=10k on
+v5e — see PERF.md).
 
 Data layout: the alignment is stored SITE-MAJOR ([S_pad, N_pad] int8) — the
 same layout insight as the reference's ``SiteSet`` (``lib.rs:158-197``) —
