@@ -403,3 +403,48 @@ def test_prune_windowed(rng):
     for a, b, r in zip(full.pos_a, full.pos_b, full.r2):
         if b - a <= 8 and int(a) in kept and int(b) in kept:
             assert r <= 0.3
+
+
+def test_structured_ld_blocks():
+    # Block-correlated alignment: 4 blocks of 6 identical sites -> within-
+    # block r2 == 1.0 exactly, across-block r2 = noise.  Every analytics
+    # surface must agree on the structure.
+    from weightedld_tpu.runtime.driver import LdSession
+
+    rng = np.random.default_rng(7)
+    n, n_blocks, bs = 60, 4, 6
+    s_sites = n_blocks * bs
+    hap = rng.integers(0, 2, size=(n, n_blocks))
+    assert all(0 < hap[:, b].sum() < n for b in range(n_blocks))
+    aln = (np.repeat(hap, bs, axis=1) * 3).astype(np.int8)  # codes 0 / 3
+    w = np.ones(n, dtype=np.float32)
+    sm = np.arange(s_sites)
+
+    def block(i):
+        return i // bs
+
+    full = collect_ld_records(aln, w, sm, DriverConfig(tile=16))
+    within = {(int(a), int(b)) for a, b in zip(full.pos_a, full.pos_b)
+              if block(a) == block(b)}
+    assert len(within) == n_blocks * bs * (bs - 1) // 2
+    max_cross = max(r for a, b, r in zip(full.pos_a, full.pos_b, full.r2)
+                    if block(a) != block(b))
+    assert max_cross < 0.5, "seed must separate blocks"
+
+    sess = LdSession(aln, w, sm, DriverConfig(tile=16))
+    # Thresholded records = exactly the within-block pairs.
+    got = {(int(a), int(b)) for _, rec in sess.stream(r2_threshold=0.5)
+           for a, b in zip(rec.pos_a, rec.pos_b)}
+    assert got == within
+    assert sess.summarize(r2_threshold=0.5)["n_over_threshold"] == len(within)
+    # Top-|within| pairs are all within-block at r2 == 1.0.
+    top = sess.top_pairs(len(within))
+    assert {(int(a), int(b)) for a, b in zip(top.pos_a, top.pos_b)} == within
+    np.testing.assert_allclose(np.asarray(top.r2), 1.0, atol=1e-5)
+    # Decay: short-range bin (within block span) has higher mean r2.
+    dec = sess.ld_decay([1, bs, s_sites])
+    assert dec["r2_mean"][0] > 0.5 > dec["r2_mean"][1]
+    # Pruning at 0.5 keeps exactly the first site of each block under the
+    # 'first' rule (all within-block pairs conflict; none across).
+    kept = sess.prune(0.5, rule="first")
+    assert kept.tolist() == [b * bs for b in range(n_blocks)]
