@@ -568,7 +568,10 @@ def pallas_tile_stats(
                                # [grid*P*T, N_pad] planes when preplaned=True
     weights_row: jnp.ndarray,  # [1, N_pad] f32 ([3, N_pad] when wquant=
                                # "lo_int8": rows w / q / alpha; [4, N_pad]
-                               # when wquant="int8": rows q1 / q2 / a1 / a2)
+                               # when wquant="int8": rows q1 / q2 / a1 / a2;
+                               # [6, N_pad] when wquant="int8x3": rows
+                               # q1..q3 / a1..a3, from
+                               # pad_weights_int8(levels=3))
     tile_i: jnp.ndarray,       # [K] int32
     tile_j: jnp.ndarray,       # [K] int32
     emit: jnp.ndarray,         # [K] int32 (0/1)
@@ -585,10 +588,11 @@ def pallas_tile_stats(
 ) -> PairStats:
     """Fused-kernel equivalent of ``tile_stats_batch`` (same contract).
 
-    ``wquant`` selects the weighted-pass quantization: ``""`` = split-bf16
-    (default, parity), ``"lo_int8"`` = int8 residual pass, ``"int8"`` = both
-    passes int8 (see the ``pad_weights*`` packers for layouts and error
-    bounds)."""
+    ``wquant`` selects the weighted-pass arithmetic: ``""`` = split-bf16,
+    ``"lo_int8"`` = int8 residual pass, ``"int8"`` = both passes int8,
+    ``"int8x3"`` = the 3-level cascade (full accuracy, what the driver
+    uses by default; see the ``pad_weights*`` packers for layouts and
+    error bounds)."""
     k = tile_i.shape[0]
     n_pad = codes_sm.shape[1]
     t = tile

@@ -56,15 +56,17 @@ class DriverConfig:
     engine: str = "auto"            # auto | pallas | xla
     seq_chunk: int = 512            # pallas: sequence-axis chunk
     max_site_distance: int | None = None  # windowed LD (kept-site indices)
-    weight_quant: str = "none"      # pallas weighted-pass quantization:
-                                    # "none" = exact split-bf16 (parity,
-                                    # default) | "lo_int8" = int8 residual
-                                    # pass (+16%, ~7.7e-6 absolute weight
-                                    # error) | "int8" = both passes int8
-                                    # (+33%, ~1.6e-5).  The quantized modes
-                                    # can move r2 by about the 4-dp output
-                                    # rounding quantum, so parity wins by
-                                    # default and the speedup is opt-in.
+    weight_quant: str = "none"      # pallas weighted-pass arithmetic:
+                                    # "none" (default) = the int8x3
+                                    # 3-level cascade — full accuracy
+                                    # (error <= one f32 ulp of max|w|) at
+                                    # 1.5 bf16-pass cost | "split_bf16" =
+                                    # the two-pass bf16 splitting (the
+                                    # pre-int8x3 default) | lossy opt-ins:
+                                    # "lo_int8" (~7.7e-6 absolute weight
+                                    # error), "int8" (~1.6e-5, fastest) —
+                                    # those two can move r2 by about the
+                                    # 4-dp output rounding quantum.
 
 
 def _resolve_engine(engine: str) -> str:
