@@ -310,3 +310,16 @@ def test_prune_rejects_nan_and_duplicates(tmp_path, capsys):
     f = tmp_path / "t5.fasta"
     write_fasta(f, ALL_FASTAS["t5"])
     assert main(["--file", str(f), "--prune-r2", "nan"]) == 2
+
+
+def test_r2_hist_cli(tmp_path, capsys):
+    f = tmp_path / "t1.fasta"
+    write_fasta(f, ALL_FASTAS["t1"])
+    # t1: all 10 pairs at r2 == 1.0 exactly.
+    rc, out = _run(capsys, "--file", str(f), "--r2-hist", "0,0.5,1.01",
+                   "--engine", "tiled", "--tile", "16")
+    assert rc == 0
+    hist = json.loads(out)
+    assert hist["n_pairs"] == [0, 10]
+    assert main(["--file", str(f), "--r2-hist", "x"]) == 2
+    assert main(["--file", str(f), "--r2-hist", "0,1", "--top", "2"]) == 2

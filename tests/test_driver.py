@@ -448,3 +448,25 @@ def test_structured_ld_blocks():
     # 'first' rule (all within-block pairs conflict; none across).
     kept = sess.prune(0.5, rule="first")
     assert kept.tolist() == [b * bs for b in range(n_blocks)]
+
+
+def test_r2_histogram_matches_full_scan(rng):
+    from weightedld_tpu.runtime.driver import LdSession
+
+    aln = random_alignment(rng, 30, 96)
+    w = (rng.random(30) + 0.05).astype(np.float32)
+    sm = np.arange(96)
+    session = LdSession(aln, w, sm,
+                        DriverConfig(tile=16, tiles_per_shard_batch=2))
+    edges = [0.0, 0.05, 0.1, 0.3, 1.01]
+    out = session.r2_histogram(edges)
+    full = collect_ld_records(aln, w, sm, DriverConfig(tile=16))
+    r2 = np.asarray(full.r2)
+    for b in range(len(edges) - 1):
+        want = int(((r2 >= edges[b]) & (r2 < edges[b + 1])).sum())
+        assert out["n_pairs"][b] == want, b
+    assert sum(out["n_pairs"]) == len(r2)  # edges cover [0, 1]
+    with pytest.raises(ValueError):
+        session.r2_histogram([0.5])
+    with pytest.raises(ValueError):
+        session.r2_histogram([0.5, 0.5])

@@ -120,6 +120,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "mean r2 per distance bin) instead of pair records; "
                    "EDGES = comma-separated ascending bin edges in site_map "
                    "units (bp for VCF), e.g. 0,1000,10000,100000")
+    p.add_argument("--r2-hist", type=str, default=None, metavar="EDGES",
+                   help="print a JSON histogram of r2 over surviving pairs "
+                   "(the way to pick a threshold); EDGES = comma-separated "
+                   "ascending bin edges, e.g. 0,0.05,0.1,0.2,0.5,1.01")
     p.add_argument("--prune-r2", type=float, default=None, metavar="THR",
                    help="LD pruning: print the positions of a subset of "
                    "sites in which no surviving pair has r2 > THR "
@@ -377,9 +381,10 @@ def main(argv=None) -> int:
 
         from .runtime.driver import validate_decay_edges
 
-        if args.top is not None or args.prune_r2 is not None:
-            print("error: --ld-decay, --top and --prune-r2 are mutually "
-                  "exclusive output modes", file=sys.stderr)
+        if (args.top is not None or args.prune_r2 is not None
+                or args.r2_hist is not None):
+            print("error: --ld-decay, --top, --prune-r2 and --r2-hist are "
+                  "mutually exclusive output modes", file=sys.stderr)
             return 2
         if args.r2_threshold is not None:
             print("warning: --ld-decay is threshold-free; --r2-threshold "
@@ -398,6 +403,30 @@ def main(argv=None) -> int:
         try:
             with device_trace(trace_dir):
                 out = session.ld_decay(edges)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        out["elapsed_s"] = time.monotonic() - t0
+        print(json.dumps(out))
+        return 0
+
+    if args.r2_hist is not None:
+        import json
+
+        if args.top is not None or args.prune_r2 is not None:
+            print("error: --r2-hist, --top and --prune-r2 are mutually "
+                  "exclusive output modes", file=sys.stderr)
+            return 2
+        try:
+            edges = [float(x) for x in args.r2_hist.split(",")]
+        except ValueError:
+            print(f"error: --r2-hist needs comma-separated numeric edges, "
+                  f"got {args.r2_hist!r}", file=sys.stderr)
+            return 2
+        session = _build_session(args, res, mesh)
+        try:
+            with device_trace(trace_dir):
+                out = session.r2_histogram(edges)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2

@@ -252,6 +252,36 @@ def make_decay_runner(mesh: Mesh, *, tile: int, edges: tuple):
     return fn
 
 
+def make_hist_runner(mesh: Mesh, *, edges: tuple):
+    """Per-batch r2 histogram over kept pairs: one on-device pass (XLA
+    fuses the per-bin selects into a single read of r2/keep), O(B) host
+    traffic.  ``edges`` is a static ascending tuple of floats; bin b
+    covers ``edges[b] <= r2 < edges[b+1]``.  Returns ``[n_dev, B]``
+    int32 counts."""
+    key = ("hist", tuple(d.id for d in mesh.devices.flat), edges)
+    cached = _RUNNER_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    def local_fn(r2, keep):
+        counts = [
+            (keep & (r2 >= edges[b]) & (r2 < edges[b + 1]))
+            .sum().astype(jnp.int32)
+            for b in range(len(edges) - 1)
+        ]
+        return jnp.stack(counts)[None]
+
+    fn = jax.jit(jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS)),
+        out_specs=P(AXIS),
+        check_vma=False,
+    ))
+    _RUNNER_CACHE[key] = fn
+    return fn
+
+
 def gather_compact(d, dp, r2, mask, tile_i, tile_j, live, *, tile, capacity,
                    mesh=None):
     """Gather live tiles and compact their records (cached jit by shapes).

@@ -31,6 +31,7 @@ from ..parallel.sharded import (
     default_mesh,
     gather_compact,
     make_decay_runner,
+    make_hist_runner,
     make_sharded_stats_runner,
     make_topk_runner,
     replicate,
@@ -511,6 +512,26 @@ class LdSession:
             "r2_mean": [float(s / c) if c else None
                         for s, c in zip(sums, counts)],
         }
+
+    def r2_histogram(self, edges) -> dict:
+        """Histogram of r2 over all surviving pairs — the natural way to
+        pick an output/pruning threshold.  ``edges`` is an ascending
+        sequence of floats; bin b covers ``edges[b] <= r2 < edges[b+1]``
+        (use an upper edge > 1.0 to include perfect LD).  One on-device
+        pass per batch, O(bins) host traffic; the session r2 threshold is
+        ignored."""
+        edges = tuple(float(e) for e in edges)
+        if len(edges) < 2 or any(b <= a for a, b in zip(edges, edges[1:])):
+            raise ValueError(
+                f"edges must be ascending with >= 2 entries, got {edges}")
+        runner = make_hist_runner(self.mesh, edges=edges)
+        nb = len(edges) - 1
+        counts = np.zeros(nb, dtype=np.int64)
+        for _b, dispatched in self._pipelined():
+            r2_t, keep_t = dispatched[3], dispatched[7]
+            packed = _fetch(runner(r2_t, keep_t)).reshape(-1, nb)
+            counts += packed.astype(np.int64).sum(axis=0)
+        return {"edges": list(edges), "n_pairs": counts.tolist()}
 
     def prune(self, r2_threshold: float, rule: str = "maf",
               on_progress: Callable[[Progress], None] | None = None,
