@@ -55,6 +55,7 @@ top_rows = [(int(a), int(b), round(float(r), 6))
 decay = sess.ld_decay([0, 16, 64])  # multihost [n_dev, B, 2] decay fetch
 decay = {{"n_pairs": decay["n_pairs"],
           "r2_sum": [round(x, 6) for x in decay["r2_sum"]]}}
+hist = sess.r2_histogram([0.0, 0.1, 1.01])["n_pairs"]
 
 # run_to_tsv under multi-process: process 0 writes the real file, the
 # other drives its shards into /dev/null (the pod_scan pattern).
@@ -66,7 +67,7 @@ n_tsv = run_to_tsv(aln, w, np.arange(64), tsv,
 
 out = {{"records": sorted(rows), "summary": {{
     "n_pairs": summ["n_pairs"], "n_over": summ["n_over_threshold"]}},
-    "top": top_rows, "decay": decay,
+    "top": top_rows, "decay": decay, "hist": hist,
     "n_tsv": int(n_tsv), "is_output": is_output_process()}}
 with open(sys.argv[4] + f".proc{{pid}}.json", "w") as f:
     json.dump(out, f)
@@ -113,6 +114,7 @@ def test_two_process_distributed_matches_single(tmp_path):
     assert results[0]["summary"] == results[1]["summary"]
     assert results[0]["top"] == results[1]["top"]
     assert results[0]["decay"] == results[1]["decay"]
+    assert results[0]["hist"] == results[1]["hist"]
     assert results[0]["n_tsv"] == len(results[0]["records"])
     tsv_rows = Path(f"{out_base}.pairs.tsv").read_text().strip().splitlines()
     assert len(tsv_rows) - 1 == results[0]["n_tsv"]  # header + records
@@ -143,3 +145,7 @@ def test_two_process_distributed_matches_single(tmp_path):
     want_bins = [sum(1 for a, b, _ in rows if b - a < 16),
                  sum(1 for a, b, _ in rows if 16 <= b - a < 64)]
     assert results[0]["decay"]["n_pairs"] == want_bins
+    # Histogram bins partition the kept pairs too.
+    want_hist = [sum(1 for *_, r in rows if r < 0.1),
+                 sum(1 for *_, r in rows if r >= 0.1)]
+    assert results[0]["hist"] == want_hist
