@@ -470,3 +470,33 @@ def test_r2_histogram_matches_full_scan(rng):
         session.r2_histogram([0.5])
     with pytest.raises(ValueError):
         session.r2_histogram([0.5, 0.5])
+
+
+def test_analytics_cross_consistency(rng):
+    # Every analytics query is a different projection of the same pair
+    # population: their totals must agree exactly.
+    from weightedld_tpu.runtime.driver import LdSession
+
+    aln = random_alignment(rng, 40, 90)
+    w = (rng.random(40) + 0.05).astype(np.float32)
+    sm = np.arange(90) * 7
+    sess = LdSession(aln, w, sm, DriverConfig(tile=16))
+
+    summ = sess.summarize(r2_threshold=0.2)
+    hist = sess.r2_histogram([0.0, 0.2, 1.01])
+    decay = sess.ld_decay([0, 90 * 7])
+    n_records = sum(len(rec) for _, rec in sess.stream(r2_threshold=None))
+
+    assert summ["n_pairs"] == n_records
+    assert sum(hist["n_pairs"]) == summ["n_pairs"]
+    assert decay["n_pairs"][0] == summ["n_pairs"]
+    np.testing.assert_allclose(decay["r2_sum"][0],
+                               sess.summarize(r2_threshold=-1.0)
+                               ["r2_sum_over_threshold"], rtol=1e-5)
+    # hist bin [0.2, 1.01) vs summarize's strict > 0.2: they differ only
+    # by pairs at exactly 0.2 — bound, don't equate.
+    assert hist["n_pairs"][1] >= summ["n_over_threshold"]
+    # top-k values live in the histogram's top occupied bin.
+    top = sess.top_pairs(3)
+    if len(top.r2):
+        assert float(top.r2[0]) == pytest.approx(summ["r2_max"], rel=1e-6)
