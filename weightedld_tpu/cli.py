@@ -185,9 +185,18 @@ def main(argv=None) -> int:
               "--pair-output cannot support; drop one of the two",
               file=sys.stderr)
         return 2
-    if args.matrix_output is not None and args.stats_only:
-        print("error: --matrix-output and --stats-only are mutually "
-              "exclusive output modes", file=sys.stderr)
+    # One output mode per invocation.
+    modes = [name for name, on in (
+        ("--matrix-output", args.matrix_output is not None),
+        ("--stats-only", args.stats_only),
+        ("--ld-decay", args.ld_decay is not None),
+        ("--r2-hist", args.r2_hist is not None),
+        ("--top", args.top is not None),
+        ("--prune-r2", args.prune_r2 is not None),
+    ) if on]
+    if len(modes) > 1:
+        print(f"error: {' and '.join(modes)} are mutually exclusive "
+              "output modes", file=sys.stderr)
         return 2
     if args.matrix_output is not None and args.r2_threshold is not None:
         print("warning: --matrix-output writes complete matrices; "
@@ -381,11 +390,6 @@ def main(argv=None) -> int:
 
         from .runtime.driver import validate_decay_edges
 
-        if (args.top is not None or args.prune_r2 is not None
-                or args.r2_hist is not None):
-            print("error: --ld-decay, --top, --prune-r2 and --r2-hist are "
-                  "mutually exclusive output modes", file=sys.stderr)
-            return 2
         if args.r2_threshold is not None:
             print("warning: --ld-decay is threshold-free; --r2-threshold "
                   "is ignored in this mode", file=sys.stderr)
@@ -413,10 +417,6 @@ def main(argv=None) -> int:
     if args.r2_hist is not None:
         import json
 
-        if args.top is not None or args.prune_r2 is not None:
-            print("error: --r2-hist, --top and --prune-r2 are mutually "
-                  "exclusive output modes", file=sys.stderr)
-            return 2
         try:
             edges = [float(x) for x in args.r2_hist.split(",")]
         except ValueError:
@@ -435,10 +435,6 @@ def main(argv=None) -> int:
         return 0
 
     if args.prune_r2 is not None:
-        if args.top is not None or args.ld_decay is not None:
-            print("error: --prune-r2, --top and --ld-decay are mutually "
-                  "exclusive output modes", file=sys.stderr)
-            return 2
         if not np.isfinite(args.prune_r2):
             print(f"error: --prune-r2 needs a finite threshold, got "
                   f"{args.prune_r2}", file=sys.stderr)
