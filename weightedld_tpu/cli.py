@@ -111,6 +111,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "--file)")
     p.add_argument("--profile-dir", type=Path, default=None,
                    help="write a jax.profiler device trace to this directory")
+    p.add_argument("--chrom", type=str, default=None,
+                   help="VCF only: keep records of this chromosome (CHROM "
+                   "column) — the reference ignores CHROM, so whole-genome "
+                   "VCFs mix chromosomes into one position axis; required "
+                   "for per-chromosome --ld-decay/--prune-r2 on such files")
     p.add_argument("--max-distance", type=int, default=None,
                    help="windowed LD: only compute pairs at most this many "
                    "kept sites apart (prunes the tile plan to an O(S*W) "
@@ -222,10 +227,11 @@ def main(argv=None) -> int:
         r2_threshold=args.r2_threshold,
         weight_mask=args.weight_mask,
         weighting=args.weighting,
+        chrom=args.chrom,
     )
 
     prep_keys = ("min_acgt", "min_variability", "unweighted", "max_minor",
-                 "weight_mask", "weighting")
+                 "weight_mask", "weighting", "chrom")
     t0 = time.monotonic()
     if args.load_prepared:
         from .runtime.cache import load_prepared

@@ -104,8 +104,16 @@ def _fast_parse_gt_block(block: str) -> np.ndarray | None:
     return row
 
 
-def read_vcf(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+def read_vcf(path: str | Path,
+             chrom: str | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Read a multi-sample VCF into ``(alignment, site_map)``.
+
+    Args:
+        chrom: keep only records whose CHROM column equals this value
+            (the reference ignores CHROM entirely, so whole-genome VCFs
+            mix chromosomes into one POS axis; per-chromosome analyses —
+            ld_decay, prune — need this filter).  The filtered path uses
+            the Python reader.
 
     Returns:
         alignment: ``[n_haplotypes, n_sites]`` int8 code matrix.
@@ -115,6 +123,8 @@ def read_vcf(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     built — same semantics and error messages; ``WLD_NATIVE_IO=0`` forces
     the Python path (the parity oracle in tests/test_native_io.py).
     """
+    if chrom is not None:
+        return read_vcf_python(path, chrom=chrom)
     from . import native
 
     if native.available():
@@ -122,7 +132,8 @@ def read_vcf(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     return read_vcf_python(path)
 
 
-def read_vcf_python(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+def read_vcf_python(path: str | Path,
+                    chrom: str | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Pure-Python fallback/oracle for :func:`read_vcf`."""
     from .fasta import _open_maybe_gzip
 
@@ -172,6 +183,8 @@ def read_vcf_python(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
         cols = line.split("\t", 9)
         if len(cols) < 10:
             raise VcfError(f"{path}:{lineno}: fewer than 10 columns")
+        if chrom is not None and cols[0] != chrom:
+            continue
         positions.append(int(cols[1]))
 
         fast = _fast_parse_gt_block(cols[9])
@@ -198,6 +211,8 @@ def read_vcf_python(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
         check_width(row, lineno)
         site_rows.append(row.astype(ALIGNMENT_DTYPE))
 
+    if not positions:
+        raise VcfError(f"{path}: no variant records on chromosome {chrom!r}")
     site_map = np.asarray(positions, dtype=np.int64)
     mat = np.stack(site_rows, axis=0)                 # [n_sites, n_haps]
     # rot90 parity: haplotype rows in reverse order (WeightedLD.py:375).

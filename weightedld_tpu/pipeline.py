@@ -58,6 +58,9 @@ class WldConfig:
     weight_mask: str = "ld"        # "ld" (CLI parity) or "hk" (test.py parity)
     weighting: str = "python"      # "python" (WeightedLD.py) or "paper"
                                    # (Henikoff-1994 / Rust variant)
+    chrom: str | None = None       # VCF only: keep one chromosome's records
+                                   # (the reference ignores CHROM, mixing
+                                   # whole-genome POS into one axis)
 
 
 @dataclass
@@ -98,7 +101,7 @@ def prepare_fasta(path: str | Path, cfg: WldConfig) -> PipelineResult:
 
 
 def prepare_vcf(path: str | Path, cfg: WldConfig) -> PipelineResult:
-    alignment, site_map = read_vcf(path)
+    alignment, site_map = read_vcf(path, chrom=cfg.chrom)
     if cfg.unweighted:
         weights = np.ones(alignment.shape[0], dtype=np.float32)
     else:
