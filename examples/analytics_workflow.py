@@ -5,7 +5,10 @@ question against the resident session — no re-uploads, no recompiles
 (thresholds are runtime scalars; each analytics query is its own cached
 program).
 
-    python examples/analytics_workflow.py [cohort.vcf|alignment.fasta]
+    python examples/analytics_workflow.py [cohort.vcf|alignment.fasta] [CHROM]
+
+Whole-genome multi-chromosome VCFs need the CHROM argument (positions
+must be monotonic for the decay/prune steps).
 
 Without an argument it generates a synthetic SNP cohort with planted LD
 blocks so every step has visible structure.
@@ -34,7 +37,8 @@ def synthetic_cohort(n_seqs=200, n_blocks=40, block=8, rng=None):
 
 
 if len(sys.argv) > 1:
-    res = wld.prepare(sys.argv[1])
+    chrom = sys.argv[2] if len(sys.argv) > 2 else None
+    res = wld.prepare(sys.argv[1], wld.WldConfig(chrom=chrom))
     aln, weights, site_map = res.alignment, res.weights, res.site_map
 else:
     aln, site_map = synthetic_cohort()

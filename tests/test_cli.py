@@ -323,3 +323,12 @@ def test_r2_hist_cli(tmp_path, capsys):
     assert hist["n_pairs"] == [0, 10]
     assert main(["--file", str(f), "--r2-hist", "x"]) == 2
     assert main(["--file", str(f), "--r2-hist", "0,1", "--top", "2"]) == 2
+
+
+def test_r2_hist_degenerate_single_site(tmp_path, capsys):
+    f = tmp_path / "one.fasta"
+    write_fasta(f, ["AAAA", "AAAA", "TAAA", "TAAA"])  # one LD site
+    rc, out = _run(capsys, "--file", str(f), "--r2-hist", "0,0.5,1.01")
+    assert rc == 0
+    assert json.loads(out) == {"edges": [0.0, 0.5, 1.01], "n_pairs": [0, 0]}
+    assert main(["--file", str(f), "--r2-hist", "1,0"]) == 2

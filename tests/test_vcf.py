@@ -151,24 +151,32 @@ def test_chrom_flag_cli(tmp_path, capsys):
 
     header = ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
               + "\t".join(f"s{i}" for i in range(14)))
+    # Deterministic polymorphic GT pattern -> every within-chromosome pair
+    # survives at r2 == 1.0 (identical columns).
+    gts = "\t".join(["0|1"] * 7 + ["1|0"] * 7)
     rows = []
-    rng = np.random.default_rng(3)
     for chrom, pos0 in (("chr1", 100), ("chr2", 10)):
         for k in range(4):
-            gts = "\t".join(
-                f"{rng.integers(0, 2)}|{rng.integers(0, 2)}"
-                for _ in range(14))
             rows.append(f"{chrom}\t{pos0 + 37 * k}\t.\tA\tT\t.\t.\t.\tGT\t{gts}")
     f = tmp_path / "wg.vcf"
     f.write_text(header + "\n" + "\n".join(rows) + "\n")
 
     # Whole-genome decay refuses (POS resets mid-file)...
     assert main(["--file", str(f), "--ld-decay", "0,50,200"]) == 2
-    # ...but per-chromosome decay works.
+    capsys.readouterr()
+    # ...but per-chromosome decay works.  chr1 sites sit at 100/137/174/211,
+    # so pair distances are 37 x3 and 74 x2, 111 x1: bins split 3/3.
     rc = main(["--file", str(f), "--chrom", "chr1", "--ld-decay", "0,50,200"])
     out = capsys.readouterr().out
     assert rc == 0
     import json as _json
 
     decay = _json.loads(out.strip().splitlines()[-1])
-    assert sum(decay["n_pairs"]) >= 0  # structure parsed; bins present
+    assert decay["n_pairs"] == [3, 3]
+    assert decay["r2_mean"] == [pytest.approx(1.0, abs=1e-5)] * 2
+    # --chrom is VCF-only.
+    assert main(["--file", str(f), "--chrom", "chr1"]) == 0
+    capsys.readouterr()
+    fa = tmp_path / "x.fasta"
+    fa.write_text(">a\nACGT\n>b\nACGA\n")
+    assert main(["--file", str(fa), "--chrom", "chr1"]) == 2

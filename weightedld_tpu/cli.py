@@ -219,6 +219,12 @@ def main(argv=None) -> int:
         if args.max_minor == 1.0:
             args.max_minor = 0.5
 
+    if args.chrom is not None and args.file is not None \
+            and not str(args.file).endswith((".vcf", ".vcf.gz")):
+        print("error: --chrom only applies to VCF input (FASTA has no "
+              "chromosome column)", file=sys.stderr)
+        return 2
+
     cfg = WldConfig(
         min_acgt=args.min_acgt,
         min_variability=args.min_variability,
@@ -240,7 +246,13 @@ def main(argv=None) -> int:
         # Preparation happened at save time: warn if the flags given now
         # disagree with the cached preparation (they are NOT re-applied).
         wanted = {k: getattr(cfg, k) for k in prep_keys}
-        stored = {k: prep.get(k, wanted[k]) for k in prep_keys}
+        # Keys absent from an old cache default to the value the OLD code
+        # effectively used, not to the requested value — otherwise e.g.
+        # --chrom against a pre-chrom cache silently suppresses the
+        # mismatch warning.
+        legacy_defaults = {"chrom": None}
+        stored = {k: prep.get(k, legacy_defaults.get(k, wanted[k]))
+                  for k in prep_keys}
         diffs = {k: (stored[k], wanted[k]) for k in prep_keys
                  if stored[k] != wanted[k]}
         if diffs:
@@ -300,6 +312,21 @@ def main(argv=None) -> int:
             nb = len(edges) - 1
             print(json.dumps({"edges": list(edges), "n_pairs": [0] * nb,
                               "r2_sum": [0.0] * nb, "r2_mean": [None] * nb}))
+            return 0
+        if args.r2_hist is not None:
+            import json
+
+            try:
+                edges = [float(x) for x in args.r2_hist.split(",")]
+                if len(edges) < 2 or any(b <= a for a, b in
+                                         zip(edges, edges[1:])):
+                    raise ValueError(f"edges must be ascending with >= 2 "
+                                     f"entries, got {edges}")
+            except ValueError as e:
+                print(f"error: --r2-hist: {e}", file=sys.stderr)
+                return 2
+            print(json.dumps({"edges": edges,
+                              "n_pairs": [0] * (len(edges) - 1)}))
             return 0
         body = "posa\tposb\tD\tD'\tR2\n"
         if args.prune_r2 is not None:

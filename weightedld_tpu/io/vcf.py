@@ -139,8 +139,13 @@ def read_vcf_python(path: str | Path,
 
     with _open_maybe_gzip(path) as fh:
         text = fh.read().decode("utf-8", "replace")
-    # Universal newlines (the reference reads in text mode).
+    # Universal newlines (the reference reads in text mode).  The whole
+    # decompressed text is materialized (reference parity needs the
+    # trailing-line quirk over the full split); for repeated whole-genome
+    # --chrom work, prefer pre-splitting per chromosome or
+    # --save-prepared per chromosome.
     lines = text.replace("\r\n", "\n").replace("\r", "\n").split("\n")
+    del text
 
     header_idx = None
     for i, line in enumerate(lines):
