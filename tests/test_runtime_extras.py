@@ -271,3 +271,39 @@ def test_vcf_negative_allele_rejected(tmp_path):
     p.write_text(header + "\n" + body + "\n")
     with pytest.raises(VcfError, match="exceeds the supported alphabet"):
         read_vcf(p)
+
+
+def test_prepared_cache_chrom_mismatch_warns(tmp_path, capsys):
+    # chrom participates in the preparation fingerprint: loading a cache
+    # prepared WITHOUT a chrom filter while asking for one must warn (and
+    # a legacy cache with no 'chrom' key must behave as chrom=None).
+    header = ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+              + "\t".join(f"s{i}" for i in range(14)))
+    gts = "\t".join(["0|1"] * 7 + ["1|0"] * 7)
+    rows = [f"chr1\t{100 + 37 * k}\t.\tA\tT\t.\t.\t.\tGT\t{gts}"
+            for k in range(3)]
+    f = tmp_path / "c.vcf"
+    f.write_text(header + "\n" + "\n".join(rows) + "\n")
+    npz = tmp_path / "prep.npz"
+    assert main(["--file", str(f), "--save-prepared", str(npz)]) == 0
+    capsys.readouterr()
+
+    assert main(["--load-prepared", str(npz), "--chrom", "chr1"]) == 0
+    err = capsys.readouterr().err
+    assert "ignores preparation flags" in err and "chrom" in err
+
+    # Legacy cache (pre-chrom): strip the key; the warning must still fire
+    # (absent keys default to what the old code effectively used: None).
+    import json as _json
+
+    data = dict(np.load(npz))
+    prep = _json.loads(bytes(data["prep_config"]).decode())
+    assert "chrom" in prep
+    del prep["chrom"]
+    data["prep_config"] = np.frombuffer(
+        _json.dumps(prep).encode(), dtype=np.uint8)
+    with open(npz, "wb") as fh:
+        np.savez_compressed(fh, **data)
+    assert main(["--load-prepared", str(npz), "--chrom", "chr1"]) == 0
+    err = capsys.readouterr().err
+    assert "ignores preparation flags" in err and "chrom" in err
