@@ -150,8 +150,7 @@ def test_load_prepared_flag_mismatch_warns(tmp_path, capsys):
 
 def test_resolve_tile_auto():
     # Explicit tile always wins; on CPU (this suite) auto resolves to 128
-    # for every engine (T=256 is a TPU-only win, and the p=5 T=256 kernel
-    # would exceed VMEM there anyway).
+    # for every engine (T=256 is a TPU-only win).
     import numpy as np
 
     from weightedld_tpu.runtime.driver import resolve_tile
@@ -172,16 +171,36 @@ def test_resolve_tile_auto():
     assert cfg.tiles_per_shard_batch is None
 
 
-def test_resolve_tile_seq_chunk_guard():
-    # T=256 at seq_chunk=1024 exceeds scoped VMEM on v5e (measured +708 KB
-    # over): auto must fall back to 128 for non-default chunks.
+def test_resolve_seq_chunk_auto():
+    # Auto = the LARGEST chunk that does not inflate the padded sequence
+    # count (computed work scales with N_pad; bigger chunks mean fewer
+    # grid steps).  Explicit always wins.
+    from weightedld_tpu.runtime.driver import SEQ_CHUNKS, resolve_seq_chunk
+
+    assert resolve_seq_chunk(512, 1000) == 512         # explicit wins
+    assert resolve_seq_chunk(None, 1000) == 1024       # one 1024 chunk
+    assert resolve_seq_chunk(None, 100) == 128         # minimal padding
+    assert resolve_seq_chunk(None, 1024) == 1024
+    assert resolve_seq_chunk(None, 10240) == 2048      # exact multiple: max
+    assert resolve_seq_chunk(None, 2500) == 512        # 2560 pad beats 3072
+    assert resolve_seq_chunk(None, 1) == 128
+    for n in (1, 7, 100, 513, 999, 1025, 4097, 50000):
+        auto = resolve_seq_chunk(None, n)
+        pad_auto = -(-n // auto) * auto
+        assert pad_auto == min(-(-n // c) * c for c in SEQ_CHUNKS)
+        # No larger candidate achieves the same padding.
+        assert all(-(-n // c) * c > pad_auto
+                   for c in SEQ_CHUNKS if c > auto)
+    # The session resolves seq_chunk onto its own config copy.
     import numpy as np
 
-    from weightedld_tpu.runtime.driver import resolve_tile
+    from weightedld_tpu.runtime.driver import DriverConfig, LdSession
 
     aln = np.zeros((4, 8), dtype=np.int8)
-    assert resolve_tile(None, "pallas", aln, seq_chunk=1024) == 128
-    assert resolve_tile(256, "pallas", aln, seq_chunk=1024) == 256  # explicit
+    cfg = DriverConfig(engine="xla")
+    sess = LdSession(aln, np.ones(4, np.float32), np.arange(8), cfg)
+    assert sess.cfg.seq_chunk == 128
+    assert cfg.seq_chunk is None
 
 
 def test_checkpoint_refuses_weight_quant_switch(rng, tmp_path):

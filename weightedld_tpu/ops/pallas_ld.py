@@ -6,7 +6,7 @@ making the whole pipeline HBM-bound (~8 M pairs/s/chip measured).  This
 kernel keeps everything for one site-pair tile resident in VMEM: HBM traffic
 per tile is two (T x Nc) int8 code blocks per chunk plus the T x T outputs,
 so arithmetic intensity is thousands of FLOPs/byte and the kernel is
-MXU-bound at large N (measured ~3.2 G pairs/s/chip at the N=1k headline
+MXU-bound at large N (measured ~3.8 G pairs/s/chip at the N=1k headline
 under the int8x3 default, ~84% of the pass-count roofline at N=10k on
 v5e — see PERF.md).
 
@@ -614,7 +614,8 @@ def pallas_tile_stats(
         scratch = [pltpu.VMEM((p * t, p * t), jnp.int32)]
     else:
         # Row-pass accumulation once the full-joint temporary would be
-        # large: p*T > 768 is where p=4/p=5 T=256 kernels blow scoped VMEM.
+        # large: p*T > 768 keeps peak temporaries at (T, pT) for p>=4
+        # alphabets at T=256.
         row_pass = p * t > 768
         kernel = partial(_ld_kernel, t, n_sites, planes, exact_weights,
                          preplaned, wquant, row_pass)
@@ -644,11 +645,20 @@ def pallas_tile_stats(
         jax.ShapeDtypeStruct((k, t, t), jnp.int8),
     ]
 
+    # The default scoped-VMEM budget is 16 MB (soft; v5e has 128 MB
+    # physical).  The int32 cascade accumulators push the working set to
+    # ~16.1 MB at p=3/T=256 — raise the per-kernel limit with headroom for
+    # double-buffered input blocks.  (Kept well under physical so Mosaic's
+    # DMA pipelining still has space.)
+    params = None
+    if not interpret:
+        params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     d, dp, r2, keep = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=params,
     )(tile_i, tile_j, emit, codes_sm, codes_sm, weights_row)
 
     return PairStats(d=d, d_prime=dp, r2=r2, keep=keep.astype(bool))

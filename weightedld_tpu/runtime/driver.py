@@ -45,17 +45,19 @@ _UNSET = object()  # "use the session default" sentinel (None is meaningful)
 
 @dataclass
 class DriverConfig:
-    tile: int | None = None         # site-tile side (None = auto: 256 for
-                                    # <=4 allele planes on TPU — measured
-                                    # +4-21% over 128; 128 otherwise, since
-                                    # the p=5 T=256 kernel exceeds VMEM)
+    tile: int | None = None         # site-tile side (None = auto: 256 on
+                                    # TPU — measured +4-21% over 128 across
+                                    # plane counts; 128 elsewhere)
     tiles_per_shard_batch: int | None = None  # tiles per device per dispatch
                                     # (None = auto: large batches on TPU to
                                     # amortize dispatch roundtrips)
     r2_threshold: float | None = None  # None = emit every surviving pair
     progress_every_s: float = 10.0
     engine: str = "auto"            # auto | pallas | xla
-    seq_chunk: int = 512            # pallas: sequence-axis chunk
+    seq_chunk: int | None = None    # pallas: sequence-axis chunk (None =
+                                    # auto: largest chunk in SEQ_CHUNKS that
+                                    # does not inflate N_pad — see
+                                    # resolve_seq_chunk)
     max_site_distance: int | None = None  # windowed LD (kept-site indices)
     weight_quant: str = "none"      # pallas weighted-pass arithmetic:
                                     # "none" (default) = the int8x3
@@ -94,30 +96,45 @@ def validate_decay_edges(edges) -> tuple:
     return edges
 
 
+SEQ_CHUNKS = (128, 256, 512, 1024, 2048)
+
+
+def resolve_seq_chunk(seq_chunk: int | None, n_seqs: int) -> int:
+    """Auto sequence-axis chunk for the Pallas kernel: the LARGEST chunk
+    that does not increase the padded sequence count (computed work scales
+    with N_pad; per-chunk grid steps carry fixed VPU costs).  Measured at
+    T=256/p=3 on v5e: N=1,000 runs as ONE 1024-wide chunk instead of two
+    512s, 3.17 -> 3.82 G pairs/s (+20%); N=10,240 at sc=2048 +2%; N=100 at
+    sc=128 +4%.  (Chunks above 512 became feasible when the per-kernel
+    scoped-VMEM limit was raised from the 16 MB default — see
+    ``pallas_tile_stats``.)  An explicit ``seq_chunk`` always wins."""
+    if seq_chunk is not None:
+        return seq_chunk
+    best_pad, best_c = None, None
+    for c in SEQ_CHUNKS:
+        pad = -(-n_seqs // c) * c
+        if best_pad is None or pad < best_pad:
+            best_pad, best_c = pad, c
+        elif pad == best_pad and c > best_c:
+            best_c = c
+    return best_c
+
+
 def resolve_tile(tile: int | None, engine: str, alignment: np.ndarray,
                  seq_chunk: int = 512, planes: tuple | None = None) -> int:
-    """Auto site-tile side: T=256 measured +4-21% over T=128 for the
-    <=4-plane Pallas kernels on v5e (the marginal-count kernel freed the
-    VMEM that used to block it; the row-pass accumulation made p=4 fit).
-    The feasibility frontier is tight (measured): p=5 T=256 exceeds scoped
-    VMEM even row-passed (the (pT)^2 f32 accumulator alone is 6.55 MB),
-    p=2 T=512 OOMs, and even p=3 T=256 overflows by 0.7 MB at
-    seq_chunk=1024 — so auto picks 256 only for <=4 planes at the default
-    seq_chunk.  An explicit ``tile`` always wins (and can OOM).
-
-    ``planes`` skips the O(N*S) detection scan when the caller already has
-    the detected allele planes."""
+    """Auto site-tile side: T=256 measured +4-21% over T=128 on v5e across
+    plane counts (p=5 included, since the per-kernel scoped-VMEM raise in
+    ``pallas_tile_stats`` — the 16 MB default was what used to cap p=5 at
+    T=128; T=512 measured 20% SLOWER than 256 at the headline shape, so
+    256 is the ceiling of the auto rule).  An explicit ``tile`` always
+    wins (and can OOM).  ``seq_chunk``/``planes`` are accepted for
+    compatibility; the rule no longer depends on them."""
+    del seq_chunk, planes  # no longer consulted (kept for API compat)
     if tile is not None:
         return tile
-    if (seq_chunk <= 512
-            and _resolve_engine(engine) == "pallas"
+    if (_resolve_engine(engine) == "pallas"
             and jax.devices()[0].platform in ("tpu", "axon")):
-        if planes is None:
-            from ..ops.pallas_ld import detect_planes
-
-            planes = detect_planes(alignment)
-        if len(planes) <= 4:
-            return 256
+        return 256
     return 128
 
 
@@ -201,8 +218,10 @@ class LdSession:
         # copy so one DriverConfig can be reused across sessions with
         # different inputs.  Read the resolved values from session.cfg.
         cfg = _replace(
-            cfg, tile=resolve_tile(cfg.tile, engine, alignment,
-                                   cfg.seq_chunk, planes=planes)
+            cfg,
+            tile=resolve_tile(cfg.tile, engine, alignment,
+                              cfg.seq_chunk, planes=planes),
+            seq_chunk=resolve_seq_chunk(cfg.seq_chunk, self.n_seqs),
         )
         self.cfg = cfg
         self.plan = plan_tiles(self.n_sites, cfg.tile, cfg.max_site_distance)
