@@ -172,25 +172,28 @@ def test_resolve_tile_auto():
 
 
 def test_resolve_seq_chunk_auto():
-    # Auto = the LARGEST chunk that does not inflate the padded sequence
-    # count (computed work scales with N_pad; bigger chunks mean fewer
-    # grid steps).  Explicit always wins.
-    from weightedld_tpu.runtime.driver import SEQ_CHUNKS, resolve_seq_chunk
+    # Auto minimizes the modeled per-tile cost n_chunks * (FIXED + chunk):
+    # padded columns are computed work, every extra grid step pays a fixed
+    # cost.  Explicit always wins.
+    from weightedld_tpu.runtime.driver import (
+        _CHUNK_FIXED_COST, SEQ_CHUNKS, resolve_seq_chunk)
 
     assert resolve_seq_chunk(512, 1000) == 512         # explicit wins
     assert resolve_seq_chunk(None, 1000) == 1024       # one 1024 chunk
     assert resolve_seq_chunk(None, 100) == 128         # minimal padding
     assert resolve_seq_chunk(None, 1024) == 1024
     assert resolve_seq_chunk(None, 10240) == 2048      # exact multiple: max
-    assert resolve_seq_chunk(None, 2500) == 512        # 2560 pad beats 3072
+    # The padding-only rule regression: N=10,000 must NOT pick sc=128 for
+    # a 1.3% padding saving at 16x the grid steps (measured 378 M vs
+    # ~490 M pairs/s at the pod config).
+    assert resolve_seq_chunk(None, 10000) == 2048
     assert resolve_seq_chunk(None, 1) == 128
-    for n in (1, 7, 100, 513, 999, 1025, 4097, 50000):
+    for n in (1, 7, 100, 513, 999, 1025, 2500, 4097, 50000):
         auto = resolve_seq_chunk(None, n)
-        pad_auto = -(-n // auto) * auto
-        assert pad_auto == min(-(-n // c) * c for c in SEQ_CHUNKS)
-        # No larger candidate achieves the same padding.
-        assert all(-(-n // c) * c > pad_auto
-                   for c in SEQ_CHUNKS if c > auto)
+        cost = lambda c: -(-n // c) * (_CHUNK_FIXED_COST + c)
+        assert cost(auto) == min(cost(c) for c in SEQ_CHUNKS)
+        # Ties break toward the larger chunk.
+        assert all(cost(c) > cost(auto) for c in SEQ_CHUNKS if c > auto)
     # The session resolves seq_chunk onto its own config copy.
     import numpy as np
 

@@ -99,24 +99,35 @@ def validate_decay_edges(edges) -> tuple:
 SEQ_CHUNKS = (128, 256, 512, 1024, 2048)
 
 
+# Fixed per-grid-step cost of the Pallas kernel in sequence-column
+# equivalents, fitted from the measured per-tile step times at T=256/p=3
+# (one 1024-wide chunk: 17.1 us/tile; two 512s: 20.7 us -> ~3.6 us fixed +
+# ~13.2 ns/column variable, i.e. fixed ~= 273 columns).  Used only to rank
+# chunk-size candidates, so the round number is plenty.
+_CHUNK_FIXED_COST = 256
+
+
 def resolve_seq_chunk(seq_chunk: int | None, n_seqs: int) -> int:
-    """Auto sequence-axis chunk for the Pallas kernel: the LARGEST chunk
-    that does not increase the padded sequence count (computed work scales
-    with N_pad; per-chunk grid steps carry fixed VPU costs).  Measured at
-    T=256/p=3 on v5e: N=1,000 runs as ONE 1024-wide chunk instead of two
-    512s, 3.17 -> 3.82 G pairs/s (+20%); N=10,240 at sc=2048 +2%; N=100 at
-    sc=128 +4%.  (Chunks above 512 became feasible when the per-kernel
-    scoped-VMEM limit was raised from the 16 MB default — see
+    """Auto sequence-axis chunk for the Pallas kernel: minimize the modeled
+    per-tile cost ``n_chunks * (FIXED + chunk)`` — computed work scales with
+    the padded sequence count while every extra grid step pays a fixed
+    VPU/dispatch cost (~a 256-column-chunk's worth).  Ties prefer the
+    larger chunk (fewer steps).  Measured at T=256/p=3 on v5e: N=1,000 runs
+    as ONE 1024-wide chunk instead of two 512s, 3.17 -> 3.83 G pairs/s
+    (+20%); N=10,240 at sc=2048 +2%; N=100 at sc=128 +4%; and a
+    minimal-padding-only rule that picked sc=128 at N=10,000 (79 tiny
+    chunks for a 1.3% padding saving) measured 378 M vs ~490 M pairs/s —
+    hence the fixed-cost term.  (Chunks above 512 became feasible when the
+    per-kernel scoped-VMEM limit was raised from the 16 MB default — see
     ``pallas_tile_stats``.)  An explicit ``seq_chunk`` always wins."""
     if seq_chunk is not None:
         return seq_chunk
-    best_pad, best_c = None, None
+    best_cost, best_c = None, None
     for c in SEQ_CHUNKS:
-        pad = -(-n_seqs // c) * c
-        if best_pad is None or pad < best_pad:
-            best_pad, best_c = pad, c
-        elif pad == best_pad and c > best_c:
-            best_c = c
+        cost = -(-n_seqs // c) * (_CHUNK_FIXED_COST + c)
+        if best_cost is None or cost < best_cost or (
+                cost == best_cost and c > best_c):
+            best_cost, best_c = cost, c
     return best_c
 
 
