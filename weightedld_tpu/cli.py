@@ -71,8 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
                    "sharded driver (large S); reference: exact-f64 Python "
                    "audit engine (tiny inputs only) [default auto]")
     p.add_argument("--tile", type=int, default=None,
-                   help="site-tile side (default: auto — 256 for <=4 "
-                   "allele planes on TPU at seq-chunk <=512, else 128)")
+                   help="site-tile side (default: auto — 256 on TPU, "
+                   "128 elsewhere)")
     p.add_argument("--weight-quant",
                    choices=("none", "split_bf16", "lo_int8", "int8",
                             "int8x3"),

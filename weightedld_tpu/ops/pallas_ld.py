@@ -652,7 +652,10 @@ def pallas_tile_stats(
     # DMA pipelining still has space.)
     params = None
     if not interpret:
-        params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        # jax renamed TPUCompilerParams -> CompilerParams (~0.6); support
+        # the declared jax floor by taking whichever exists.
+        cp = getattr(pltpu, "CompilerParams", None) or pltpu.TPUCompilerParams
+        params = cp(vmem_limit_bytes=64 * 1024 * 1024)
     d, dp, r2, keep = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

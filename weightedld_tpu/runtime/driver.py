@@ -55,9 +55,10 @@ class DriverConfig:
     progress_every_s: float = 10.0
     engine: str = "auto"            # auto | pallas | xla
     seq_chunk: int | None = None    # pallas: sequence-axis chunk (None =
-                                    # auto: largest chunk in SEQ_CHUNKS that
-                                    # does not inflate N_pad — see
-                                    # resolve_seq_chunk)
+                                    # auto: the SEQ_CHUNKS entry minimizing
+                                    # n_chunks*(FIXED+chunk) — see
+                                    # resolve_seq_chunk; may pad N up when
+                                    # fewer grid steps win)
     max_site_distance: int | None = None  # windowed LD (kept-site indices)
     weight_quant: str = "none"      # pallas weighted-pass arithmetic:
                                     # "none" (default) = the int8x3
