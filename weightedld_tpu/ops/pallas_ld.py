@@ -172,7 +172,7 @@ def pad_weights_int8(
 
 def _ld_kernel(tile: int, n_sites: int, planes: tuple,
                exact_weights: bool, preplaned: bool, wquant: str,
-               row_pass: bool,
+               row_pass: bool, single_chunk: bool,
                ti_ref, tj_ref, em_ref,
                a_ref, b_ref, w_ref,
                d_ref, dp_ref, r2_ref, keep_ref,
@@ -189,11 +189,16 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
     # accumulators persist across chunk steps and reset at chunk 0.  Pallas
     # streams the code/plane blocks chunk by chunk (double-buffered), so
     # VMEM use is independent of the total sequence count.
-    @pl.when(c == 0)
-    def _():
-        acc_ref[:, :] = jnp.zeros_like(acc_ref)
-        ma_ref[:, :] = jnp.zeros_like(ma_ref)
-        mb_ref[:, :] = jnp.zeros_like(mb_ref)
+    # ``single_chunk`` (one chunk covers N_pad — the common case under the
+    # auto chunk policy): store the contractions directly instead of
+    # zero-init + read-modify-write accumulate, saving ~2 (pT)^2-sized VPU
+    # sweeps per tile.
+    if not single_chunk:
+        @pl.when(c == 0)
+        def _():
+            acc_ref[:, :] = jnp.zeros_like(acc_ref)
+            ma_ref[:, :] = jnp.zeros_like(ma_ref)
+            mb_ref[:, :] = jnp.zeros_like(mb_ref)
 
     def dot16(x, y):
         # bf16 x bf16 -> f32-accumulated MXU contraction over the chunk axis.
@@ -296,16 +301,27 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
             def jw_rows(xs8):
                 return dot16(xs8.astype(bf16) * w_hi, yu)
 
-    if row_pass:
-        for s in range(p):
-            acc_ref[s * t:(s + 1) * t, :] += jw_rows(xu8[s * t:(s + 1) * t, :])
+    if single_chunk:
+        if row_pass:
+            for s in range(p):
+                acc_ref[s * t:(s + 1) * t, :] = jw_rows(
+                    xu8[s * t:(s + 1) * t, :])
+        else:
+            acc_ref[:, :] = jw_rows(xu8)
+        ma_ref[:, :] = dot8(xu8, yv8)
+        mb_ref[:, :] = dot8(xv8, yu8)
     else:
-        acc_ref[:, :] += jw_rows(xu8)
-    # Unweighted per-pair marginal counts: two int8 contractions against the
-    # validity plane at 2/p the FLOPs of the full (pT x pT) joint, exact
-    # (int8 x int8 -> int32, double MXU rate).
-    ma_ref[:, :] += dot8(xu8, yv8)         # (PT, T): #{A==s, B valid}
-    mb_ref[:, :] += dot8(xv8, yu8)         # (T, PT): #{A valid, B==u}
+        if row_pass:
+            for s in range(p):
+                acc_ref[s * t:(s + 1) * t, :] += jw_rows(
+                    xu8[s * t:(s + 1) * t, :])
+        else:
+            acc_ref[:, :] += jw_rows(xu8)
+        # Unweighted per-pair marginal counts: two int8 contractions against
+        # the validity plane at 2/p the FLOPs of the full (pT x pT) joint,
+        # exact (int8 x int8 -> int32, double MXU rate).
+        ma_ref[:, :] += dot8(xu8, yv8)     # (PT, T): #{A==s, B valid}
+        mb_ref[:, :] += dot8(xv8, yu8)     # (T, PT): #{A valid, B==u}
 
     ti = ti_ref[k]
     tj = tj_ref[k]
@@ -323,6 +339,7 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
 
 
 def _ld_kernel_unit(tile: int, n_sites: int, planes: tuple, preplaned: bool,
+                    single_chunk: bool,
                     ti_ref, tj_ref, em_ref,
                     a_ref, b_ref, w_ref,
                     d_ref, dp_ref, r2_ref, keep_ref,
@@ -336,9 +353,10 @@ def _ld_kernel_unit(tile: int, n_sites: int, planes: tuple, preplaned: bool,
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
 
-    @pl.when(c == 0)
-    def _():
-        acci_ref[:, :] = jnp.zeros_like(acci_ref)
+    if not single_chunk:
+        @pl.when(c == 0)
+        def _():
+            acci_ref[:, :] = jnp.zeros_like(acci_ref)
 
     if preplaned:
         xu8 = a_ref[:, :]
@@ -352,10 +370,14 @@ def _ld_kernel_unit(tile: int, n_sites: int, planes: tuple, preplaned: bool,
         yu8 = jnp.concatenate(
             [(b == s).astype(jnp.int8) for s in planes], axis=0
         )
-    acci_ref[:, :] += jax.lax.dot_general(
+    joint = jax.lax.dot_general(
         xu8, yu8, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
+    if single_chunk:
+        acci_ref[:, :] = joint
+    else:
+        acci_ref[:, :] += joint
 
     ti = ti_ref[k]
     tj = tj_ref[k]
@@ -609,8 +631,10 @@ def pallas_tile_stats(
         "weights layout does not match the wquant mode"
     )
     out_block = pl.BlockSpec((1, t, t), lambda g, c, ti, tj, em: (g, 0, 0))
+    single_chunk = n_chunks == 1
     if unit_weights:
-        kernel = partial(_ld_kernel_unit, t, n_sites, planes, preplaned)
+        kernel = partial(_ld_kernel_unit, t, n_sites, planes, preplaned,
+                         single_chunk)
         scratch = [pltpu.VMEM((p * t, p * t), jnp.int32)]
     else:
         # Row-pass accumulation once the full-joint temporary would be
@@ -618,7 +642,7 @@ def pallas_tile_stats(
         # alphabets at T=256.
         row_pass = p * t > 768
         kernel = partial(_ld_kernel, t, n_sites, planes, exact_weights,
-                         preplaned, wquant, row_pass)
+                         preplaned, wquant, row_pass, single_chunk)
         scratch = [
             pltpu.VMEM((p * t, p * t), jnp.float32),   # weighted joint acc
             pltpu.VMEM((p * t, t), jnp.int32),  # count marginal #{A==s,B valid}
