@@ -670,10 +670,10 @@ def pallas_tile_stats(
     ]
 
     # The default scoped-VMEM budget is 16 MB (soft; v5e has 128 MB
-    # physical).  The int32 cascade accumulators push the working set to
-    # ~16.1 MB at p=3/T=256 — raise the per-kernel limit with headroom for
-    # double-buffered input blocks.  (Kept well under physical so Mosaic's
-    # DMA pipelining still has space.)
+    # physical).  Wide sequence chunks (the auto policy's main win) push
+    # the working set past it — raise the per-kernel limit with headroom.
+    # (Kept well under physical so Mosaic's DMA pipelining still has
+    # space.)
     params = None
     if not interpret:
         # jax renamed TPUCompilerParams -> CompilerParams (~0.6); support
