@@ -206,6 +206,34 @@ def test_resolve_seq_chunk_auto():
     assert cfg.seq_chunk is None
 
 
+def test_seq_chunk_invariance(rng):
+    # The pair population and site indices must be IDENTICAL whatever the
+    # sequence chunking (auto or explicit, single- or multi-chunk); the
+    # f32 stats may differ in reduction order only.  Covers the
+    # single_chunk direct-store specialization against the accumulate
+    # path through the full driver (pallas interpret mode).
+    aln = random_alignment(rng, 150, 40)
+    w = (rng.random(150) + 0.05).astype(np.float32)
+    sm = np.arange(40)
+
+    def collect(sc):
+        sess = LdSession(aln, w, sm, DriverConfig(
+            engine="pallas", tile=8, seq_chunk=sc))
+        recs = [r for _, r in sess.stream()]
+        return (
+            np.concatenate([r.pos_a for r in recs]),
+            np.concatenate([r.pos_b for r in recs]),
+            np.concatenate([r.r2 for r in recs]),
+        )
+
+    base_a, base_b, base_r2 = collect(None)  # auto: 256 -> one chunk
+    for sc in (64, 128):                     # multi- and 2-chunk paths
+        pa, pb, r2 = collect(sc)
+        np.testing.assert_array_equal(pa, base_a)
+        np.testing.assert_array_equal(pb, base_b)
+        np.testing.assert_allclose(r2, base_r2, rtol=2e-6, atol=2e-7)
+
+
 def test_checkpoint_refuses_weight_quant_switch(rng, tmp_path):
     # A resume must not silently mix quantized and exact r2 values in one
     # TSV: weight_quant is part of the run fingerprint.  Simulate an
