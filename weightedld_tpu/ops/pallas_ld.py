@@ -301,27 +301,24 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
             def jw_rows(xs8):
                 return dot16(xs8.astype(bf16) * w_hi, yu)
 
-    if single_chunk:
-        if row_pass:
-            for s in range(p):
-                acc_ref[s * t:(s + 1) * t, :] = jw_rows(
-                    xu8[s * t:(s + 1) * t, :])
+    def store(ref, idx, value):
+        # single_chunk: direct store (no zero-init happened); else accumulate.
+        if single_chunk:
+            ref[idx] = value
         else:
-            acc_ref[:, :] = jw_rows(xu8)
-        ma_ref[:, :] = dot8(xu8, yv8)
-        mb_ref[:, :] = dot8(xv8, yu8)
+            ref[idx] += value
+
+    if row_pass:
+        for s in range(p):
+            store(acc_ref, np.s_[s * t:(s + 1) * t, :],
+                  jw_rows(xu8[s * t:(s + 1) * t, :]))
     else:
-        if row_pass:
-            for s in range(p):
-                acc_ref[s * t:(s + 1) * t, :] += jw_rows(
-                    xu8[s * t:(s + 1) * t, :])
-        else:
-            acc_ref[:, :] += jw_rows(xu8)
-        # Unweighted per-pair marginal counts: two int8 contractions against
-        # the validity plane at 2/p the FLOPs of the full (pT x pT) joint,
-        # exact (int8 x int8 -> int32, double MXU rate).
-        ma_ref[:, :] += dot8(xu8, yv8)     # (PT, T): #{A==s, B valid}
-        mb_ref[:, :] += dot8(xv8, yu8)     # (T, PT): #{A valid, B==u}
+        store(acc_ref, np.s_[:, :], jw_rows(xu8))
+    # Unweighted per-pair marginal counts: two int8 contractions against the
+    # validity plane at 2/p the FLOPs of the full (pT x pT) joint, exact
+    # (int8 x int8 -> int32, double MXU rate).
+    store(ma_ref, np.s_[:, :], dot8(xu8, yv8))  # (PT, T): #{A==s, B valid}
+    store(mb_ref, np.s_[:, :], dot8(xv8, yu8))  # (T, PT): #{A valid, B==u}
 
     ti = ti_ref[k]
     tj = tj_ref[k]

@@ -231,8 +231,7 @@ class LdSession:
         # different inputs.  Read the resolved values from session.cfg.
         cfg = _replace(
             cfg,
-            tile=resolve_tile(cfg.tile, engine, alignment,
-                              cfg.seq_chunk, planes=planes),
+            tile=resolve_tile(cfg.tile, engine, alignment),
             seq_chunk=resolve_seq_chunk(cfg.seq_chunk, self.n_seqs),
         )
         self.cfg = cfg
@@ -803,7 +802,13 @@ def run_to_tsv(
     batches are skipped and the TSV is truncated to the checkpointed byte
     offset (torn batches are rewritten).  A resume whose config or input
     does not match the checkpoint is refused rather than silently mixing
-    two different tile plans into one file.
+    two different tile plans into one file.  The fingerprint covers the
+    RESOLVED tile/seq_chunk/batch values, so a checkpoint taken under
+    auto policies may refuse to resume after an upgrade that changes
+    those policies — pass the previous run's explicit ``tile``/
+    ``seq_chunk``/``tiles_per_shard_batch`` (recorded in this module's
+    resolved ``session.cfg``) to resume it, or delete the checkpoint to
+    start over.
 
     Returns the number of records written.
     """
