@@ -328,6 +328,8 @@ def test_ld_decay_matches_full_scan(rng):
     full = collect_ld_records(aln, w, sm, DriverConfig(tile=16))
     dist = np.asarray(full.pos_b) - np.asarray(full.pos_a)
     r2 = np.asarray(full.r2, dtype=np.float64)
+    adp = np.abs(np.asarray(full.d_prime, dtype=np.float64))
+    dp_ok = np.isfinite(adp)
     for b in range(len(edges) - 1):
         m = (dist >= edges[b]) & (dist < edges[b + 1])
         assert out["n_pairs"][b] == int(m.sum()), b
@@ -338,6 +340,16 @@ def test_ld_decay_matches_full_scan(rng):
                                        rtol=1e-5)
         else:
             assert out["r2_mean"][b] is None
+        # |D'| statistics: finite-D' kept pairs only.
+        mf = m & dp_ok
+        assert out["n_d_prime_finite"][b] == int(mf.sum()), b
+        np.testing.assert_allclose(out["abs_d_prime_sum"][b], adp[mf].sum(),
+                                   rtol=1e-5, err_msg=str(b))
+        if mf.any():
+            np.testing.assert_allclose(out["abs_d_prime_mean"][b],
+                                       adp[mf].mean(), rtol=1e-5)
+        else:
+            assert out["abs_d_prime_mean"][b] is None
     # Every kept pair lands in some bin when the edges cover the range.
     assert sum(out["n_pairs"]) == len(r2)
 

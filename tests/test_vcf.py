@@ -146,6 +146,38 @@ def test_chrom_filter(tmp_path):
         read_vcf(f, chrom="chr9")
 
 
+def test_list_chromosomes(tmp_path, capsys):
+    from weightedld_tpu.cli import main
+    from weightedld_tpu.io.vcf import list_chromosomes
+
+    header = ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+              + "\t".join(f"s{i}" for i in range(14)))
+    gts = "\t".join(["0|1"] * 14)
+    body = "\n".join([
+        header,
+        f"chr2\t100\t.\tA\tT\t.\t.\t.\tGT\t{gts}",   # first-appearance order,
+        f"chr1\t200\t.\tA\tT\t.\t.\t.\tGT\t{gts}",   # not sorted
+        f"chr2\t300\t.\tA\tT\t.\t.\t.\tGT\t{gts}",
+        f"chr3\t50\t.\tA\tT\t.\t.\t.\tGT\t{gts}",    # ONLY on the last line
+    ])  # no trailing newline: the reference's line-drop quirk eats chr3
+    f = tmp_path / "wg.vcf"
+    f.write_text(body)
+    # chr3's only record falls to the reference's trailing-line drop: it
+    # must NOT be listed (read_vcf(chrom="chr3") would raise).
+    assert list_chromosomes(f) == ["chr2", "chr1"]
+    # t7 fixture: single chromosome.
+    assert list_chromosomes(T7_PATH) == ["19"]
+
+    # CLI query mode: prints one CHROM per line, runs no analysis.
+    assert main(["--file", str(f), "--list-chroms"]) == 0
+    assert capsys.readouterr().out.splitlines() == ["chr2", "chr1"]
+    # FASTA input refused.
+    fa = tmp_path / "x.fasta"
+    fa.write_text(">a\nACGT\n")
+    assert main(["--file", str(fa), "--list-chroms"]) == 2
+    assert "VCF" in capsys.readouterr().err
+
+
 def test_chrom_flag_cli(tmp_path, capsys):
     from weightedld_tpu.cli import main
 

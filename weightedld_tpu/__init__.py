@@ -17,7 +17,7 @@ from .core.ld_dense import LdRecords, extract_records, ld_all_pairs_dense
 from .core.paircore import PairStats, finalize_pair_tile, ld_pair_tile, pair_tables
 from .core.sites import compute_variable_sites
 from .io.fasta import read_fasta
-from .io.vcf import read_vcf
+from .io.vcf import list_chromosomes, read_vcf
 from .pipeline import PipelineResult, WldConfig, prepare, run
 
 __version__ = "0.1.0"
@@ -35,6 +35,7 @@ __all__ = [
     "compute_variable_sites",
     "read_fasta",
     "read_vcf",
+    "list_chromosomes",
     "PipelineResult",
     "WldConfig",
     "prepare",

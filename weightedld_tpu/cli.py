@@ -116,6 +116,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "column) — the reference ignores CHROM, so whole-genome "
                    "VCFs mix chromosomes into one position axis; required "
                    "for per-chromosome --ld-decay/--prune-r2 on such files")
+    p.add_argument("--list-chroms", action="store_true",
+                   help="VCF only: print the distinct CHROM values (one per "
+                   "line, file order) and exit — the valid --chrom "
+                   "arguments for a per-chromosome analysis loop")
     p.add_argument("--max-distance", type=int, default=None,
                    help="windowed LD: only compute pairs at most this many "
                    "kept sites apart (prunes the tile plan to an O(S*W) "
@@ -224,6 +228,22 @@ def main(argv=None) -> int:
         print("error: --chrom only applies to VCF input (FASTA has no "
               "chromosome column)", file=sys.stderr)
         return 2
+    if args.list_chroms:
+        # Pre-analysis query: answer and exit before any ingest/compile.
+        if args.file is None \
+                or not str(args.file).endswith((".vcf", ".vcf.gz")):
+            print("error: --list-chroms needs a VCF --file (FASTA has no "
+                  "chromosome column)", file=sys.stderr)
+            return 2
+        from .io.vcf import VcfError, list_chromosomes
+
+        try:
+            for c in list_chromosomes(args.file):
+                print(c)
+        except VcfError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        return 0
 
     cfg = WldConfig(
         min_acgt=args.min_acgt,

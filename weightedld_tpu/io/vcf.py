@@ -132,17 +132,25 @@ def read_vcf(path: str | Path,
     return read_vcf_python(path)
 
 
-def read_vcf_python(path: str | Path,
-                    chrom: str | None = None) -> tuple[np.ndarray, np.ndarray]:
-    """Pure-Python fallback/oracle for :func:`read_vcf`."""
+def _variant_lines(path: str | Path) -> tuple[int, list[str]]:
+    """Shared ingest front half: decode (universal newlines, like the
+    reference's text-mode read), locate the ``#CHROM`` header, apply the
+    reference's trailing-line drop, and strip blank lines.  Returns
+    ``(header_idx, data_lines)`` — the header's 0-based line index feeds
+    the 1-based line numbers in parse errors.
+
+    Parity quirk (WeightedLD.py:365): the reference unconditionally deletes
+    the final line, assuming a trailing blank.  On files without a trailing
+    newline this silently drops the last record (verified on the t7
+    fixture: 6 records on disk, 5 parsed).  Reproduced as-is.
+    """
     from .fasta import _open_maybe_gzip
 
     with _open_maybe_gzip(path) as fh:
         text = fh.read().decode("utf-8", "replace")
-    # Universal newlines (the reference reads in text mode).  The whole
-    # decompressed text is materialized (reference parity needs the
-    # trailing-line quirk over the full split); for repeated whole-genome
-    # --chrom work, prefer pre-splitting per chromosome or
+    # The whole decompressed text is materialized (reference parity needs
+    # the trailing-line quirk over the full split); for repeated
+    # whole-genome --chrom work, prefer pre-splitting per chromosome or
     # --save-prepared per chromosome.
     lines = text.replace("\r\n", "\n").replace("\r", "\n").split("\n")
     del text
@@ -156,15 +164,38 @@ def read_vcf_python(path: str | Path,
         raise VcfError(f"{path}: no #CHROM header line found")
 
     data_lines = lines[header_idx + 1 :]
-    # Parity quirk (WeightedLD.py:365): the reference unconditionally deletes
-    # the final line, assuming a trailing blank.  On files without a trailing
-    # newline this silently drops the last record (verified on the t7
-    # fixture: 6 records on disk, 5 parsed).  Reproduced as-is.
     if data_lines:
         del data_lines[-1]
     data_lines = [ln for ln in data_lines if ln.strip()]
     if not data_lines:
         raise VcfError(f"{path}: no variant records")
+    return header_idx, data_lines
+
+
+def list_chromosomes(path: str | Path) -> list[str]:
+    """Distinct CHROM values of the variant records, in first-appearance
+    order — the valid arguments for ``read_vcf(chrom=...)`` / ``--chrom``.
+
+    Applies the same parsing quirks as :func:`read_vcf` (trailing-line
+    drop), so every listed chromosome is guaranteed to yield records under
+    the filter.  Only the CHROM column is inspected; this is the cheap way
+    to drive a per-chromosome analysis loop over a whole-genome VCF
+    (capability beyond the reference, which has no CHROM handling at all,
+    ``WeightedLD.py:361-362``)."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for ln in _variant_lines(path)[1]:
+        c = ln.split("\t", 1)[0]
+        if c not in seen:
+            seen.add(c)
+            out.append(c)
+    return out
+
+
+def read_vcf_python(path: str | Path,
+                    chrom: str | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-Python fallback/oracle for :func:`read_vcf`."""
+    header_idx, data_lines = _variant_lines(path)
     if len(data_lines[0].split("\t")) <= 12:
         raise VcfError(
             f"{path}: too few sample columns — is this a multi-sample VCF?"

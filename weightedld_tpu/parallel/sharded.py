@@ -209,42 +209,54 @@ def make_topk_runner(mesh: Mesh, *, tile: int, k_out: int):
 
 
 def make_decay_runner(mesh: Mesh, *, tile: int, edges: tuple):
-    """Per-batch LD-decay accumulation: per distance bin, the count and
-    r2-sum of kept pairs, computed on device in ONE pass over the batch's
-    resident stats (XLA fuses the per-bin selects into a single read of
-    r2/keep).
+    """Per-batch LD-decay accumulation: per distance bin, the kept-pair
+    count, r2 sum, |D'| sum, and |D'|-finite count, computed on device in
+    ONE pass over the batch's resident stats (XLA fuses the per-bin
+    selects into a single read of r2/d_prime/keep).
+
+    |D'| is summed over kept pairs with a FINITE D' only (the reference's
+    zero-denominator fallback yields NaN D' for degenerate pairs,
+    ``WeightedLD.py:269-277`` — those count toward r2 but not |D'|), with
+    the finite count reported so means stay truthful.
 
     Distance is measured in ``site_map`` coordinates (bp for VCF input),
     looked up per tile from the replicated padded site map.  ``edges`` is a
     static ascending tuple; bin b covers ``edges[b] <= dist < edges[b+1]``.
-    Returns ``[n_dev, B, 2]`` int32 (count, f32 r2-sum bitcast)."""
+    Returns ``[n_dev, B, 4]`` int32 (count, f32 r2-sum bitcast, f32
+    |D'|-sum bitcast, |D'|-finite count)."""
     key = ("decay", tuple(d.id for d in mesh.devices.flat), tile, edges)
     cached = _RUNNER_CACHE.get(key)
     if cached is not None:
         return cached
 
-    def local_fn(r2, keep, tile_i, tile_j, sm_pad):
+    def local_fn(r2, dp, keep, tile_i, tile_j, sm_pad):
         t = tile
         li = jnp.arange(t, dtype=jnp.int32)
         sma = sm_pad[tile_i[:, None] * t + li[None, :]]   # [K, T]
         smb = sm_pad[tile_j[:, None] * t + li[None, :]]
         dist = smb[:, None, :] - sma[:, :, None]          # [K, T, T]
-        counts = []
-        sums = []
+        adp = jnp.abs(dp)
+        dp_ok = jnp.isfinite(adp)
+        counts, sums, dpsums, dpcounts = [], [], [], []
         for b in range(len(edges) - 1):
             m = keep & (dist >= edges[b]) & (dist < edges[b + 1])
             counts.append(m.sum().astype(jnp.int32))
             sums.append(jnp.where(m, r2, 0.0).sum())
+            mf = m & dp_ok
+            dpsums.append(jnp.where(mf, adp, 0.0).sum())
+            dpcounts.append(mf.sum().astype(jnp.int32))
         packed = jnp.stack([
             jnp.stack(counts),
             jax.lax.bitcast_convert_type(jnp.stack(sums), jnp.int32),
-        ], axis=1)                                        # [B, 2]
+            jax.lax.bitcast_convert_type(jnp.stack(dpsums), jnp.int32),
+            jnp.stack(dpcounts),
+        ], axis=1)                                        # [B, 4]
         return packed[None]
 
     fn = jax.jit(jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
         out_specs=P(AXIS),
         check_vma=False,
     ))

@@ -497,8 +497,14 @@ class LdSession:
 
     def ld_decay(self, edges) -> dict:
         """LD-decay curve: per distance bin, the kept-pair count, r2 sum
-        and mean — the classic 'r2 vs distance' analysis, computed ON
-        DEVICE in one pass per batch (O(B) host traffic).
+        and mean, plus the |D'| sum/mean — the classic 'r2 (and D') vs
+        distance' analyses, computed ON DEVICE in one pass per batch
+        (O(B) host traffic).
+
+        |D'| statistics cover kept pairs whose D' is finite
+        (``n_d_prime_finite`` per bin): the reference's zero-denominator
+        fallback yields NaN D' for degenerate pairs
+        (``WeightedLD.py:269-277``), which still count toward r2.
 
         Distance is measured in ``site_map`` coordinates — base pairs for
         VCF input, original column indices for FASTA.  ``edges`` is an
@@ -528,19 +534,28 @@ class LdSession:
         nb = len(edges) - 1
         counts = np.zeros(nb, dtype=np.int64)
         sums = np.zeros(nb, dtype=np.float64)
+        dp_sums = np.zeros(nb, dtype=np.float64)
+        dp_counts = np.zeros(nb, dtype=np.int64)
         for _b, dispatched in self._pipelined():
-            (_tcnt, _d, _dp, r2_t, _mask, bi, bj, keep_t, _mom) = dispatched
-            packed = _fetch(runner(r2_t, keep_t, bi, bj, self._sm_dev))
-            packed = packed.reshape(-1, nb, 2)            # [n_dev, B, 2]
+            (_tcnt, _d, dp_t, r2_t, _mask, bi, bj, keep_t, _mom) = dispatched
+            packed = _fetch(runner(r2_t, dp_t, keep_t, bi, bj, self._sm_dev))
+            packed = packed.reshape(-1, nb, 4)            # [n_dev, B, 4]
             counts += packed[:, :, 0].astype(np.int64).sum(axis=0)
             sums += np.ascontiguousarray(packed[:, :, 1]).view(
                 np.float32).astype(np.float64).sum(axis=0)
+            dp_sums += np.ascontiguousarray(packed[:, :, 2]).view(
+                np.float32).astype(np.float64).sum(axis=0)
+            dp_counts += packed[:, :, 3].astype(np.int64).sum(axis=0)
         return {
             "edges": list(edges),
             "n_pairs": counts.tolist(),
             "r2_sum": sums.tolist(),
             "r2_mean": [float(s / c) if c else None
                         for s, c in zip(sums, counts)],
+            "abs_d_prime_sum": dp_sums.tolist(),
+            "abs_d_prime_mean": [float(s / c) if c else None
+                                 for s, c in zip(dp_sums, dp_counts)],
+            "n_d_prime_finite": dp_counts.tolist(),
         }
 
     def r2_histogram(self, edges) -> dict:
