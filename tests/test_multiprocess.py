@@ -52,7 +52,7 @@ summ = sess.summarize(r2_threshold=0.3)
 top = sess.top_pairs(5)   # exercises the multihost P(AXIS) top-k fetch
 top_rows = [(int(a), int(b), round(float(r), 6))
             for a, b, r in zip(top.pos_a, top.pos_b, top.r2)]
-decay = sess.ld_decay([0, 16, 64])  # multihost [n_dev, B, 2] decay fetch
+decay = sess.ld_decay([0, 16, 64])  # multihost [n_dev, B, 4] decay fetch
 decay = {{"n_pairs": decay["n_pairs"],
           "r2_sum": [round(x, 6) for x in decay["r2_sum"]]}}
 hist = sess.r2_histogram([0.0, 0.1, 1.01])["n_pairs"]
