@@ -332,3 +332,62 @@ def test_r2_hist_degenerate_single_site(tmp_path, capsys):
     assert rc == 0
     assert json.loads(out) == {"edges": [0.0, 0.5, 1.01], "n_pairs": [0, 0]}
     assert main(["--file", str(f), "--r2-hist", "1,0"]) == 2
+
+
+def test_site_stats(tmp_path, capsys):
+    # t1: columns 0-1 are ambiguous/gap junk (coverage fails), 2-6 the
+    # Henikoff paper example (SURVEY Appendix B) -> hk [0,0,1,1,1,1,1].
+    f = tmp_path / "t1.fasta"
+    write_fasta(f, ALL_FASTAS["t1"])
+    out_file = tmp_path / "sites.tsv"
+    rc, _ = _run(capsys, "--file", str(f), "--site-stats", str(out_file))
+    assert rc == 0
+    lines = out_file.read_text().strip().split("\n")
+    assert lines[0] == "site\tcoverage\tmajor_code\tminor_fraction\thk\tld"
+    rows = [ln.split("\t") for ln in lines[1:]]
+    assert len(rows) == 7                      # ALL original sites
+    assert [r[4] for r in rows] == ["0", "0", "1", "1", "1", "1", "1"]
+    assert [r[5] for r in rows] == [r[4] for r in rows]  # defaults: ld == hk
+    # Column 0: G,b,z,p,M -> one concrete of 5 (coverage 0.2), major G=2,
+    # minor fraction 0 (only G counts among codes 0-4).
+    assert rows[0][:4] == ["0", "0.2", "2", "0.0"]
+    # Paper column 2: A A C C T -> major A (code 0), minor 3/5.
+    assert rows[2][1:4] == ["1.0", "0", "0.6"]
+
+    # Oracle: values equal the host mask math on the same alignment.
+    import io as _io
+
+    from weightedld_tpu.io.fasta import read_fasta
+    from weightedld_tpu.pipeline import WldConfig, site_stats
+
+    stats = site_stats(f, WldConfig())
+    aln = read_fasta(f)
+    from weightedld_tpu.core.sites import compute_variable_sites_host
+
+    hk, ld = compute_variable_sites_host(aln, 0.8, 0.02)
+    np.testing.assert_array_equal(stats["hk"], hk)
+    np.testing.assert_array_equal(stats["ld"], ld)
+
+    # stdout mode + mutual exclusion + prepared-cache refusal.
+    rc, out = _run(capsys, "--file", str(f), "--site-stats", "-")
+    assert rc == 0 and out.startswith("site\t")
+    assert main(["--file", str(f), "--site-stats", "-", "--stats-only"]) == 2
+    assert main(["--site-stats", "-"]) == 2  # no --file
+
+
+def test_site_stats_vcf(tmp_path, capsys):
+    # VCF rows keyed by POS; masks are informational (never applied on the
+    # VCF path) but still computed from the same thresholds.
+    from .test_vcf import T7_PATH
+
+    rc, out = _run(capsys, "--file", str(T7_PATH), "--site-stats", "-")
+    assert rc == 0
+    lines = out.strip().split("\n")
+    assert len(lines) == 6
+    assert lines[1].split("\t")[0] == "44890030"
+    # Binary SNPs with full coverage... coverage counts ACGT-coded alleles
+    # (REF=0/ALT=1 alias A/C), so it is 1.0 here and every site is variable.
+    for ln in lines[1:]:
+        cols = ln.split("\t")
+        assert cols[1] == "1.0" and cols[2] == "0"
+        assert 0.0 < float(cols[3]) < 0.5

@@ -18,7 +18,7 @@ from .core.paircore import PairStats, finalize_pair_tile, ld_pair_tile, pair_tab
 from .core.sites import compute_variable_sites
 from .io.fasta import read_fasta
 from .io.vcf import list_chromosomes, read_vcf
-from .pipeline import PipelineResult, WldConfig, prepare, run
+from .pipeline import PipelineResult, WldConfig, prepare, run, site_stats
 
 __version__ = "0.1.0"
 
@@ -40,4 +40,5 @@ __all__ = [
     "WldConfig",
     "prepare",
     "run",
+    "site_stats",
 ]

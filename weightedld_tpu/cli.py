@@ -116,6 +116,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "column) — the reference ignores CHROM, so whole-genome "
                    "VCFs mix chromosomes into one position axis; required "
                    "for per-chromosome --ld-decay/--prune-r2 on such files")
+    p.add_argument("--site-stats", type=Path, default=None,
+                   help="write a per-site diagnostic TSV (coverage, major "
+                   "code, minor fraction, hk/ld mask verdicts) over ALL "
+                   "input sites and exit — explains why sites were kept or "
+                   "dropped ('-' = stdout; VCF rows are informational: no "
+                   "mask is applied on that path, as in the reference)")
     p.add_argument("--list-chroms", action="store_true",
                    help="VCF only: print the distinct CHROM values (one per "
                    "line, file order) and exit — the valid --chrom "
@@ -202,6 +208,7 @@ def main(argv=None) -> int:
         ("--r2-hist", args.r2_hist is not None),
         ("--top", args.top is not None),
         ("--prune-r2", args.prune_r2 is not None),
+        ("--site-stats", args.site_stats is not None),
     ) if on]
     if len(modes) > 1:
         print(f"error: {' and '.join(modes)} are mutually exclusive "
@@ -255,6 +262,24 @@ def main(argv=None) -> int:
         weighting=args.weighting,
         chrom=args.chrom,
     )
+
+    if args.site_stats is not None:
+        # Pre-analysis report over the ORIGINAL (unmasked) sites: needs the
+        # raw input file, not a prepared cache (which stores trimmed sites).
+        if args.file is None:
+            print("error: --site-stats needs --file (a prepared cache holds "
+                  "only the trimmed sites)", file=sys.stderr)
+            return 2
+        from .io.writer import write_site_stats
+        from .pipeline import site_stats as _site_stats
+
+        stats = _site_stats(args.file, cfg)
+        if str(args.site_stats) == "-":
+            write_site_stats(stats, sys.stdout)
+        else:
+            with open_text_output(args.site_stats) as fh:
+                write_site_stats(stats, fh)
+        return 0
 
     prep_keys = ("min_acgt", "min_variability", "unweighted", "max_minor",
                  "weight_mask", "weighting", "chrom")

@@ -108,3 +108,26 @@ def write_weights(weights: np.ndarray, out: IO[str], ndigits: int = 6) -> None:
         return
     for i, w in enumerate(np.asarray(weights)):
         out.write(f"{i}\t{round(float(w), ndigits)}\n")
+
+
+SITE_STATS_HEADER = "site\tcoverage\tmajor_code\tminor_fraction\thk\tld"
+
+
+def write_site_stats(stats: dict, out: IO[str], ndigits: int = 4,
+                     header: bool = True) -> None:
+    """Per-site diagnostic TSV (``pipeline.site_stats``): one row per input
+    site with the coverage / minor-fraction values the masks are judged on
+    and the hk/ld verdicts (0/1)."""
+    if header:
+        out.write(SITE_STATS_HEADER + "\n")
+    site = stats["site"]
+    cov = stats["coverage"]
+    mc = stats["major_code"]
+    mf = stats["minor_fraction"]
+    hk = stats["hk"]
+    ld = stats["ld"]
+    for i in range(len(site)):
+        out.write(
+            f"{site[i]}\t{round(float(cov[i]), ndigits)}\t{int(mc[i])}\t"
+            f"{round(float(mf[i]), ndigits)}\t{int(hk[i])}\t{int(ld[i])}\n"
+        )

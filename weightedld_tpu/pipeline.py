@@ -124,3 +124,58 @@ def run(path: str | Path, cfg: WldConfig | None = None) -> PipelineResult:
     stats = ld_all_pairs_dense(jnp.asarray(res.alignment), jnp.asarray(res.weights))
     res.records = extract_records(stats, res.site_map, cfg.r2_threshold)
     return res
+
+
+def site_stats(path: str | Path, cfg: WldConfig | None = None) -> dict:
+    """Per-site diagnostic report over ALL input sites, before any mask —
+    explains why each site was kept or dropped (capability beyond the
+    reference, whose masking is silent, ``WeightedLD.py:44-98``).
+
+    Returns a dict of equal-length arrays:
+
+    - ``site``: original column index (FASTA) or POS (VCF; ``cfg.chrom``
+      respected).
+    - ``coverage``: concrete A/C/G/T fraction (gap excluded,
+      ``WeightedLD.py:68``).
+    - ``major_code``: most frequent code over 0..4, smallest code on ties
+      — the reference's tie-break (``WeightedLD.py:203-209``).
+    - ``minor_fraction``: all-minor fraction over codes 0..4
+      (``WeightedLD.py:79-87``); 0.0 at invariant sites.
+    - ``hk`` / ``ld``: the mask verdicts at ``cfg`` thresholds
+      (``compute_variable_sites_host``).  For VCF input these are
+      INFORMATIONAL ONLY — the reference applies no masking on that path
+      (``WeightedLD.py:385-388``) and neither does this pipeline.
+    """
+    import numpy as np
+
+    from .core.sites import site_histogram_host
+
+    cfg = cfg or WldConfig()
+    if str(path).endswith((".vcf", ".vcf.gz")):
+        alignment, site_map = read_vcf(path, chrom=cfg.chrom)
+    else:
+        alignment = read_fasta(path)
+        site_map = np.arange(alignment.shape[1], dtype=np.int64)
+    n_seqs = alignment.shape[0]
+    counts = site_histogram_host(alignment)              # [S, 5]
+    from .core.encode import N_CONCRETE
+
+    coverage = counts[:, :N_CONCRETE].sum(axis=1) / n_seqs
+    major_code = counts.argmax(axis=1)                   # argmax: ties -> low
+    major = counts.max(axis=1)
+    total = counts.sum(axis=1)
+    minor = total - major
+    minor_fraction = np.zeros(len(counts), dtype=np.float64)
+    nz = minor > 0
+    minor_fraction[nz] = minor[nz] / total[nz]           # major+minor == total
+    hk, ld = compute_variable_sites_host(
+        alignment, cfg.min_acgt, cfg.min_variability, cfg.max_minor
+    )
+    return {
+        "site": np.asarray(site_map),
+        "coverage": coverage,
+        "major_code": major_code.astype(np.int64),
+        "minor_fraction": minor_fraction,
+        "hk": hk,
+        "ld": ld,
+    }
