@@ -120,12 +120,23 @@ def _native_bench(n_seqs: int, n_sites: int) -> dict | None:
 
 
 def bench_cpu_baseline() -> float | None:
-    stats = _native_bench(N_SEQS, S_CPU)
-    if stats is None:
+    # Best of 3: the 2-vCPU host is shared and single runs vary up to
+    # ~30% under interference — the TPU side is also best-of-N, so the
+    # ratio should compare both at their least-disturbed.
+    best = None
+    threads = None
+    for _ in range(3):
+        stats = _native_bench(N_SEQS, S_CPU)
+        if stats is None:
+            break
+        if best is None or stats["pairs_per_s"] > best:
+            best = float(stats["pairs_per_s"])
+            threads = stats["threads"]
+    if best is None:
         return None
-    print(f"[bench] cpu baseline: {stats['pairs_per_s']:,.0f} pairs/s "
-          f"({stats['threads']} threads)", file=sys.stderr)
-    return float(stats["pairs_per_s"])
+    print(f"[bench] cpu baseline: {best:,.0f} pairs/s "
+          f"({threads} threads, best of 3)", file=sys.stderr)
+    return best
 
 
 SWEEP_N = (10, 50, 100, 250, 500, 1000)
