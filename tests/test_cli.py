@@ -391,3 +391,20 @@ def test_site_stats_vcf(tmp_path, capsys):
         cols = ln.split("\t")
         assert cols[1] == "1.0" and cols[2] == "0"
         assert 0.0 < float(cols[3]) < 0.5
+
+
+def test_ingest_errors_are_clean(tmp_path, capsys):
+    # Malformed inputs exit 2 with a one-line error, not a traceback.
+    ragged = tmp_path / "ragged.fasta"
+    ragged.write_text(">a\nACGT\n>b\nACG\n")
+    assert main(["--file", str(ragged)]) == 2
+    err = capsys.readouterr().err
+    assert err.startswith("error:") and "ragged" in err
+
+    bad = tmp_path / "bad.vcf"
+    bad.write_text("no header\n1\t2\n")
+    assert main(["--file", str(bad)]) == 2
+    assert "#CHROM" in capsys.readouterr().err
+
+    assert main(["--file", str(ragged), "--site-stats", "-"]) == 2
+    assert "ragged" in capsys.readouterr().err

@@ -273,7 +273,11 @@ def main(argv=None) -> int:
         from .io.writer import write_site_stats
         from .pipeline import site_stats as _site_stats
 
-        stats = _site_stats(args.file, cfg)
+        try:
+            stats = _site_stats(args.file, cfg)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         if str(args.site_stats) == "-":
             write_site_stats(stats, sys.stdout)
         else:
@@ -306,7 +310,11 @@ def main(argv=None) -> int:
                 f"vs requested: {diffs}", file=sys.stderr,
             )
     elif args.file is not None:
-        res = prepare(args.file, cfg)
+        try:
+            res = prepare(args.file, cfg)
+        except ValueError as e:  # VcfError, ragged FASTA, bad codes, ...
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     else:
         print("error: --file or --load-prepared is required", file=sys.stderr)
         return 2
