@@ -346,3 +346,35 @@ def test_pa_095_boundary_pair_is_skipped(ref):
     np.testing.assert_allclose(
         (rec2.d[0], rec2.d_prime[0], rec2.r2[0]), expected[(0, 1)],
         atol=5e-4)
+
+
+def test_auto_config_session_matches_reference(ref):
+    # The PRODUCTION driver path with every knob auto-resolved (engine
+    # forced to the pallas kernel in interpret mode; tile and seq_chunk
+    # from the auto rules) against the executed reference — guards the
+    # auto policies themselves, not just hand-picked tiny tile configs.
+    from weightedld_tpu.core.sites import compute_variable_sites_host
+    from weightedld_tpu.runtime.driver import DriverConfig, LdSession
+
+    rng = np.random.default_rng(990)
+    aln = random_alignment(rng, 60, 30, p_gap=0.08, p_unknown=0.08)
+    _hk, ld = compute_variable_sites_host(aln, 0.8, 0.02)
+    trimmed = aln[:, ld]
+    assert trimmed.shape[1] >= 2
+    w = ref.henikoff_weighting(trimmed)
+    site_map = np.where(ld)[0]
+    expected = _ref_ld_rows(ref, trimmed, w, site_map)
+
+    sess = LdSession(trimmed, np.asarray(w, np.float32), site_map,
+                     DriverConfig(engine="pallas"))
+    assert sess.cfg.tile == 128 and sess.cfg.seq_chunk == 128  # auto rules
+    got = {}
+    for _, r in sess.stream():
+        for a, b, d, dp, r2 in zip(r.pos_a, r.pos_b, r.d, r.d_prime, r.r2):
+            got[(int(a), int(b))] = (float(d), float(dp), float(r2))
+    assert set(got) == set(expected)
+    for key, (d, dp, r2) in expected.items():
+        np.testing.assert_allclose(got[key][0], d, atol=2e-4,
+                                   err_msg=f"D {key}")
+        np.testing.assert_allclose(got[key][2], r2, atol=5e-4,
+                                   err_msg=f"r2 {key}")
