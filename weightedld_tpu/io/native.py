@@ -66,6 +66,10 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.wldio_format_weights.argtypes = [
         ctypes.c_void_p, i64, ctypes.c_int, ctypes.c_void_p, i64,
     ]
+    lib.wldio_transpose_pad_i8.restype = None
+    lib.wldio_transpose_pad_i8.argtypes = [
+        ctypes.c_void_p, i64, i64, ctypes.c_void_p, i64, i64, ctypes.c_int8,
+    ]
 
 
 def load() -> ctypes.CDLL | None:
@@ -86,9 +90,9 @@ def load() -> ctypes.CDLL | None:
             lib = ctypes.CDLL(str(path))
             _configure(lib)
             version = lib.wldio_version()
-            if version != b"wldio-3":
+            if version != b"wldio-4":
                 if explicit and str(path) == explicit:
-                    _warn_bad_override(path, f"version {version!r} != wldio-3")
+                    _warn_bad_override(path, f"version {version!r} != wldio-4")
                 continue
         except (OSError, AttributeError) as e:
             if explicit and str(path) == explicit:
@@ -241,3 +245,22 @@ def format_weights_native(weights, ndigits: int = 6) -> str:
             f"native weights formatting rejected the request (ndigits={ndigits})"
         )
     return buf[:written].tobytes().decode("ascii")
+
+
+def transpose_pad_i8(src: np.ndarray, s_pad: int, n_pad: int,
+                     fill: int) -> np.ndarray:
+    """``[N, S]`` int8 row-major -> ``[s_pad, n_pad]`` transposed + padded
+    (the device upload layout) via the blocked OpenMP native kernel.
+    Caller guarantees ``available()``; the numpy oracle lives in
+    ``ops.pallas_ld.pad_alignment_site_major``."""
+    lib = load()
+    src = np.ascontiguousarray(src, dtype=np.int8)
+    n, s = src.shape
+    assert s_pad >= s and n_pad >= n
+    dst = np.empty((s_pad, n_pad), dtype=np.int8)
+    lib.wldio_transpose_pad_i8(
+        _c64(src), ctypes.c_int64(n), ctypes.c_int64(s),
+        _c64(dst), ctypes.c_int64(s_pad), ctypes.c_int64(n_pad),
+        ctypes.c_int8(fill),
+    )
+    return dst

@@ -77,10 +77,21 @@ DEFAULT_SEQ_CHUNK = 512
 def pad_alignment_site_major(alignment: np.ndarray, tile: int,
                              seq_chunk: int = DEFAULT_SEQ_CHUNK) -> np.ndarray:
     """``[N, S]`` sequence-major codes -> ``[S_pad, N_pad]`` site-major,
-    padded with UNKNOWN (code 5) on both axes."""
+    padded with UNKNOWN (code 5) on both axes.
+
+    Large matrices route through the native blocked OpenMP transpose
+    (``wldio_transpose_pad_i8``): numpy's strided ``out[:s, :n] = a.T``
+    measured 16 s on the 1 GB pod-scale matrix vs ~2 s native — the
+    dominant deterministic host cost of session setup.  The numpy path
+    below doubles as the parity oracle (tests/test_native_io.py)."""
     n, s = alignment.shape
     s_pad = -(-s // tile) * tile
     n_pad = -(-n // seq_chunk) * seq_chunk
+    if alignment.size >= (1 << 24) and alignment.dtype == np.int8:
+        from ..io import native
+
+        if native.available():
+            return native.transpose_pad_i8(alignment, s_pad, n_pad, UNKNOWN)
     out = np.full((s_pad, n_pad), UNKNOWN, dtype=np.int8)
     out[:s, :n] = alignment.T
     return out
