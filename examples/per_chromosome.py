@@ -32,8 +32,12 @@ def synthetic_vcf(path, n_samples=40, sites_per_chrom=24, rng=None):
     for chrom, base in (("chr1", 10_000), ("chr2", 5_000)):
         # Two LD blocks per chromosome: sites in a block share a haplotype.
         for s in range(sites_per_chrom):
-            block_seed = (chrom, s // (sites_per_chrom // 2))
-            block_rng = np.random.default_rng(abs(hash(block_seed)) % 2**32)
+            import zlib
+
+            block = s // (sites_per_chrom // 2)
+            # Deterministic across processes (str hash() is salted).
+            block_rng = np.random.default_rng(
+                zlib.crc32(f"{chrom}/{block}".encode()))
             hap = block_rng.integers(0, 2, size=2 * n_samples)
             noise = rng.random(2 * n_samples) < 0.1
             hap = np.where(noise, 1 - hap, hap)

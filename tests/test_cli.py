@@ -300,7 +300,10 @@ def test_degenerate_single_site_modes(tmp_path, capsys):
     rc, out = _run(capsys, "--file", str(f), "--ld-decay", "0,10")
     assert rc == 0
     assert json.loads(out) == {"edges": [0, 10], "n_pairs": [0],
-                               "r2_sum": [0.0], "r2_mean": [None]}
+                               "r2_sum": [0.0], "r2_mean": [None],
+                               "abs_d_prime_sum": [0.0],
+                               "abs_d_prime_mean": [None],
+                               "n_d_prime_finite": [0]}
     rc, out = _run(capsys, "--file", str(f), "--prune-r2", "0.5")
     assert rc == 0 and out.split() == ["0"]  # the lone site is kept
     assert main(["--file", str(f), "--ld-decay", "9,9"]) == 2
@@ -355,8 +358,6 @@ def test_site_stats(tmp_path, capsys):
     assert rows[2][1:4] == ["1.0", "0", "0.6"]
 
     # Oracle: values equal the host mask math on the same alignment.
-    import io as _io
-
     from weightedld_tpu.io.fasta import read_fasta
     from weightedld_tpu.pipeline import WldConfig, site_stats
 
@@ -408,3 +409,20 @@ def test_ingest_errors_are_clean(tmp_path, capsys):
 
     assert main(["--file", str(ragged), "--site-stats", "-"]) == 2
     assert "ragged" in capsys.readouterr().err
+
+
+def test_query_mode_flag_combinations(tmp_path, capsys):
+    # --list-chroms joins the mutually-exclusive mode list, and the
+    # pre-analysis query modes refuse --save-prepared (they never ingest,
+    # so the cache would silently not be written).
+    f = tmp_path / "t5.fasta"
+    write_fasta(f, ALL_FASTAS["t5"])
+    assert main(["--file", str(f), "--list-chroms", "--stats-only"]) == 2
+    assert "mutually exclusive" in capsys.readouterr().err
+    assert main(["--file", str(f), "--list-chroms",
+                 "--save-prepared", str(tmp_path / "p.npz")]) == 2
+    assert "--save-prepared" in capsys.readouterr().err
+    # Missing files exit 2 with a one-line error on every entry path.
+    for extra in ([], ["--list-chroms"], ["--site-stats", "-"]):
+        assert main(["--file", str(tmp_path / "nope.vcf")] + extra) == 2
+        assert capsys.readouterr().err.startswith("error:")

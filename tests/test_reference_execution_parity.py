@@ -376,5 +376,8 @@ def test_auto_config_session_matches_reference(ref):
     for key, (d, dp, r2) in expected.items():
         np.testing.assert_allclose(got[key][0], d, atol=2e-4,
                                    err_msg=f"D {key}")
+        if np.isfinite(dp) and np.isfinite(got[key][1]):
+            np.testing.assert_allclose(got[key][1], dp, atol=5e-4,
+                                       err_msg=f"D' {key}")
         np.testing.assert_allclose(got[key][2], r2, atol=5e-4,
                                    err_msg=f"r2 {key}")

@@ -209,10 +209,17 @@ def main(argv=None) -> int:
         ("--top", args.top is not None),
         ("--prune-r2", args.prune_r2 is not None),
         ("--site-stats", args.site_stats is not None),
+        ("--list-chroms", args.list_chroms),
     ) if on]
     if len(modes) > 1:
         print(f"error: {' and '.join(modes)} are mutually exclusive "
               "output modes", file=sys.stderr)
+        return 2
+    if (args.list_chroms or args.site_stats is not None) \
+            and args.save_prepared is not None:
+        print("error: --save-prepared has no effect with a pre-analysis "
+              "query mode (--list-chroms/--site-stats); run them "
+              "separately", file=sys.stderr)
         return 2
     if args.matrix_output is not None and args.r2_threshold is not None:
         print("warning: --matrix-output writes complete matrices; "
@@ -247,7 +254,7 @@ def main(argv=None) -> int:
         try:
             for c in list_chromosomes(args.file):
                 print(c)
-        except VcfError as e:
+        except (VcfError, OSError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
         return 0
@@ -275,7 +282,7 @@ def main(argv=None) -> int:
 
         try:
             stats = _site_stats(args.file, cfg)
-        except ValueError as e:
+        except (ValueError, OSError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
         if str(args.site_stats) == "-":
@@ -312,8 +319,8 @@ def main(argv=None) -> int:
     elif args.file is not None:
         try:
             res = prepare(args.file, cfg)
-        except ValueError as e:  # VcfError, ragged FASTA, bad codes, ...
-            print(f"error: {e}", file=sys.stderr)
+        except (ValueError, OSError) as e:  # VcfError, ragged FASTA,
+            print(f"error: {e}", file=sys.stderr)   # missing file, ...
             return 2
     else:
         print("error: --file or --load-prepared is required", file=sys.stderr)
@@ -364,7 +371,10 @@ def main(argv=None) -> int:
                 return 2
             nb = len(edges) - 1
             print(json.dumps({"edges": list(edges), "n_pairs": [0] * nb,
-                              "r2_sum": [0.0] * nb, "r2_mean": [None] * nb}))
+                              "r2_sum": [0.0] * nb, "r2_mean": [None] * nb,
+                              "abs_d_prime_sum": [0.0] * nb,
+                              "abs_d_prime_mean": [None] * nb,
+                              "n_d_prime_finite": [0] * nb}))
             return 0
         if args.r2_hist is not None:
             import json

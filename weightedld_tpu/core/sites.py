@@ -98,11 +98,31 @@ def site_histogram_host(alignment) -> "np.ndarray":
     )
 
 
+def site_fractions_host(counts, n_seqs: int):
+    """Per-site fractions (float64) from ``[S, 5]`` allele counts: the
+    quantities the reference's masks are judged on (``WeightedLD.py:68,
+    79-87``).  Returns ``(coverage, major, total, minor_fraction)`` —
+    concrete-ACGT fraction, major count, 0..4 total, all-minor fraction
+    (0.0 at invariant sites).  Shared by the mask path and the
+    ``site_stats`` diagnostic report so the math cannot drift."""
+    import numpy as np
+
+    coverage = counts[:, :N_CONCRETE].sum(axis=1) / n_seqs
+    major = counts.max(axis=1)
+    total = counts.sum(axis=1)
+    minor = total - major
+    minor_fraction = np.zeros(counts.shape[0], dtype=np.float64)
+    nz = minor > 0
+    minor_fraction[nz] = minor[nz] / total[nz]   # major + minor == total
+    return coverage, major, total, minor_fraction
+
+
 def compute_variable_sites_host(
     alignment,
     min_acgt: float,
     min_variability: float,
     max_minor: float = 1.0,
+    counts=None,
 ):
     """Float64 host (NumPy) twin of :func:`compute_variable_sites`.
 
@@ -118,21 +138,16 @@ def compute_variable_sites_host(
 
     alignment = np.asarray(alignment)
     n_seqs = alignment.shape[0]
-    counts = site_histogram_host(alignment)
-    concrete = counts[:, :N_CONCRETE].sum(axis=1)  # coverage, no extra scan
-    sufficient_data = concrete / n_seqs > min_acgt
-
-    major = counts.max(axis=1)
-    total = counts.sum(axis=1)
-    minor = total - major
-    has_variation = minor > 0
-    minor_fraction = np.zeros(alignment.shape[1], dtype=np.float64)
-    nz = has_variation
-    minor_fraction[nz] = minor[nz] / (major[nz] + minor[nz])
+    if counts is None:  # callers with a histogram in hand pass it in
+        counts = site_histogram_host(alignment)
+    coverage, major, total, minor_fraction = site_fractions_host(
+        counts, n_seqs)
+    sufficient_data = coverage > min_acgt
     has_min_variability = minor_fraction >= min_variability
 
     ld_mask = sufficient_data & has_min_variability
     if max_minor < 1.0:
+        nz = total - major > 0
         sorted_counts = np.sort(counts, axis=1)
         dom = sorted_counts[:, -2]
         dom_frac = np.zeros(alignment.shape[1], dtype=np.float64)

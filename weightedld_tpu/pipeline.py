@@ -148,7 +148,7 @@ def site_stats(path: str | Path, cfg: WldConfig | None = None) -> dict:
     """
     import numpy as np
 
-    from .core.sites import site_histogram_host
+    from .core.sites import site_fractions_host, site_histogram_host
 
     cfg = cfg or WldConfig()
     if str(path).endswith((".vcf", ".vcf.gz")):
@@ -157,19 +157,13 @@ def site_stats(path: str | Path, cfg: WldConfig | None = None) -> dict:
         alignment = read_fasta(path)
         site_map = np.arange(alignment.shape[1], dtype=np.int64)
     n_seqs = alignment.shape[0]
-    counts = site_histogram_host(alignment)              # [S, 5]
-    from .core.encode import N_CONCRETE
-
-    coverage = counts[:, :N_CONCRETE].sum(axis=1) / n_seqs
+    counts = site_histogram_host(alignment)              # ONE [S, 5] scan
+    coverage, _major, _total, minor_fraction = site_fractions_host(
+        counts, n_seqs)
     major_code = counts.argmax(axis=1)                   # argmax: ties -> low
-    major = counts.max(axis=1)
-    total = counts.sum(axis=1)
-    minor = total - major
-    minor_fraction = np.zeros(len(counts), dtype=np.float64)
-    nz = minor > 0
-    minor_fraction[nz] = minor[nz] / total[nz]           # major+minor == total
     hk, ld = compute_variable_sites_host(
-        alignment, cfg.min_acgt, cfg.min_variability, cfg.max_minor
+        alignment, cfg.min_acgt, cfg.min_variability, cfg.max_minor,
+        counts=counts,
     )
     return {
         "site": np.asarray(site_map),
