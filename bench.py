@@ -45,6 +45,17 @@ def synthetic_alignment(rng, n_seqs, n_sites):
 
 
 def bench_tpu() -> tuple[float, int]:
+    """One retry: the TPU tunnel occasionally drops a dispatch mid-run —
+    a transient failure should not void the whole benchmark record."""
+    try:
+        return _bench_tpu_once()
+    except Exception as e:
+        print(f"[bench] transient TPU failure ({e!r}); retrying once",
+              file=sys.stderr)
+        return _bench_tpu_once()
+
+
+def _bench_tpu_once() -> tuple[float, int]:
     import jax
 
     from weightedld_tpu.core.henikoff import henikoff_weights
