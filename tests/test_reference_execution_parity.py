@@ -45,6 +45,26 @@ def ref():
     return wld_ref
 
 
+def _pair_has_count_tie(col_a, col_b) -> bool:
+    """True when either site of the pair has a count tie among its top-3
+    symbols AFTER the unknown filter.  There the reference's behavior is
+    UNSPECIFIED: its per-pair ``np.argsort(-counts)`` uses numpy's
+    unstable default quicksort, so the major/domMinor pick is content-
+    and numpy-version-dependent (verified: counts [1,2,4,4] -> major is
+    code 3, [2,4,4] -> code 2).  A top-2 tie only flips D's sign; a
+    rank-2/3 tie changes the kept-sequence set entirely — so tie pairs
+    are excluded from strict cross-implementation comparison (the
+    framework itself is deterministic: smallest code, the Rust rule)."""
+    keep = (col_a != 5) & (col_b != 5)
+    for col in (col_a[keep], col_b[keep]):
+        _u, c = np.unique(col, return_counts=True)
+        cs = np.sort(c)
+        if len(cs) >= 2 and (cs[-1] == cs[-2]
+                             or (len(cs) >= 3 and cs[-2] == cs[-3])):
+            return True
+    return False
+
+
 def _ref_ld_rows(ref, alignment, weights, site_map):
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -102,8 +122,16 @@ def test_masks_weights_ld_match_reference(ref, seed, n_seqs, n_sites, kw):
     got = {(int(a), int(b)): (float(d), float(dp), float(r2))
            for a, b, d, dp, r2 in zip(rec.pos_a, rec.pos_b,
                                       rec.d, rec.d_prime, rec.r2)}
-    assert set(got) == set(expected)
+    # Pairs with per-pair count ties are excluded: the reference's pick
+    # there is unstable-argsort-arbitrary (see _pair_has_count_tie).
+    pos_to_col = {int(p): i for i, p in enumerate(site_map)}
+    tie = {key for key in set(got) | set(expected)
+           if _pair_has_count_tie(trimmed[:, pos_to_col[key[0]]],
+                                  trimmed[:, pos_to_col[key[1]]])}
+    assert set(got) - tie == set(expected) - tie
     for key, (d, dp, r2) in expected.items():
+        if key in tie:
+            continue
         gd, gdp, gr2 = got[key]
         np.testing.assert_allclose(gd, d, atol=2e-4, err_msg=f"D {key}")
         if np.isfinite(dp) and np.isfinite(gdp):
@@ -372,8 +400,14 @@ def test_auto_config_session_matches_reference(ref):
     for _, r in sess.stream():
         for a, b, d, dp, r2 in zip(r.pos_a, r.pos_b, r.d, r.d_prime, r.r2):
             got[(int(a), int(b))] = (float(d), float(dp), float(r2))
-    assert set(got) == set(expected)
+    pos_to_col = {int(p): i for i, p in enumerate(site_map)}
+    tie = {key for key in set(got) | set(expected)
+           if _pair_has_count_tie(trimmed[:, pos_to_col[key[0]]],
+                                  trimmed[:, pos_to_col[key[1]]])}
+    assert set(got) - tie == set(expected) - tie
     for key, (d, dp, r2) in expected.items():
+        if key in tie:
+            continue
         np.testing.assert_allclose(got[key][0], d, atol=2e-4,
                                    err_msg=f"D {key}")
         if np.isfinite(dp) and np.isfinite(got[key][1]):
@@ -381,3 +415,33 @@ def test_auto_config_session_matches_reference(ref):
                                        err_msg=f"D' {key}")
         np.testing.assert_allclose(got[key][2], r2, atol=5e-4,
                                    err_msg=f"r2 {key}")
+
+
+def test_unstable_argsort_tie_only_flips_d_sign(ref):
+    # The case the extended parity campaign discovered: per-pair counts
+    # [1,2,4,4] at one site.  numpy's unstable argsort makes the
+    # reference's major/domMinor pick arbitrary there; the framework picks
+    # the smallest code deterministically.  Whatever the reference picks,
+    # |D|, D' and r2 must agree — a top-2 relabeling can only flip D's
+    # sign.
+    from weightedld_tpu.core.ld_dense import (extract_records,
+                                              ld_all_pairs_dense)
+
+    col_a = np.array([1, 4, 2, 1, 1, 1, 1, 1, 1, 1, 1], dtype=np.int8)
+    col_b = np.array([2, 1, 2, 3, 1, 0, 2, 3, 2, 3, 3], dtype=np.int8)
+    assert _pair_has_count_tie(col_a, col_b)
+    aln = np.stack([col_a, col_b], axis=1)
+    w = np.ones(11, dtype=np.float64)
+
+    expected = _ref_ld_rows(ref, aln, w, np.arange(2))
+    assert (0, 1) in expected
+    d_ref, dp_ref, r2_ref = expected[(0, 1)]
+
+    rec = extract_records(
+        ld_all_pairs_dense(jnp.asarray(aln), jnp.asarray(w, jnp.float32)),
+        np.arange(2),
+    )
+    assert len(rec.pos_a) == 1
+    np.testing.assert_allclose(abs(float(rec.d[0])), abs(d_ref), atol=2e-4)
+    np.testing.assert_allclose(float(rec.d_prime[0]), dp_ref, atol=5e-4)
+    np.testing.assert_allclose(float(rec.r2[0]), r2_ref, atol=5e-4)

@@ -23,10 +23,16 @@ D / D' / r^2 algebra) is branch-free element-wise arithmetic over the
 (T_a, T_b) pair tile (VPU work), implemented in :func:`finalize_pair_tile`.
 
 Parity notes (vs ``WeightedLD.py``):
-* Major / dominant-minor tie-breaking picks the smallest symbol code, matching
-  the reference's stable ``argsort(-counts)`` over ascending unique symbols
-  (``WeightedLD.py:203-209``); we encode it as ``count * 8 + (5 - code)`` and
-  take an argmax.
+* Major / dominant-minor tie-breaking picks the smallest symbol code —
+  matching the reference's Rust scan (``lib.rs:126-140``) and the Python
+  comment's stated intent ("if two are equal takes first",
+  ``WeightedLD.py:208``).  N.b. the Python reference's ACTUAL tie order is
+  unspecified: ``np.argsort(-counts)`` (``:204,209``) uses numpy's default
+  quicksort, which is not stable — on count ties the picked symbol is
+  content- and numpy-version-dependent (e.g. counts ``[1,2,4,4]`` yield
+  major=code 3 but ``[2,4,4]`` major=code 2).  On a top-2 tie only D's
+  sign is affected (relabeling; D'/r^2 invariant).  We encode the
+  deterministic rule as ``count * 8 + (5 - code)`` and take an argmax.
 * Skip rules: (1) fewer than two distinct symbols at either site after the
   unknown-sequence filter (``WeightedLD.py:196-201``); (2) ``round(PA,1)==1.0``
   or ``round(PB,1)==1.0`` (``WeightedLD.py:234-237``) — PA there is a
@@ -112,8 +118,9 @@ def major_dom_minor(cnt: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         cnt: ``[..., 5]`` int32 allele counts.
     Returns:
         ``(major, dom_minor)`` int32 arrays shaped ``[...]``.  Ties pick the
-        smallest code (ref ``WeightedLD.py:203-209``; same as Rust
-        ``lib.rs:126-140``).
+        smallest code (the Rust reference's rule, ``lib.rs:126-140``, and
+        the Python comment's intent; Python's actual unstable-argsort tie
+        order is unspecified — see the module docstring).
     """
     code_bonus = (N_ALLELES - jnp.arange(N_ALLELES, dtype=jnp.int32))
     score = cnt * 8 + code_bonus
