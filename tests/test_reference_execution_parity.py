@@ -445,3 +445,32 @@ def test_unstable_argsort_tie_only_flips_d_sign(ref):
     np.testing.assert_allclose(abs(float(rec.d[0])), abs(d_ref), atol=2e-4)
     np.testing.assert_allclose(float(rec.d_prime[0]), dp_ref, atol=5e-4)
     np.testing.assert_allclose(float(rec.r2[0]), r2_ref, atol=5e-4)
+
+
+def test_vcf_info_pipe_crashes_reference_we_parse(ref, tmp_path):
+    # INFO fields containing digit|digit (e.g. allele-specific annotations
+    # like 'AF=1|2') survive the reference's pipe-cleanup regexes
+    # (WeightedLD.py:350-353 delete only [^0-9]|[^0-9]), so its '|'->tab
+    # split shifts the column indexing and int('GT') raises ValueError —
+    # the reference defines no output for such files.  The column-wise
+    # reader parses them correctly (io/vcf.py 'Extensions').
+    from weightedld_tpu.io.vcf import read_vcf
+
+    hdr = ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+           + "\t".join(f"s{i}" for i in range(14)))
+    gts = "\t".join(["0|1"] * 14)
+    body = "\n".join([
+        "##x", hdr,
+        f"1\t7\trs\tA\tT\t100\tPASS\tAF=1|2\tGT\t{gts}",
+        f"1\t9\trs\tA\tT\t100\tPASS\tAF=1|2\tGT\t{gts}",
+        "",
+    ])
+    f = tmp_path / "info_pipe.vcf"
+    f.write_text(body)
+
+    with pytest.raises(ValueError):
+        ref.handle_vcf(str(f))
+
+    aln, sm = read_vcf(f)
+    assert aln.shape == (28, 2) and sm.tolist() == [7, 9]
+    assert set(np.unique(aln)) <= {0, 1}

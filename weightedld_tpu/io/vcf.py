@@ -24,11 +24,13 @@ whole-line regex munging.  Semantics preserved:
 
 Extensions beyond the reference: genotype fields may carry ``:``-separated
 FORMAT subfields (only the leading GT is read), haploid calls ``a`` are
-accepted as a single haplotype, and fully-missing diploid calls ``.|.``
+accepted as a single haplotype, fully-missing diploid calls ``.|.``
 decode as two missing haplotypes — the reference's strip regex
 (``WeightedLD.py:352``) deletes such fields outright and crashes on the
-empty token (verified by executing it:
-``tests/test_reference_execution_parity.py``).
+empty token — and INFO/annotation fields containing ``digit|digit``
+(e.g. ``AF=1|2``) parse correctly, where the reference's pipe-cleanup
+misses them, shifts its column indexing, and crashes (both verified by
+executing it: ``tests/test_reference_execution_parity.py``).
 """
 
 from __future__ import annotations
