@@ -45,11 +45,19 @@ def synthetic_alignment(rng, n_seqs, n_sites):
 
 
 def bench_tpu() -> tuple[float, int]:
-    """One retry: the TPU tunnel occasionally drops a dispatch mid-run —
-    a transient failure should not void the whole benchmark record."""
+    """One retry, but ONLY for runtime-transport failures the TPU tunnel
+    actually produces (JaxRuntimeError from a dropped dispatch, OS-level
+    connection errors).  Deterministic Python-side failures — shape or
+    assertion bugs, tracer errors — re-raise immediately so they can
+    never be papered over by a clean-looking second run."""
     try:
         return _bench_tpu_once()
     except Exception as e:
+        from jax.errors import JaxRuntimeError
+
+        transient = (JaxRuntimeError, ConnectionError, TimeoutError)
+        if not isinstance(e, transient):
+            raise
         print(f"[bench] transient TPU failure ({e!r}); retrying once",
               file=sys.stderr)
         return _bench_tpu_once()

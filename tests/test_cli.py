@@ -328,6 +328,24 @@ def test_r2_hist_cli(tmp_path, capsys):
     assert main(["--file", str(f), "--r2-hist", "0,1", "--top", "2"]) == 2
 
 
+def test_r2_hist_validates_before_session(tmp_path, capsys, monkeypatch):
+    # Bad edge lists must exit 2 BEFORE the session pays the alignment
+    # upload + kernel compile (the validate-before-compile contract that
+    # --ld-decay already honors).
+    import weightedld_tpu.cli as cli
+
+    f = tmp_path / "t1.fasta"
+    write_fasta(f, ALL_FASTAS["t1"])
+
+    def boom(*a, **k):
+        raise AssertionError("session built before --r2-hist validation")
+
+    monkeypatch.setattr(cli, "_build_session", boom)
+    for bad in ("0.5,0.1", "0.3", "a,b"):
+        assert main(["--file", str(f), "--r2-hist", bad]) == 2
+        assert "--r2-hist" in capsys.readouterr().err
+
+
 def test_r2_hist_degenerate_single_site(tmp_path, capsys):
     f = tmp_path / "one.fasta"
     write_fasta(f, ["AAAA", "AAAA", "TAAA", "TAAA"])  # one LD site

@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile", type=int, default=None,
                    help="site-tile side (default: auto — 256 on TPU, "
                    "128 elsewhere)")
+    p.add_argument("--seq-chunk", type=int, default=None,
+                   help="sequence-axis chunk of the TPU kernel (default: "
+                   "auto — the candidate minimizing modeled per-tile cost; "
+                   "set explicitly to resume a checkpoint taken under an "
+                   "older auto policy)")
     p.add_argument("--weight-quant",
                    choices=("none", "split_bf16", "lo_int8", "int8",
                             "int8x3"),
@@ -173,6 +178,7 @@ def _build_session(args, res, mesh, r2_threshold=None):
             tile=args.tile,
             tiles_per_shard_batch=args.tiles_per_batch,
             r2_threshold=r2_threshold,
+            seq_chunk=args.seq_chunk,
             max_site_distance=args.max_distance,
             weight_quant=args.weight_quant,
         ),
@@ -379,16 +385,14 @@ def main(argv=None) -> int:
         if args.r2_hist is not None:
             import json
 
+            from .runtime.driver import validate_hist_edges
+
             try:
-                edges = [float(x) for x in args.r2_hist.split(",")]
-                if len(edges) < 2 or any(b <= a for a, b in
-                                         zip(edges, edges[1:])):
-                    raise ValueError(f"edges must be ascending with >= 2 "
-                                     f"entries, got {edges}")
+                edges = validate_hist_edges(args.r2_hist.split(","))
             except ValueError as e:
                 print(f"error: --r2-hist: {e}", file=sys.stderr)
                 return 2
-            print(json.dumps({"edges": edges,
+            print(json.dumps({"edges": list(edges),
                               "n_pairs": [0] * (len(edges) - 1)}))
             return 0
         body = "posa\tposb\tD\tD'\tR2\n"
@@ -513,19 +517,18 @@ def main(argv=None) -> int:
     if args.r2_hist is not None:
         import json
 
+        from .runtime.driver import validate_hist_edges
+
         try:
-            edges = [float(x) for x in args.r2_hist.split(",")]
-        except ValueError:
-            print(f"error: --r2-hist needs comma-separated numeric edges, "
-                  f"got {args.r2_hist!r}", file=sys.stderr)
+            # Validate BEFORE building the session (like --ld-decay): a bad
+            # edge list must not cost the alignment upload + kernel compile.
+            edges = validate_hist_edges(args.r2_hist.split(","))
+        except ValueError as e:
+            print(f"error: --r2-hist: {e}", file=sys.stderr)
             return 2
         session = _build_session(args, res, mesh)
-        try:
-            with device_trace(trace_dir):
-                out = session.r2_histogram(edges)
-        except ValueError as e:
-            print(f"error: {e}", file=sys.stderr)
-            return 2
+        with device_trace(trace_dir):
+            out = session.r2_histogram(edges)
         out["elapsed_s"] = time.monotonic() - t0
         print(json.dumps(out))
         return 0
@@ -655,6 +658,7 @@ def main(argv=None) -> int:
             tile=args.tile,
             tiles_per_shard_batch=args.tiles_per_batch,
             r2_threshold=args.r2_threshold,
+            seq_chunk=args.seq_chunk,
             max_site_distance=args.max_distance,
             weight_quant=args.weight_quant,
         )

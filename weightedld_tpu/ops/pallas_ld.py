@@ -530,6 +530,23 @@ def _ld_finalize(tile: int, n_sites: int, planes: tuple,
 ALL_PLANES = (0, 1, 2, 3, 4)
 
 
+def vmem_capable() -> bool:
+    """True when the attached device can take the 64 MB per-kernel
+    scoped-VMEM raise and the large auto tile/chunk rules built on it.
+
+    TPU v4 and later (v4/v5e/v5p/v6e, and the v5e behind the axon tunnel)
+    have 128 MiB physical VMEM per core; v2/v3 have only 16 MiB, where the
+    raised limit exceeds hardware and Mosaic compilation can fail with no
+    fallback — those generations keep the conservative defaults
+    (T=128, seq_chunk <= 512, no limit raise).  Non-TPU backends run the
+    kernel in interpret mode, where no Mosaic VMEM constraint exists."""
+    d = jax.devices()[0]
+    if d.platform not in ("tpu", "axon"):
+        return True
+    kind = d.device_kind.lower()
+    return not ("v2" in kind or "v3" in kind)
+
+
 def detect_planes(alignment: np.ndarray) -> tuple:
     """Allele planes actually present (codes 0..4).
 
@@ -677,13 +694,16 @@ def pallas_tile_stats(
         jax.ShapeDtypeStruct((k, t, t), jnp.int8),
     ]
 
-    # The default scoped-VMEM budget is 16 MB (soft; v5e has 128 MB
+    # The default scoped-VMEM budget is 16 MB (soft; v4+ have 128 MB
     # physical).  Wide sequence chunks (the auto policy's main win) push
     # the working set past it — raise the per-kernel limit with headroom.
     # (Kept well under physical so Mosaic's DMA pipelining still has
-    # space.)
+    # space.)  Gated on device generation: on v2/v3 (16 MiB physical) the
+    # raise would exceed hardware, so those keep the Mosaic default (and
+    # the auto tile/chunk rules keep their working sets under it — see
+    # resolve_tile / resolve_seq_chunk).
     params = None
-    if not interpret:
+    if not interpret and vmem_capable():
         # jax renamed TPUCompilerParams -> CompilerParams (~0.6); support
         # the declared jax floor by taking whichever exists.
         cp = getattr(pltpu, "CompilerParams", None) or pltpu.TPUCompilerParams

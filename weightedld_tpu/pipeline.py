@@ -138,7 +138,10 @@ def site_stats(path: str | Path, cfg: WldConfig | None = None) -> dict:
     - ``coverage``: concrete A/C/G/T fraction (gap excluded,
       ``WeightedLD.py:68``).
     - ``major_code``: most frequent code over 0..4, smallest code on ties
-      — the reference's tie-break (``WeightedLD.py:203-209``).
+      — the deterministic rule this framework uses everywhere (= the Rust
+      reference, ``lib.rs:126-140``, and the Python comment's stated
+      intent; the Python reference's own tie ORDER is unspecified —
+      unstable ``np.argsort``, see ``core/paircore.py``).
     - ``minor_fraction``: all-minor fraction over codes 0..4
       (``WeightedLD.py:79-87``); 0.0 at invariant sites.
     - ``hk`` / ``ld``: the mask verdicts at ``cfg`` thresholds

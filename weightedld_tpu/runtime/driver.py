@@ -97,6 +97,18 @@ def validate_decay_edges(edges) -> tuple:
     return edges
 
 
+def validate_hist_edges(edges) -> tuple:
+    """Validate r2-histogram bin edges early (importable by the CLI so a
+    bad edge list fails BEFORE the session uploads/compiles anything —
+    the same validate-before-compile contract as
+    :func:`validate_decay_edges`): float, ascending, >= 2 entries."""
+    edges = tuple(float(e) for e in edges)
+    if len(edges) < 2 or any(b <= a for a, b in zip(edges, edges[1:])):
+        raise ValueError(
+            f"edges must be ascending with >= 2 entries, got {list(edges)}")
+    return edges
+
+
 SEQ_CHUNKS = (128, 256, 512, 1024, 2048)
 
 
@@ -123,8 +135,15 @@ def resolve_seq_chunk(seq_chunk: int | None, n_seqs: int) -> int:
     ``pallas_tile_stats``.)  An explicit ``seq_chunk`` always wins."""
     if seq_chunk is not None:
         return seq_chunk
+    candidates = SEQ_CHUNKS
+    from ..ops.pallas_ld import vmem_capable
+
+    if not vmem_capable():
+        # v2/v3 (16 MiB VMEM, no per-kernel limit raise): chunks above 512
+        # exceed the default scoped-VMEM budget — keep the old feasible set.
+        candidates = tuple(c for c in SEQ_CHUNKS if c <= 512)
     best_cost, best_c = None, None
-    for c in SEQ_CHUNKS:
+    for c in candidates:
         cost = -(-n_seqs // c) * (_CHUNK_FIXED_COST + c)
         if best_cost is None or cost < best_cost or (
                 cost == best_cost and c > best_c):
@@ -138,15 +157,19 @@ def resolve_tile(tile: int | None, engine: str, alignment: np.ndarray,
     plane counts (p=5 included, since the per-kernel scoped-VMEM raise in
     ``pallas_tile_stats`` — the 16 MB default was what used to cap p=5 at
     T=128; T=512 measured 20% SLOWER than 256 at the headline shape, so
-    256 is the ceiling of the auto rule).  An explicit ``tile`` always
-    wins (and can OOM).  ``seq_chunk``/``planes`` are accepted for
-    compatibility; the rule no longer depends on them."""
+    256 is the ceiling of the auto rule).  Gated on ``vmem_capable``:
+    v2/v3 (16 MiB VMEM, no limit raise) stay at the T=128 the default
+    budget is known to fit.  An explicit ``tile`` always wins (and can
+    OOM).  ``seq_chunk``/``planes`` are accepted for compatibility; the
+    rule no longer depends on them."""
     del seq_chunk, planes  # no longer consulted (kept for API compat)
     if tile is not None:
         return tile
     if (_resolve_engine(engine) == "pallas"
             and jax.devices()[0].platform in ("tpu", "axon")):
-        return 256
+        from ..ops.pallas_ld import vmem_capable
+
+        return 256 if vmem_capable() else 128
     return 128
 
 
@@ -565,10 +588,7 @@ class LdSession:
         (use an upper edge > 1.0 to include perfect LD).  One on-device
         pass per batch, O(bins) host traffic; the session r2 threshold is
         ignored."""
-        edges = tuple(float(e) for e in edges)
-        if len(edges) < 2 or any(b <= a for a, b in zip(edges, edges[1:])):
-            raise ValueError(
-                f"edges must be ascending with >= 2 entries, got {edges}")
+        edges = validate_hist_edges(edges)
         runner = make_hist_runner(self.mesh, edges=edges)
         nb = len(edges) - 1
         counts = np.zeros(nb, dtype=np.int64)
@@ -867,15 +887,38 @@ def run_to_tsv(
     h.update(np.asarray(site_map).tobytes())
     fingerprint = h.hexdigest()
 
+    # Resolved-plan echo: written into the checkpoint so a mismatch error
+    # can tell the user exactly which explicit flags reproduce the plan the
+    # checkpoint was taken under (the auto tile/seq_chunk/batch policies
+    # can change across upgrades, which would otherwise strand a pod run's
+    # in-flight checkpoint behind an opaque "delete it" error).
+    resolved = {
+        "tile": cfg_r.tile,
+        "seq_chunk": cfg_r.seq_chunk,
+        "tiles_per_shard_batch": cfg_r.tiles_per_shard_batch,
+        "engine": session.engine,
+        "weight_quant": cfg_r.weight_quant,
+    }
+
     start_batch = 0
     offset = None
     n_written = 0
     if checkpoint and ckpt_path.exists() and out_path.exists():
         state = json.loads(ckpt_path.read_text())
         if state.get("fingerprint") != fingerprint:
+            was = state.get("resolved")
+            hint = (
+                "; the checkpoint ran with resolved "
+                f"tile={was['tile']} seq_chunk={was['seq_chunk']} "
+                f"tiles_per_shard_batch={was['tiles_per_shard_batch']} "
+                f"engine={was['engine']} — re-run with those as explicit "
+                "flags (--tile/--seq-chunk/--tiles-per-batch) to resume it, "
+                "or delete the checkpoint to start over"
+                if was else "; delete it to start over"
+            )
             raise RuntimeError(
                 f"{ckpt_path}: checkpoint belongs to a different run "
-                "(config or input changed); delete it to start over"
+                f"(config or input changed){hint}"
             )
         start_batch = state["next_batch"]
         offset = state["byte_offset"]
@@ -913,6 +956,7 @@ def run_to_tsv(
                     "byte_offset": fh.tell(),
                     "n_records": n_written,
                     "fingerprint": fingerprint,
+                    "resolved": resolved,
                 }))
     if ckpt_path.exists():
         ckpt_path.unlink()
