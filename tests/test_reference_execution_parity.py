@@ -139,6 +139,58 @@ def test_masks_weights_ld_match_reference(ref, seed, n_seqs, n_sites, kw):
         np.testing.assert_allclose(gr2, r2, atol=5e-4, err_msg=f"r2 {key}")
 
 
+@pytest.mark.parametrize("seed", range(120, 150))
+def test_host_f64_weights_bit_equal_to_reference(ref, seed):
+    """The ingest path's f64 host twin must produce BIT-identical weights
+    to the executed reference (WeightedLD.py:101-151) — not just
+    tolerance-equal — so the weights TSV is unconditionally byte-equal.
+    Randomized campaign over gap/ambiguity mixes."""
+    from weightedld_tpu.core.henikoff import henikoff_weights_host
+
+    rng = np.random.default_rng(seed)
+    kw = {}
+    if seed % 3 == 1:
+        kw = {"p_gap": 0.2, "p_unknown": 0.1}
+    elif seed % 3 == 2:
+        kw = {"p_gap": 0.02, "p_unknown": 0.3}
+    aln = random_alignment(rng, int(rng.integers(3, 60)),
+                           int(rng.integers(2, 40)), **kw)
+    # Guard the reference's NaN edge (site with zero concrete alleles):
+    # our twin deliberately diverges there (imputes 0, documented).
+    counts = np.stack([(aln == s).sum(axis=0) for s in range(5)])
+    if (counts.sum(axis=0) == 0).any():
+        aln[0] = 0
+    w_r = ref.henikoff_weighting(aln)
+    w_o = henikoff_weights_host(aln)
+    assert w_o.dtype == np.float64
+    np.testing.assert_array_equal(w_o, w_r)  # bitwise
+
+
+def test_fixture_weights_tsv_bytes_match_reference(ref):
+    """End-of-pipe check on every FASTA fixture: the weights TSV our writer
+    emits from the ingest path equals the one written from the executed
+    reference's float64 weights, byte for byte."""
+    import io as _io
+
+    from .fixtures import ALL_FASTAS
+
+    from weightedld_tpu.core.encode import encode_alignment
+    from weightedld_tpu.io.writer import write_weights
+    from weightedld_tpu.pipeline import _weights_for
+
+    for name, seqs in sorted(ALL_FASTAS.items()):
+        aln = encode_alignment([s.encode() for s in seqs])
+        _hk, ld_r = ref.compute_variable_sites(aln, 0.8, 0.02)
+        trimmed = aln[:, ld_r]
+        if trimmed.shape[1] < 1:
+            continue
+        w_r = ref.henikoff_weighting(trimmed)
+        a, b = _io.StringIO(), _io.StringIO()
+        write_weights(_weights_for(trimmed), a)
+        write_weights(w_r, b)
+        assert a.getvalue() == b.getvalue(), name
+
+
 def test_fixture_fastas_match_reference_end_to_end(ref, tmp_path):
     from .fixtures import ALL_FASTAS
 

@@ -66,6 +66,57 @@ def _counts_and_own(alignment: jnp.ndarray, dtype):
 
 
 
+def henikoff_weights_host(alignment) -> "np.ndarray":
+    """Float64 host (NumPy) twin of :func:`henikoff_weights` — the ingest
+    default for host-visible alignments (mirroring the host-f64 / device-f32
+    split that ``core/sites.py`` uses for the masks).
+
+    Bit-equal to the executed reference's ``henikoff_weighting``
+    (``WeightedLD.py:101-151``): every arithmetic step runs in float64 with
+    the reference's operand grouping — the per-cell denominator is the
+    single product ``unique_base * own_count`` before the reciprocal, the
+    imputation mean divides the pre-imputation site total by the concrete
+    count, and the row/column reductions are whole-array ``np.sum`` calls
+    (NumPy pairwise summation), so the results carry identical bits, which
+    makes weights-TSV parity unconditional instead of empirically-f32-
+    tested.  One deliberate divergence (shared with every variant here): a
+    site with ZERO concrete alleles imputes 0 instead of the reference's
+    0/0 NaN, which would otherwise poison all weights through the final
+    max-normalization (reachable only via the unmasked VCF path).
+
+    The device variants stay the serving path (f32, on-device); this twin
+    needs O(N*S) float64 host memory, so pod-scale ingests use
+    :func:`henikoff_weights_large` instead (see ``pipeline._weights_for``).
+    """
+    import numpy as np
+
+    aln = np.asarray(alignment)
+    n_sites = aln.shape[1]
+    counts = np.stack(
+        [(aln == s).sum(axis=0) for s in range(N_CODES)]
+    ).astype(np.float64)                                       # [6, S]
+    # The reference's verified quirk: ONE global scalar = the number of
+    # unique rows of the 0..4 count matrix (module docstring).  It cancels
+    # under max-normalization but participates in each f64 rounding, so
+    # bit-parity requires keeping it.
+    unique_base = float(len(np.unique(counts[:N_ALLELES], axis=0)))
+    ok = aln != UNKNOWN
+    own = counts[aln, np.arange(n_sites)[None, :]]             # [N, S]
+    contrib = np.zeros(aln.shape, dtype=np.float64)
+    np.divide(1.0, unique_base * own, out=contrib, where=ok)
+    concrete_total = counts[:N_ALLELES].sum(axis=0)            # [S]
+    site_avg = np.zeros(n_sites, dtype=np.float64)
+    np.divide(contrib.sum(axis=0), concrete_total, out=site_avg,
+              where=concrete_total > 0)
+    contrib = np.where(ok, contrib, site_avg[None, :])
+    weights = contrib.sum(axis=1)
+    # Degenerate zero-site / all-ambiguous inputs have max == 0: keep the
+    # reference's 0/0 NaN result (callers gate on < 2 sites before use),
+    # just without numpy's warning — the f32 device paths are silent too.
+    with np.errstate(invalid="ignore"):
+        return weights / weights.max()
+
+
 @partial(jax.jit, static_argnames=("dtype",))
 def henikoff_weights(alignment: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """Per-sequence Henikoff weights, max-normalized to 1.0.

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .core.henikoff import (
-    henikoff_weights,
+    henikoff_weights_host,
     henikoff_weights_large,
     henikoff_weights_paper,
 )
@@ -36,14 +36,18 @@ _LARGE_CELLS = 200_000_000
 
 def _weights_for(alignment_np: np.ndarray, variant: str = "python") -> np.ndarray:
     # Pod-scale inputs take the site-chunked paths FIRST (bounded device
-    # memory) — for both formula variants; a full-matrix paper jit on a
-    # 1e9-cell alignment would materialize several [N, S] f32 temporaries.
+    # memory) — for both formula variants; a full-matrix f64/jit pass on a
+    # 1e9-cell alignment would materialize several [N, S] temporaries.
     if alignment_np.size > _LARGE_CELLS:
         return np.asarray(henikoff_weights_large(alignment_np,
                                                  variant=variant))
     if variant == "paper":
         return np.asarray(henikoff_weights_paper(jnp.asarray(alignment_np)))
-    return np.asarray(henikoff_weights(jnp.asarray(alignment_np)))
+    # Ingest default: the f64 host twin — weights bit-equal to the executed
+    # reference (WeightedLD.py:101-151), making the weights TSV parity
+    # unconditional.  The device/serving paths stay f32 (LdSession's
+    # weights=None on-device variant, the chunked pod path above).
+    return henikoff_weights_host(alignment_np)
 
 
 @dataclass
