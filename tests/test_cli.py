@@ -269,6 +269,40 @@ def test_ld_decay_cli(tmp_path, capsys):
     assert main(["--file", str(f), "--ld-decay", "5,5"]) == 2
 
 
+def test_max_distance_bp_cli(tmp_path, capsys):
+    # bp window on the real t7 VCF: of the 10 golden pairs (SURVEY A.8),
+    # exactly 7 span <= 100 bp — the same population --ld-decay's [0,100)
+    # bin counts.
+    import os
+    import shutil
+
+    src = "/root/reference/tests/t7_1000genome.vcf"
+    if not os.path.exists(src):
+        pytest.skip("reference fixture unavailable")
+    f = tmp_path / "t7.vcf"
+    shutil.copy(src, f)
+    rc, out = _run(capsys, "--file", str(f), "--max-distance-bp", "100",
+                   "--tile", "16")
+    assert rc == 0
+    rows = [ln.split("\t") for ln in out.strip().split("\n")[1:]]
+    assert len(rows) == 7
+    assert all(int(b) - int(a) <= 100 for a, b, *_ in rows)
+    # Composes with pruning: within the window no surviving pair may
+    # exceed the threshold among kept sites.
+    rc, out = _run(capsys, "--file", str(f), "--max-distance-bp", "100",
+                   "--prune-r2", "0.013", "--tile", "16")
+    assert rc == 0
+    kept = {int(x) for x in out.split()}
+    assert kept  # something survives
+    # A decreasing site_map (multi-chromosome style) is refused early.
+    two = tmp_path / "two.vcf"
+    txt = f.read_text().split("\n")
+    hdr_end = next(i for i, ln in enumerate(txt) if ln.startswith("#CHROM"))
+    recs = [ln for ln in txt[hdr_end + 1:] if ln.strip()]
+    two.write_text("\n".join(txt[:hdr_end + 1] + recs + recs[:1]) + "\n")
+    assert main(["--file", str(two), "--max-distance-bp", "100"]) == 2
+
+
 def test_prune_cli(tmp_path, capsys):
     f = tmp_path / "t3.fasta"
     write_fasta(f, ALL_FASTAS["t3"])

@@ -312,6 +312,95 @@ def test_top_pairs_matches_full_scan(rng):
         session.top_pairs(0)
 
 
+def test_bp_window_matches_brute_force(rng):
+    # --max-distance-bp semantics: the windowed scan must equal a
+    # brute-force bp filter of the full record set, exactly — both the
+    # plan-level tile pruning and the in-tile mask (VCF-style irregular
+    # positions spanning several tiles).
+    from weightedld_tpu.runtime.driver import LdSession
+
+    n_seqs, n_sites = 30, 96
+    aln = random_alignment(rng, n_seqs, n_sites)
+    w = (rng.random(n_seqs) + 0.05).astype(np.float32)
+    # Irregular, clumpy positions (some gaps far beyond the window).
+    sm = np.cumsum(rng.integers(1, 60, size=n_sites)).astype(np.int64)
+    full = collect_ld_records(aln, w, sm, DriverConfig(tile=16))
+    for window in (40, 150, 100000):
+        ses = LdSession(aln, w, sm,
+                        DriverConfig(tile=16, max_bp_distance=window,
+                                     tiles_per_shard_batch=2))
+        got = set()
+        vals = {}
+        for _b, rec in ses.stream():
+            for a, b, r2 in zip(rec.pos_a, rec.pos_b, rec.r2):
+                got.add((int(a), int(b)))
+                vals[(int(a), int(b))] = float(r2)
+        want = {(int(a), int(b)): float(r2)
+                for a, b, r2 in zip(full.pos_a, full.pos_b, full.r2)
+                if b - a <= window}
+        assert got == set(want), window
+        for key in want:
+            np.testing.assert_allclose(vals[key], want[key], rtol=1e-6)
+        # summarize() sees the same pair population.
+        assert ses.summarize()["n_pairs"] == len(want)
+
+
+def test_bp_window_composes_with_index_window(rng):
+    from weightedld_tpu.runtime.driver import LdSession
+
+    aln = random_alignment(rng, 25, 80)
+    w = np.ones(25, dtype=np.float32)
+    sm = np.cumsum(rng.integers(1, 30, size=80)).astype(np.int64)
+    full = collect_ld_records(aln, w, sm, DriverConfig(tile=16))
+    pos_to_idx = {int(p): i for i, p in enumerate(sm)}
+    ses = LdSession(aln, w, sm,
+                    DriverConfig(tile=16, max_site_distance=20,
+                                 max_bp_distance=120))
+    got = set()
+    for _b, rec in ses.stream():
+        got |= {(int(a), int(b)) for a, b in zip(rec.pos_a, rec.pos_b)}
+    want = {(int(a), int(b))
+            for a, b in zip(full.pos_a, full.pos_b)
+            if b - a <= 120
+            and pos_to_idx[int(b)] - pos_to_idx[int(a)] <= 20}
+    assert got == want
+
+
+def test_bp_window_rejects_decreasing_site_map(rng):
+    from weightedld_tpu.runtime.driver import LdSession
+
+    aln = random_alignment(rng, 10, 20)
+    sm = np.arange(20)[::-1].copy()
+    with pytest.raises(ValueError, match="non-decreasing"):
+        LdSession(aln, np.ones(10, np.float32), sm,
+                  DriverConfig(tile=16, max_bp_distance=5))
+
+
+def test_top_pairs_concentrated_in_one_tile(rng):
+    # Adversarial case for the tile-max prefilter: ONE tile holds far more
+    # than k of the strongest pairs (a perfect-LD block), while every other
+    # tile has a moderately high max.  The prefilter must still return the
+    # exact top-k multiset.
+    from weightedld_tpu.runtime.driver import LdSession
+
+    n_seqs, n_sites = 40, 96
+    aln = random_alignment(rng, n_seqs, n_sites)
+    # Sites 0..15 (= the first 16x16 tile) perfectly correlated: all the
+    # strongest pairs live in tile (0, 0).
+    block = (rng.random(n_seqs) < 0.5).astype(np.int8)
+    for s in range(16):
+        aln[:, s] = block
+    w = np.ones(n_seqs, dtype=np.float32)
+    sm = np.arange(n_sites)
+    session = LdSession(aln, w, sm,
+                        DriverConfig(tile=16, tiles_per_shard_batch=3))
+    full = collect_ld_records(aln, w, sm, DriverConfig(tile=16))
+    for k in (5, 12, 40):
+        top = session.top_pairs(k)
+        want = np.sort(np.asarray(full.r2))[::-1][:k]
+        np.testing.assert_allclose(np.asarray(top.r2), want, rtol=1e-6)
+
+
 def test_ld_decay_matches_full_scan(rng):
     from weightedld_tpu.runtime.driver import LdSession
 

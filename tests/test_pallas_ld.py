@@ -284,6 +284,199 @@ def test_large_tile_row_chunked_finalize(rng):
                                np.asarray(ref.r2)[keep], rtol=1e-5, atol=1e-6)
 
 
+def _majmin_args(aln, tile, chunk):
+    from weightedld_tpu.ops.pallas_ld import majmin_site_aux
+    from weightedld_tpu.parallel.triangle import plan_tiles
+
+    n_sites = aln.shape[1]
+    plan = plan_tiles(n_sites, tile)
+    codes = jnp.asarray(pad_alignment_site_major(aln, tile, chunk))
+    auxc, auxr = majmin_site_aux(aln, plan.s_pad)
+    return (codes, jnp.asarray(auxc), jnp.asarray(auxr),
+            jnp.asarray(plan.tile_i), jnp.asarray(plan.tile_j),
+            jnp.ones(plan.n_tiles, dtype=jnp.int32))
+
+
+@pytest.mark.parametrize("alphabet,wq", [
+    ((0, 1, 2, 3, 4), ""),          # general DNA, split-bf16
+    ((0, 1, 2, 3, 4), "int8x3"),    # general DNA, default cascade
+    ((0, 1, 4), "int8x3"),          # SNP-style
+    ((0, 1), ""),                   # perfectly-called binary
+    ((0, 3, 4), "int8"),            # bench distribution, lossy mode
+    ((0, 1, 2, 3, 4), "lo_int8"),
+])
+def test_majmin_kernel_bit_equal_general(rng, alphabet, wq):
+    # The factorized major/dmin kernel must be BIT-identical to the general
+    # kernel on no-UNKNOWN inputs: same integer joints / bf16 products,
+    # same f32 combine order (pallas_tile_stats_majmin docstring).
+    from functools import partial as _partial
+
+    from weightedld_tpu.ops.pallas_ld import (
+        pad_weights_int8,
+        pad_weights_lo_int8,
+        pallas_tile_stats_majmin,
+    )
+
+    n_seqs, n_sites, tile, chunk = 50, 70, 16, 64
+    aln = rng.choice(alphabet, size=(n_seqs, n_sites)).astype(np.int8)
+    w = (rng.random(n_seqs) + 0.05).astype(np.float32)
+    w /= w.max()
+    pack = {
+        "": pad_weights,
+        "int8": pad_weights_int8,
+        "int8x3": _partial(pad_weights_int8, levels=3),
+        "lo_int8": pad_weights_lo_int8,
+    }[wq]
+    wr = jnp.asarray(pack(w, chunk))
+    codes, auxc, auxr, ti, tj, em = _majmin_args(aln, tile, chunk)
+    kw = dict(tile=tile, n_sites=n_sites, seq_chunk=chunk, wquant=wq,
+              interpret=True)
+    base = pallas_tile_stats(codes, wr, ti, tj, em, **kw)
+    mm = pallas_tile_stats_majmin(codes, wr, auxc, auxr, ti, tj, em, **kw)
+    np.testing.assert_array_equal(np.asarray(mm.keep), np.asarray(base.keep))
+    keep = np.asarray(base.keep)
+    for f in ("d", "d_prime", "r2"):
+        gb = np.asarray(getattr(base, f))[keep]
+        gm = np.asarray(getattr(mm, f))[keep]
+        fin = np.isfinite(gb)
+        assert (np.isfinite(gm) == fin).all(), f
+        np.testing.assert_array_equal(gm[fin], gb[fin], err_msg=f)  # bitwise
+
+
+def test_majmin_unit_and_exact_weights(rng):
+    from weightedld_tpu.ops.pallas_ld import pallas_tile_stats_majmin
+
+    n_seqs, n_sites, tile, chunk = 48, 40, 16, 64
+    aln = rng.choice([0, 1, 2, 4], size=(n_seqs, n_sites)).astype(np.int8)
+    codes, auxc, auxr, ti, tj, em = _majmin_args(aln, tile, chunk)
+    kw = dict(tile=tile, n_sites=n_sites, seq_chunk=chunk, interpret=True)
+    # Unit weights: single int8 pass.
+    wr = jnp.asarray(pad_weights(np.ones(n_seqs, np.float32), chunk))
+    base = pallas_tile_stats(codes, wr, ti, tj, em, unit_weights=True, **kw)
+    mm = pallas_tile_stats_majmin(codes, wr, auxc, auxr, ti, tj, em,
+                                  unit_weights=True, **kw)
+    np.testing.assert_array_equal(np.asarray(mm.keep), np.asarray(base.keep))
+    keep = np.asarray(base.keep)
+    np.testing.assert_array_equal(np.asarray(mm.r2)[keep],
+                                  np.asarray(base.r2)[keep])
+    # bf16-exact weights: single bf16 pass.
+    w = (np.arange(n_seqs) % 4 + 1).astype(np.float32) / 4.0
+    wr = jnp.asarray(pad_weights(w, chunk))
+    base = pallas_tile_stats(codes, wr, ti, tj, em, exact_weights=True, **kw)
+    mm = pallas_tile_stats_majmin(codes, wr, auxc, auxr, ti, tj, em,
+                                  exact_weights=True, **kw)
+    np.testing.assert_array_equal(np.asarray(mm.keep), np.asarray(base.keep))
+    keep = np.asarray(base.keep)
+    np.testing.assert_array_equal(np.asarray(mm.d)[keep],
+                                  np.asarray(base.d)[keep])
+
+
+def test_majmin_multichunk_accumulation(rng):
+    # n_chunks > 1 exercises the zero-init + accumulate path.
+    from weightedld_tpu.ops.pallas_ld import pallas_tile_stats_majmin
+
+    n_seqs, n_sites, tile, chunk = 150, 40, 16, 64  # 3 chunks
+    aln = rng.choice([0, 1, 3, 4], size=(n_seqs, n_sites)).astype(np.int8)
+    w = (rng.random(n_seqs) + 0.05).astype(np.float32)
+    wr = jnp.asarray(pad_weights(w, chunk))
+    codes, auxc, auxr, ti, tj, em = _majmin_args(aln, tile, chunk)
+    kw = dict(tile=tile, n_sites=n_sites, seq_chunk=chunk, interpret=True)
+    base = pallas_tile_stats(codes, wr, ti, tj, em, **kw)
+    mm = pallas_tile_stats_majmin(codes, wr, auxc, auxr, ti, tj, em, **kw)
+    np.testing.assert_array_equal(np.asarray(mm.keep), np.asarray(base.keep))
+    keep = np.asarray(base.keep)
+    np.testing.assert_array_equal(np.asarray(mm.r2)[keep],
+                                  np.asarray(base.r2)[keep])
+
+
+def test_majmin_session_auto_selected_and_fallback(rng):
+    # The driver enables the factorized kernel when the input has no
+    # UNKNOWN, and falls back to the general kernel when UNKNOWNs make the
+    # per-site margins unsafe; either way records must match the XLA engine.
+    from weightedld_tpu.runtime.driver import DriverConfig, LdSession
+
+    def records_map(rec):
+        return {(int(a), int(b)): (float(d), float(r)) for a, b, d, r in
+                zip(rec.pos_a, rec.pos_b, rec.d, rec.r2)}
+
+    for unsafe_unknown in (False, True):
+        aln = rng.choice([0, 1, 2, 4], size=(40, 50)).astype(np.int8)
+        if unsafe_unknown:
+            aln[3, 7] = 5
+            # A count TIE (c1 == c2 <= u_max margin) forces the fallback.
+            aln[:20, 0] = 0
+            aln[20:, 0] = 1
+        w = (rng.random(40) + 0.05).astype(np.float32)
+        sm = np.arange(50)
+        ses = LdSession(aln, w, sm,
+                        DriverConfig(tile=16, engine="pallas", seq_chunk=64))
+        assert (ses._auxc_dev is None) == unsafe_unknown
+        got = {}
+        for _b, rec in ses.stream():
+            got.update(records_map(rec))
+        from weightedld_tpu.runtime.driver import collect_ld_records
+
+        want = records_map(collect_ld_records(
+            aln, w, sm, DriverConfig(tile=16, engine="xla")))
+        assert set(got) == set(want)
+        for key in want:
+            np.testing.assert_allclose(got[key], want[key], atol=1e-5)
+
+
+def test_majmin_safe_with_sparse_unknowns(rng):
+    # UNKNOWNs present but every site's count margins exceed the worst-case
+    # per-pair removals: the factorized kernel stays exact (bit-equal to
+    # the general kernel) — the margin proof in majmin_safe_with_unknown.
+    from weightedld_tpu.ops.pallas_ld import (
+        majmin_safe_with_unknown,
+        pallas_tile_stats_majmin,
+    )
+
+    n_seqs, n_sites, tile, chunk = 96, 60, 16, 64
+    # Strongly skewed alleles -> wide margins (c1 - c2 and c2 - c3 large).
+    aln = rng.choice([0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 4],
+                     size=(n_seqs, n_sites)).astype(np.int8)
+    aln[:3, :] = 0
+    aln[:24, 0] = 1  # keep site 0's minor well clear of third place
+    # Two UNKNOWN cells (u_max = 1 per site).
+    aln[5, 3] = 5
+    aln[7, 11] = 5
+    assert majmin_safe_with_unknown(aln)
+    w = (rng.random(n_seqs) + 0.05).astype(np.float32)
+    wr = jnp.asarray(pad_weights(w, chunk))
+    codes, auxc, auxr, ti, tj, em = _majmin_args(aln, tile, chunk)
+    kw = dict(tile=tile, n_sites=n_sites, seq_chunk=chunk, interpret=True)
+    base = pallas_tile_stats(codes, wr, ti, tj, em, **kw)
+    mm = pallas_tile_stats_majmin(codes, wr, auxc, auxr, ti, tj, em, **kw)
+    np.testing.assert_array_equal(np.asarray(mm.keep), np.asarray(base.keep))
+    keep = np.asarray(base.keep)
+    for f in ("d", "d_prime", "r2"):
+        gb = np.asarray(getattr(base, f))[keep]
+        gm = np.asarray(getattr(mm, f))[keep]
+        fin = np.isfinite(gb)
+        assert (np.isfinite(gm) == fin).all(), f
+        np.testing.assert_array_equal(gm[fin], gb[fin], err_msg=f)
+
+
+def test_majmin_safety_gate_rejects_tight_margins(rng):
+    from weightedld_tpu.ops.pallas_ld import majmin_safe_with_unknown
+
+    # No unknowns at all: trivially safe.
+    aln = rng.choice([0, 1], size=(30, 20)).astype(np.int8)
+    assert majmin_safe_with_unknown(aln)
+    # One unknown + a site whose top-2 counts tie: unsafe.
+    aln2 = aln.copy()
+    aln2[:15, 0] = 0
+    aln2[15:, 0] = 1
+    aln2[0, 5] = 5
+    assert not majmin_safe_with_unknown(aln2)
+    # Monomorphic sites are safe regardless of unknowns elsewhere.
+    aln3 = np.zeros((30, 20), dtype=np.int8)
+    aln3[0, 5] = 5
+    aln3[:25, 1] = 1  # margins 20 vs u_max 1: safe
+    assert majmin_safe_with_unknown(aln3)
+
+
 def test_int8_cascade_packer_error_bounds(rng):
     # Reconstruction w ~= sum_l a_l q_l: levels=2 within max|w|/64516,
     # levels=3 within one f32 ulp of max|w| (the documented bounds).

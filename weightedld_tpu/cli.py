@@ -135,6 +135,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="windowed LD: only compute pairs at most this many "
                    "kept sites apart (prunes the tile plan to an O(S*W) "
                    "band; forces the tiled engine)")
+    p.add_argument("--max-distance-bp", type=int, default=None,
+                   help="windowed LD in site_map units — base pairs for "
+                   "VCF input (PLINK-style bp window; consistent with "
+                   "--ld-decay's distance axis), original column indices "
+                   "for FASTA.  Prunes the tile plan like --max-distance "
+                   "(composable: intersection) and forces the tiled "
+                   "engine; needs non-decreasing positions (use --chrom "
+                   "on whole-genome VCFs)")
     p.add_argument("--ld-decay", type=str, default=None, metavar="EDGES",
                    help="print a JSON LD-decay curve (kept-pair count and "
                    "mean r2 per distance bin) instead of pair records; "
@@ -180,6 +188,7 @@ def _build_session(args, res, mesh, r2_threshold=None):
             r2_threshold=r2_threshold,
             seq_chunk=args.seq_chunk,
             max_site_distance=args.max_distance,
+            max_bp_distance=args.max_distance_bp,
             weight_quant=args.weight_quant,
         ),
         mesh=mesh,
@@ -340,6 +349,18 @@ def main(argv=None) -> int:
     log.info("prepared %d sequences x %d LD sites in %.2fs", n, s,
              time.monotonic() - t0)
 
+    if args.max_distance_bp is not None:
+        # Validate BEFORE any session upload/compile (the session-level
+        # check raises after setup work on big inputs).
+        sm = np.asarray(res.site_map)
+        if (np.diff(sm) < 0).any() or (
+                sm.size and (sm.min() < 0
+                             or sm.max() > np.iinfo(np.int32).max)):
+            print("error: --max-distance-bp needs non-decreasing site "
+                  "positions that fit int32 (multi-chromosome input? "
+                  "run per chromosome with --chrom)", file=sys.stderr)
+            return 2
+
     if args.weights_output:
         with open_text_output(args.weights_output) as fh:
             write_weights(res.weights, fh)
@@ -409,7 +430,7 @@ def main(argv=None) -> int:
     engine = args.engine
     if engine == "auto":
         engine = "dense" if s <= 2048 else "tiled"
-    if args.max_distance is not None:
+    if args.max_distance is not None or args.max_distance_bp is not None:
         engine = "tiled"
     if args.weight_quant != "none" and engine != "tiled" \
             and args.matrix_output is None:
@@ -660,6 +681,7 @@ def main(argv=None) -> int:
             r2_threshold=args.r2_threshold,
             seq_chunk=args.seq_chunk,
             max_site_distance=args.max_distance,
+            max_bp_distance=args.max_distance_bp,
             weight_quant=args.weight_quant,
         )
         if args.sort:

@@ -68,7 +68,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.encode import N_ALLELES, UNKNOWN
+from ..core.encode import N_ALLELES, N_CODES, UNKNOWN
 from ..core.paircore import PairStats
 
 DEFAULT_SEQ_CHUNK = 512
@@ -407,6 +407,51 @@ def _ld_kernel_unit(tile: int, n_sites: int, planes: tuple, preplaned: bool,
                      load_cnt_a, load_cnt_b)
 
 
+def _pair_algebra(n_mm, n_md, n_dm, n_dd, keep):
+    """Branch-free D/D'/r2 from the four weighted {maj,dmin} x {maj,dmin}
+    haplotype cells, plus the reference's frequency-based skip rules —
+    element-wise over a pair block.  Shared by every kernel finalize
+    (reference semantics ``WeightedLD.py:227-284``)."""
+    total_w = n_mm + n_md + n_dm + n_dd
+    keep = keep & (total_w > 0)
+    safe_w = jnp.where(total_w > 0, total_w, 1.0)
+    inv_w = 1.0 / safe_w
+
+    pa_major = (n_mm + n_md) * inv_w
+    pb_major = (n_mm + n_dm) * inv_w
+    pa_minor = (n_dm + n_dd) * inv_w
+    pb_minor = (n_md + n_dd) * inv_w
+    # round(P,1)==1.0 <=> P >= double(0.95): the reference rounds a
+    # np.float64, whose __round__ scales by 10 and half-evens UP at the
+    # boundary — the PA == 19/20 pair is SKIPPED (see paircore).
+    keep = keep & (pa_major < 0.95) & (pb_major < 0.95)
+    # Zero-major-weight pairs: the reference crashes there (masked PA /
+    # PB at WeightedLD.py:227-235), so they are skipped — see
+    # paircore.finalize_pair_tile.  Keeps kept-pair r2 NaN-free.
+    keep = keep & (n_mm + n_md > 0) & (n_mm + n_dm > 0)
+
+    obs_mm = n_mm * inv_w
+    obs_md = n_md * inv_w
+    obs_dm = n_dm * inv_w
+    obs_dd = n_dd * inv_w
+
+    t0 = pa_major * pb_major - obs_mm
+    t1 = pa_minor * pb_minor - obs_dd
+    t2 = -(pa_major * pb_minor - obs_md)
+    t3 = -(pa_minor * pb_major - obs_dm)
+    d = (t0 + t1 + t2 + t3) * 0.25
+
+    neg = jnp.maximum(-obs_dd, -obs_mm)
+    neg = jnp.where(neg == 0, jnp.minimum(-obs_dd, -obs_mm), neg)
+    pos = jnp.minimum(obs_dm, obs_md)
+    pos = jnp.where(pos == 0, jnp.maximum(obs_dm, obs_md), pos)
+    denom = jnp.where(d < 0, neg, pos)
+    d_prime = d / denom
+
+    r2 = d * d / (pa_major * pa_minor * pb_major * pb_minor)
+    return d, d_prime, r2, keep
+
+
 def _ld_finalize(tile: int, n_sites: int, planes: tuple,
                  ti, tj, em,
                  d_ref, dp_ref, r2_ref, keep_ref,
@@ -478,43 +523,7 @@ def _ld_finalize(tile: int, n_sites: int, planes: tuple,
             n_dm = n_dm + row_dmin[u] * selb_m
             n_dd = n_dd + row_dmin[u] * selb_d
 
-        total_w = n_mm + n_md + n_dm + n_dd
-        keep = keep & (total_w > 0)
-        safe_w = jnp.where(total_w > 0, total_w, 1.0)
-        inv_w = 1.0 / safe_w
-
-        pa_major = (n_mm + n_md) * inv_w
-        pb_major = (n_mm + n_dm) * inv_w
-        pa_minor = (n_dm + n_dd) * inv_w
-        pb_minor = (n_md + n_dd) * inv_w
-        # round(P,1)==1.0 <=> P >= double(0.95): the reference rounds a
-        # np.float64, whose __round__ scales by 10 and half-evens UP at the
-        # boundary — the PA == 19/20 pair is SKIPPED (see paircore).
-        keep = keep & (pa_major < 0.95) & (pb_major < 0.95)
-        # Zero-major-weight pairs: the reference crashes there (masked PA /
-        # PB at WeightedLD.py:227-235), so they are skipped — see
-        # paircore.finalize_pair_tile.  Keeps kept-pair r2 NaN-free.
-        keep = keep & (n_mm + n_md > 0) & (n_mm + n_dm > 0)
-
-        obs_mm = n_mm * inv_w
-        obs_md = n_md * inv_w
-        obs_dm = n_dm * inv_w
-        obs_dd = n_dd * inv_w
-
-        t0 = pa_major * pb_major - obs_mm
-        t1 = pa_minor * pb_minor - obs_dd
-        t2 = -(pa_major * pb_minor - obs_md)
-        t3 = -(pa_minor * pb_major - obs_dm)
-        d = (t0 + t1 + t2 + t3) * 0.25
-
-        neg = jnp.maximum(-obs_dd, -obs_mm)
-        neg = jnp.where(neg == 0, jnp.minimum(-obs_dd, -obs_mm), neg)
-        pos = jnp.minimum(obs_dm, obs_md)
-        pos = jnp.where(pos == 0, jnp.maximum(obs_dm, obs_md), pos)
-        denom = jnp.where(d < 0, neg, pos)
-        d_prime = d / denom
-
-        r2 = d * d / (pa_major * pa_minor * pb_major * pb_minor)
+        d, d_prime, r2, keep = _pair_algebra(n_mm, n_md, n_dm, n_dd, keep)
 
         # Pair validity: strict upper triangle of true sites + emit flag.
         gi = ti * t + lo + jax.lax.broadcasted_iota(jnp.int32, (rc, t), 0)
@@ -547,13 +556,19 @@ def vmem_capable() -> bool:
     return not ("v2" in kind or "v3" in kind)
 
 
-def detect_planes(alignment: np.ndarray) -> tuple:
-    """Allele planes actually present (codes 0..4).
+def detect_planes_unknown(alignment: np.ndarray) -> tuple:
+    """``(planes, has_unknown)``: the allele planes actually present (codes
+    0..4) and whether any UNKNOWN (code 5) cell exists.
 
     SNP matrices from VCFs are usually {0, 1, 4}: dropping absent planes
     shrinks the contraction quadratically (3 planes = 36% of the 5-plane
     FLOPs) with bit-identical results, since absent alleles have zero counts
     everywhere and can never be selected as major/dominant-minor.
+
+    ``has_unknown`` gates the factorized major/dmin kernel
+    (:func:`pallas_tile_stats_majmin`): with no UNKNOWN anywhere, the
+    reference's per-pair allele recomputation (``WeightedLD.py:183-211``)
+    degenerates to per-site quantities — see that kernel's docstring.
     """
     # Presence scan, chunked with early exit once every code is seen.
     # Measured on the 1 GB pod-scale matrix this runs on at session setup:
@@ -562,10 +577,10 @@ def detect_planes(alignment: np.ndarray) -> tuple:
     n_rows = alignment.shape[0]
     row_bytes = max(1, alignment.shape[1] if alignment.ndim > 1 else 1)
     step = max(1, (1 << 24) // row_bytes)          # ~16 MB row chunks
-    found = [False] * N_ALLELES
+    found = [False] * N_CODES
     for lo in range(0, n_rows, step):
         chunk = alignment[lo:lo + step]
-        for c in range(N_ALLELES):
+        for c in range(N_CODES):
             if not found[c] and (chunk == c).any():
                 found[c] = True
         if all(found):
@@ -573,7 +588,13 @@ def detect_planes(alignment: np.ndarray) -> tuple:
     planes = tuple(c for c in range(N_ALLELES) if found[c])
     if len(planes) < 2:
         planes = ALL_PLANES  # degenerate input; keep the general kernel
-    return planes
+    return planes, found[UNKNOWN]
+
+
+def detect_planes(alignment: np.ndarray) -> tuple:
+    """Allele planes actually present (codes 0..4) — see
+    :func:`detect_planes_unknown`."""
+    return detect_planes_unknown(alignment)[0]
 
 
 def weights_bf16_exact(weights: np.ndarray) -> bool:
@@ -715,5 +736,291 @@ def pallas_tile_stats(
         interpret=interpret,
         compiler_params=params,
     )(tile_i, tile_j, emit, codes_sm, codes_sm, weights_row)
+
+    return PairStats(d=d, d_prime=dp, r2=r2, keep=keep.astype(bool))
+
+
+# ---------------------------------------------------------------------------
+# Factorized major/dmin kernel (inputs with no UNKNOWN code anywhere)
+# ---------------------------------------------------------------------------
+
+
+def majmin_safe_with_unknown(alignment: np.ndarray,
+                             counts: np.ndarray | None = None) -> bool:
+    """True when the factorized kernel is exact DESPITE UNKNOWN cells.
+
+    For a pair (i, j) the reference drops sequences with UNKNOWN at either
+    site before recomputing major/dmin (``WeightedLD.py:183-211``).  Site
+    i's per-pair counts therefore differ from its global counts by at most
+    ``U_max = max_j #UNKNOWN(site j)`` decrements spread over its codes.
+    The per-site major/dmin identities — and the distinct>1 verdict — are
+    stable under ANY such removal when, per site, with descending counts
+    ``c1 >= c2 >= c3`` over codes 0..4:
+
+    * ``c2 == 0``: the site is monomorphic and every pair touching it is
+      skipped either way (removals cannot create new alleles); or
+    * ``c1 - c2 > U_max`` (major cannot be overtaken, nor tie) and
+      ``c2 - c3 > U_max`` (the dominant minor cannot be overtaken; it also
+      keeps ``c2' > 0``, preserving distinct > 1).
+
+    The weighted {maj,dmin} cells are exact automatically: the maj/dmin
+    indicator of a site already excludes that site's UNKNOWNs, and a
+    sequence UNKNOWN at the other site fails that side's indicator — so
+    given stable maj/dmin the factorized cells equal the general kernel's
+    selected cells bit-for-bit.
+    """
+    from ..core.sites import site_histogram_host
+
+    if counts is None:
+        counts = site_histogram_host(alignment)
+    counts = counts.astype(np.int64)
+    n_seqs = alignment.shape[0]
+    u_max = int((n_seqs - counts.sum(axis=1)).max())
+    if u_max == 0:
+        return True  # no UNKNOWN anywhere: nothing is ever removed
+    top = np.sort(counts, axis=1)[:, ::-1]                      # desc
+    c1, c2, c3 = top[:, 0], top[:, 1], top[:, 2]
+    safe = (c2 == 0) | ((c1 - c2 > u_max) & (c2 - c3 > u_max))
+    return bool(safe.all())
+
+
+def majmin_site_aux(alignment: np.ndarray, s_pad: int,
+                    counts: np.ndarray | None = None,
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-site (major, dominant-minor, distinct) triples for the
+    factorized kernel, from the host alignment.
+
+    Semantics are exactly the in-kernel ``major_dmin`` rule: integer score
+    ``8 * count + (5 - code)`` over codes 0..4, argmax for major, argmax
+    excluding it for the dominant minor — count ties break to the SMALLER
+    code (the deterministic rule of this framework; the reference's
+    per-pair pick at ties is unspecified, SURVEY §2.4.11).
+
+    Returns ``(auxc [s_pad, 3] int32, auxr [3, s_pad] int32)`` — the same
+    data in column layout (per-row broadcast for the one-hot builds) and
+    row layout (per-column broadcast for the B-side finalize tests).
+    Padded sites carry distinct == 0, so every pair touching them is
+    dropped in-kernel."""
+    if counts is None:
+        from ..core.sites import site_histogram_host
+
+        counts = site_histogram_host(alignment)
+    counts = counts.astype(np.int64)                            # [S, 5]
+    s = counts.shape[0]
+    score = counts * 8 + (N_ALLELES - np.arange(N_ALLELES))[None, :]
+    maj = score.argmax(axis=1)
+    score[np.arange(s), maj] = -1
+    dmin = score.argmax(axis=1)
+    auxc = np.zeros((s_pad, 3), dtype=np.int32)
+    auxc[:s, 0] = maj
+    auxc[:s, 1] = dmin
+    auxc[:s, 2] = (counts > 0).sum(axis=1)
+    return auxc, np.ascontiguousarray(auxc.T)
+
+
+def _ld_kernel_mm(tile: int, n_sites: int, exact_weights: bool, wquant: str,
+                  unit_weights: bool, single_chunk: bool,
+                  ti_ref, tj_ref, em_ref,
+                  a_ref, b_ref, w_ref, auxa_ref, auxb_ref, auxr_ref,
+                  d_ref, dp_ref, r2_ref, keep_ref,
+                  acc_ref):
+    t = tile
+    k = pl.program_id(0)
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    if not single_chunk:
+        @pl.when(c == 0)
+        def _():
+            acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    # Build the PER-SITE-selected one-hot planes: row i of xcat's top half
+    # is the major-allele indicator of site i, bottom half the
+    # dominant-minor indicator (one broadcast compare each — no P-plane
+    # sweep, no validity union).
+    a = a_ref[:, :].astype(jnp.int32)          # (T, Nc)
+    b = b_ref[:, :].astype(jnp.int32)
+    xcat = jnp.concatenate([
+        (a == auxa_ref[:, 0:1]).astype(jnp.int8),
+        (a == auxa_ref[:, 1:2]).astype(jnp.int8),
+    ], axis=0)                                  # (2T, Nc)
+    ycat = jnp.concatenate([
+        (b == auxb_ref[:, 0:1]).astype(jnp.int8),
+        (b == auxb_ref[:, 1:2]).astype(jnp.int8),
+    ], axis=0)
+
+    def dot8(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+
+    def dot16(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )
+
+    # ONE (2T x 2T) contraction block per weight pass delivers all four
+    # {maj,dmin} x {maj,dmin} weighted haplotype cells — the same static
+    # weight-arithmetic variants as the general kernel (module docstring),
+    # with identical per-cell values (same integer joints / bf16 products,
+    # same f32 combine order).
+    if unit_weights:
+        # Counts <= N < 2^24: exact in the f32 accumulator.
+        cells = dot8(xcat, ycat).astype(f32)
+    elif wquant in ("int8", "int8x3") and not exact_weights:
+        nlev = 2 if wquant == "int8" else 3
+        xi = xcat.astype(jnp.int32)
+        cells = None
+        for i in range(nlev):
+            q = w_ref[i:i + 1, :].astype(jnp.int32)
+            xq = (xi * q).astype(jnp.int8)      # one-hot * q fits int8
+            term = w_ref[nlev + i, 0] * dot8(xq, ycat).astype(f32)
+            cells = term if cells is None else cells + term
+    else:
+        w = w_ref[0:1, :]                       # (1, Nc) f32
+        w_hi = w.astype(bf16)
+        xs = xcat.astype(bf16)
+        yu = ycat.astype(bf16)
+        if wquant == "lo_int8" and not exact_weights:
+            q8 = w_ref[1:2, :].astype(jnp.int32)
+            xq = (xcat.astype(jnp.int32) * q8).astype(jnp.int8)
+            cells = (dot16(xs * w_hi, yu)
+                     + w_ref[2, 0] * dot8(xq, ycat).astype(f32))
+        elif not exact_weights:
+            w_lo = (w - w_hi.astype(f32)).astype(bf16)
+            cells = dot16(xs * w_hi, yu) + dot16(xs * w_lo, yu)
+        else:
+            cells = dot16(xs * w_hi, yu)
+
+    if single_chunk:
+        acc_ref[:, :] = cells
+    else:
+        acc_ref[:, :] += cells
+
+    ti = ti_ref[k]
+    tj = tj_ref[k]
+    em = em_ref[k]
+
+    @pl.when(c == n_chunks - 1)
+    def _finalize():
+        rc = min(128, t)
+        dist_b = auxr_ref[2:3, :] > 1           # (1, T)
+        for lo in range(0, t, rc):
+            hi = lo + rc
+            n_mm = acc_ref[lo:hi, 0:t]
+            n_md = acc_ref[lo:hi, t:2 * t]
+            n_dm = acc_ref[t + lo:t + hi, 0:t]
+            n_dd = acc_ref[t + lo:t + hi, t:2 * t]
+            # The monomorphic-pair skip (WeightedLD.py:196-201) is per-site
+            # here (precondition: no UNKNOWN -> per-pair counts == per-site
+            # counts); padded sites carry distinct == 0.
+            keep = (auxa_ref[lo:hi, 2:3] > 1) & dist_b
+            d, d_prime, r2, keep = _pair_algebra(n_mm, n_md, n_dm, n_dd,
+                                                 keep)
+            gi = (ti * t + lo
+                  + jax.lax.broadcasted_iota(jnp.int32, (rc, t), 0))
+            gj = tj * t + jax.lax.broadcasted_iota(jnp.int32, (rc, t), 1)
+            keep = keep & (gi < gj) & (gj < n_sites) & (em != 0)
+            d_ref[0, lo:hi, :] = d
+            dp_ref[0, lo:hi, :] = d_prime
+            r2_ref[0, lo:hi, :] = r2
+            keep_ref[0, lo:hi, :] = keep.astype(jnp.int8)
+
+
+@partial(jax.jit, static_argnames=("tile", "n_sites", "seq_chunk",
+                                   "exact_weights", "unit_weights",
+                                   "wquant", "interpret"))
+def pallas_tile_stats_majmin(
+    codes_sm: jnp.ndarray,     # [S_pad, N_pad] int8 site-major codes
+    weights_row: jnp.ndarray,  # same wquant-dependent layout as
+                               # pallas_tile_stats
+    auxc: jnp.ndarray,         # [S_pad, 3] int32 (major, dmin, distinct)
+    auxr: jnp.ndarray,         # [3, S_pad] int32 — the same, row layout
+    tile_i: jnp.ndarray,       # [K] int32
+    tile_j: jnp.ndarray,       # [K] int32
+    emit: jnp.ndarray,         # [K] int32 (0/1)
+    *,
+    tile: int,
+    n_sites: int,
+    seq_chunk: int = DEFAULT_SEQ_CHUNK,
+    exact_weights: bool = False,
+    unit_weights: bool = False,
+    wquant: str = "",
+    interpret: bool = False,
+) -> PairStats:
+    """Factorized major/dmin kernel: same contract as
+    :func:`pallas_tile_stats`, REQUIRING an alignment with no UNKNOWN
+    (code 5) anywhere — true for every VCF-derived matrix (codes 0..4 by
+    construction) and for FASTA alignments without ambiguity characters.
+
+    Why it exists: the reference recomputes each pair's major/dominant-
+    minor alleles after dropping sequences with UNKNOWN at either site
+    (``WeightedLD.py:183-211``).  With no UNKNOWN anywhere, nothing is
+    ever dropped, so the per-pair counts equal the per-site counts and
+    major/dmin become PER-SITE properties (precomputed once by
+    :func:`majmin_site_aux`).  The D/D'/r2 algebra needs the weighted
+    joint only at the four {maj,dmin} x {maj,dmin} cells, which then
+    factor into ONE (2T x 2T) MXU contraction per weight pass —
+    independent of the alphabet size — instead of the general kernel's
+    (pT x pT) joint plus two count-marginal passes and a P^2 VPU
+    selection sweep.  At p=5 that is a 6.25x MXU FLOP reduction (12.5/2
+    vs 37.5+5 bf16-pass cell-units under int8x3); at the p=3 SNP
+    distribution still ~2.6x.  Cell values are bit-identical to the
+    general kernel's selected cells (same integer joints / bf16 products,
+    same f32 combine order).
+    """
+    k = tile_i.shape[0]
+    n_pad = codes_sm.shape[1]
+    t = tile
+    assert n_pad % seq_chunk == 0
+    n_chunks = n_pad // seq_chunk
+
+    w_rows = weights_row.shape[0]
+    expect_rows = 1
+    if not unit_weights and not exact_weights:
+        expect_rows = {"": 1, "lo_int8": 3, "int8": 4, "int8x3": 6}[wquant]
+    assert w_rows == expect_rows, (
+        "weights layout does not match the wquant mode"
+    )
+    out_block = pl.BlockSpec((1, t, t), lambda g, c, ti, tj, em: (g, 0, 0))
+    single_chunk = n_chunks == 1
+    kernel = partial(_ld_kernel_mm, t, n_sites, exact_weights, wquant,
+                     unit_weights, single_chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(k, n_chunks),
+        in_specs=[
+            pl.BlockSpec((t, seq_chunk), lambda g, c, ti, tj, em: (ti[g], c)),
+            pl.BlockSpec((t, seq_chunk), lambda g, c, ti, tj, em: (tj[g], c)),
+            pl.BlockSpec((w_rows, seq_chunk), lambda g, c, ti, tj, em: (0, c)),
+            pl.BlockSpec((t, 3), lambda g, c, ti, tj, em: (ti[g], 0)),
+            pl.BlockSpec((t, 3), lambda g, c, ti, tj, em: (tj[g], 0)),
+            pl.BlockSpec((3, t), lambda g, c, ti, tj, em: (0, tj[g])),
+        ],
+        out_specs=[out_block, out_block, out_block, out_block],
+        scratch_shapes=[pltpu.VMEM((2 * t, 2 * t), jnp.float32)],
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((k, t, t), jnp.float32),
+        jax.ShapeDtypeStruct((k, t, t), jnp.float32),
+        jax.ShapeDtypeStruct((k, t, t), jnp.float32),
+        jax.ShapeDtypeStruct((k, t, t), jnp.int8),
+    ]
+
+    params = None
+    if not interpret and vmem_capable():
+        cp = getattr(pltpu, "CompilerParams", None) or pltpu.TPUCompilerParams
+        params = cp(vmem_limit_bytes=64 * 1024 * 1024)
+    d, dp, r2, keep = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=params,
+    )(tile_i, tile_j, emit, codes_sm, codes_sm, weights_row,
+      auxc, auxc, auxr)
 
     return PairStats(d=d, d_prime=dp, r2=r2, keep=keep.astype(bool))

@@ -49,7 +49,9 @@ def make_sharded_stats_runner(
     exact_weights: bool = False,
     unit_weights: bool = False,
     wquant: str = "",
+    majmin: bool = False,
     max_site_distance: int | None = None,
+    max_bp_distance: int | None = None,
     interpret: bool = False,
 ):
     """Stats-only sharded pass: evaluate one batch of tiles, apply the r2
@@ -67,7 +69,7 @@ def make_sharded_stats_runner(
     key = (
         "stats", tuple(d.id for d in mesh.devices.flat), tile, n_sites,
         k_per_batch, engine, planes, seq_chunk, exact_weights, unit_weights,
-        wquant, max_site_distance, interpret,
+        wquant, majmin, max_site_distance, max_bp_distance, interpret,
     )
     cached = _RUNNER_CACHE.get(key)
     if cached is not None:
@@ -76,12 +78,25 @@ def make_sharded_stats_runner(
     n_dev = mesh.devices.size
     k = k_per_batch
 
-    def local_fn(codes, weights, ti_all, tj_all, em_all, batch, r2_threshold):
+    def local_fn(codes, weights, auxc, auxr, sm_pad, ti_all, tj_all, em_all,
+                 batch, r2_threshold):
         sl = (batch * k,)
         tile_i = jax.lax.dynamic_slice(ti_all, sl, (k,))
         tile_j = jax.lax.dynamic_slice(tj_all, sl, (k,))
         emit = jax.lax.dynamic_slice(em_all, sl, (k,))
-        if engine == "pallas":
+        if engine == "pallas" and majmin:
+            # No-UNKNOWN inputs: the factorized major/dmin kernel (one
+            # (2T x 2T) contraction block per weight pass — see
+            # pallas_tile_stats_majmin).
+            from ..ops.pallas_ld import pallas_tile_stats_majmin
+
+            st = pallas_tile_stats_majmin(
+                codes, weights, auxc, auxr, tile_i, tile_j, emit,
+                tile=tile, n_sites=n_sites, seq_chunk=seq_chunk,
+                exact_weights=exact_weights, unit_weights=unit_weights,
+                wquant=wquant, interpret=interpret,
+            )
+        elif engine == "pallas":
             from ..ops.pallas_ld import pallas_tile_stats
 
             st = pallas_tile_stats(
@@ -105,6 +120,15 @@ def make_sharded_stats_runner(
             gi = tile_i[:, None, None] * tile + li[None, :, None]
             gj = tile_j[:, None, None] * tile + li[None, None, :]
             keep = keep & (gj - gi <= max_site_distance)
+        if max_bp_distance is not None:
+            # Windowed LD in site_map units (bp for VCF — PLINK-style):
+            # per-tile position lookup from the replicated padded site map,
+            # same mechanics as the decay runner.
+            li = jnp.arange(tile, dtype=jnp.int32)
+            pa = sm_pad[tile_i[:, None] * tile + li[None, :]]   # [K, T]
+            pb = sm_pad[tile_j[:, None] * tile + li[None, :]]
+            keep = keep & (
+                pb[:, None, :] - pa[:, :, None] <= max_bp_distance)
         # Strict > threshold; kept pairs have non-NaN r2 (paircore keep
         # rules skip the reference's crash cases), so thr == -inf emits all.
         mask = keep & (st.r2 > r2_threshold)
@@ -135,14 +159,26 @@ def make_sharded_stats_runner(
     fn = jax.jit(jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(),
+                  P(AXIS), P(AXIS), P(AXIS), P(), P()),
         out_specs=(P(AXIS),) * 9,
         check_vma=False,
     ))
 
-    def runner(codes, weights, ti_all, tj_all, em_all, batch, r2_threshold):
+    # Replicated placeholders for the aux/site-map operands when unused
+    # (the local_fn never touches them; a fixed tiny array keeps the call
+    # signature — and the compiled program — uniform across modes).
+    dummy_aux, dummy_sm = replicate(
+        mesh, np.zeros((1, 1), np.int32), np.zeros(1, np.int32))
+
+    def runner(codes, weights, ti_all, tj_all, em_all, batch, r2_threshold,
+               auxc=None, auxr=None, sm_pad=None):
         return fn(
-            codes, weights, ti_all, tj_all, em_all,
+            codes, weights,
+            dummy_aux if auxc is None else auxc,
+            dummy_aux if auxr is None else auxr,
+            dummy_sm if sm_pad is None else sm_pad,
+            ti_all, tj_all, em_all,
             jnp.int32(batch), jnp.float32(r2_threshold),
         )
 
@@ -156,10 +192,25 @@ def make_topk_runner(mesh: Mesh, *, tile: int, k_out: int):
     """Per-batch top-k selection by r2 over KEPT pairs (threshold-free).
 
     Runs on the device-resident ``[K, T, T]`` stat tensors of a dispatched
-    batch: each shard selects its local top ``k_out`` via ``lax.top_k`` and
-    packs them as ``[1, k_out, 5]`` int32 records (global site indices +
-    D/D'/r2 bitcast) — the same one-fetch transport as ``gather_compact``.
-    Host traffic is O(n_dev * k_out) per batch; the host merges batches.
+    batch: each shard first reduces every tile to its max kept r2 (one
+    cheap sweep), selects the top ``k_out`` CANDIDATE TILES by that max,
+    and only sorts the candidates' ``k_out * T^2`` pairs — instead of a
+    ``lax.top_k`` over the whole batch's K*T^2 values, which lowered to a
+    per-shard sort costing ~15x the stats kernel itself (PERF.md).
+
+    The prefilter is exact up to ties at the k-th value (which the
+    :meth:`~weightedld_tpu.runtime.driver.LdSession.top_pairs` contract
+    already leaves arbitrary): any pair with r2 strictly above the k-th
+    value lives in a tile whose max is outranked by at most k-1 other tile
+    maxes — if k tiles outranked it, each would contain a pair at least as
+    large, contradicting the pair's top-k membership — so all such pairs
+    are inside the candidate set, and when some tile holding a tied pair
+    falls outside, the k candidate tiles each contribute a pair >= the
+    k-th value anyway.
+
+    Packs ``[1, k_out, 5]`` int32 records (global site indices + D/D'/r2
+    bitcast) — the same one-fetch transport as ``gather_compact``.  Host
+    traffic is O(n_dev * k_out) per batch; the host merges batches.
     Slots beyond the shard's kept-pair count carry r2 == -inf (filter them
     after the bitcast round-trip)."""
     key = ("topk", tuple(d.id for d in mesh.devices.flat), tile, k_out)
@@ -169,16 +220,21 @@ def make_topk_runner(mesh: Mesh, *, tile: int, k_out: int):
 
     def local_fn(d, dp, r2, keep, tile_i, tile_j):
         t = tile
-        flat = jnp.where(keep, r2, -jnp.inf).reshape(-1)
-        kk = min(k_out, flat.shape[0])
-        vals, idx = jax.lax.top_k(flat, kk)
         t2 = t * t
-        kt = idx // t2
+        masked = jnp.where(keep, r2, -jnp.inf)           # [K, T, T]
+        tile_max = masked.max(axis=(1, 2))               # [K]
+        kt_n = min(k_out, tile_max.shape[0])
+        _mv, cand = jax.lax.top_k(tile_max, kt_n)        # [kt_n] tile ids
+        sub = masked[cand].reshape(-1)                   # [kt_n * T^2]
+        kk = min(k_out, sub.shape[0])
+        vals, idx = jax.lax.top_k(sub, kk)
+        kt = cand[idx // t2]
         rem = idx % t2
         gi = tile_i[kt] * t + rem // t
         gj = tile_j[kt] * t + rem % t
+        gflat = kt * t2 + rem                            # into [K*T^2]
         values = jnp.stack(
-            [d.reshape(-1)[idx], dp.reshape(-1)[idx], vals], axis=1
+            [d.reshape(-1)[gflat], dp.reshape(-1)[gflat], vals], axis=1
         )
         packed = jnp.concatenate(
             [jnp.stack([gi, gj], axis=1),

@@ -46,7 +46,9 @@ class TilePlan:
 
 
 def plan_tiles(n_sites: int, tile: int = 128,
-               max_site_distance: int | None = None) -> TilePlan:
+               max_site_distance: int | None = None,
+               max_bp_distance: int | None = None,
+               site_map=None) -> TilePlan:
     """Enumerate upper-triangle tiles (including diagonal tiles) row-major.
 
     Row-major order keeps each tile-row's A-block resident across consecutive
@@ -56,6 +58,13 @@ def plan_tiles(n_sites: int, tile: int = 128,
     ``max_site_distance``: windowed-LD mode — drop tiles whose nearest pair
     is farther apart than this many sites (the in-tile remainder is masked by
     the engine), turning the O(S^2) triangle into an O(S*W) band.
+
+    ``max_bp_distance`` (with ``site_map``, non-decreasing): the same band
+    pruning in SITE_MAP units (base pairs for VCF input — PLINK-style
+    ``--ld-window-kb`` semantics; original column indices for FASTA),
+    dropping tiles whose NEAREST pair spans more than this: tile (i, j>i)'s
+    closest pair is (last site of row-tile i, first site of col-tile j).
+    Composes with ``max_site_distance`` (intersection).
     """
     if n_sites < 2:
         raise ValueError("need at least 2 sites")
@@ -65,6 +74,17 @@ def plan_tiles(n_sites: int, tile: int = 128,
     if max_site_distance is not None:
         # Closest pair of tile (i, j>i): site distance (j-i-1)*T + 1.
         near = (tj - ti - 1) * tile < max_site_distance
+        ti, tj = ti[near], tj[near]
+    if max_bp_distance is not None:
+        sm = np.asarray(site_map)
+        if sm.shape[0] != n_sites:
+            raise ValueError("site_map length must equal n_sites")
+        g = np.arange(grid)
+        # Clamp to true sites: tiles fully in padding never contain kept
+        # pairs, their positions only need to be finite.
+        row_end = sm[np.minimum((g + 1) * tile, n_sites) - 1]
+        col_start = sm[np.minimum(g * tile, n_sites - 1)]
+        near = (ti == tj) | (col_start[tj] - row_end[ti] <= max_bp_distance)
         ti, tj = ti[near], tj[near]
     return TilePlan(
         n_sites=n_sites,

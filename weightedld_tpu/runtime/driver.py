@@ -60,6 +60,13 @@ class DriverConfig:
                                     # resolve_seq_chunk; may pad N up when
                                     # fewer grid steps win)
     max_site_distance: int | None = None  # windowed LD (kept-site indices)
+    max_bp_distance: int | None = None  # windowed LD in site_map units (bp
+                                    # for VCF — PLINK-style; original
+                                    # column indices for FASTA; consistent
+                                    # with ld_decay's distance axis).
+                                    # Needs a non-decreasing site_map.
+                                    # Composes with max_site_distance
+                                    # (intersection).
     weight_quant: str = "none"      # pallas weighted-pass arithmetic:
                                     # "none" (default) = the int8x3
                                     # 3-level cascade — full accuracy
@@ -244,10 +251,29 @@ class LdSession:
         self.n_seqs, self.n_sites = alignment.shape
         engine = _resolve_engine(cfg.engine)
         planes = None
+        majmin = False
+        site_counts = None
         if engine == "pallas":
-            from ..ops.pallas_ld import detect_planes
+            from ..ops.pallas_ld import (
+                detect_planes_unknown,
+                majmin_safe_with_unknown,
+            )
 
-            planes = detect_planes(alignment)
+            planes, has_unknown = detect_planes_unknown(alignment)
+            # No UNKNOWN anywhere (every VCF matrix; clean FASTA): per-pair
+            # major/dmin degenerate to per-site properties and the
+            # factorized kernel applies — one (2T x 2T) contraction block
+            # per weight pass, independent of alphabet size, bit-identical
+            # results (pallas_tile_stats_majmin).  With UNKNOWNs present it
+            # still applies when every site's count margins exceed the
+            # worst-case per-pair removals (majmin_safe_with_unknown).
+            if not has_unknown:
+                majmin = True
+            else:
+                from ..core.sites import site_histogram_host
+
+                site_counts = site_histogram_host(alignment)
+                majmin = majmin_safe_with_unknown(alignment, site_counts)
         # The resolved tile/batch size are properties of (alignment,
         # platform, config), not of the caller's config object: work on a
         # copy so one DriverConfig can be reused across sessions with
@@ -258,8 +284,15 @@ class LdSession:
             seq_chunk=resolve_seq_chunk(cfg.seq_chunk, self.n_seqs),
         )
         self.cfg = cfg
-        self.plan = plan_tiles(self.n_sites, cfg.tile, cfg.max_site_distance)
         self.site_map = np.asarray(site_map)
+        self._sm_dev = None
+        if cfg.max_bp_distance is not None:
+            # Validate the site map BEFORE any plan/upload work and put the
+            # padded copy on device for the in-tile bp mask.
+            self._ensure_sm_dev("--max-distance-bp")
+        self.plan = plan_tiles(self.n_sites, cfg.tile, cfg.max_site_distance,
+                               max_bp_distance=cfg.max_bp_distance,
+                               site_map=self.site_map)
         # Host reference (no copy) for analyses needing per-site stats
         # (prune's minor-allele frequencies); released after the first MAF
         # computation so a chromosome-scale session does not pin the host
@@ -351,9 +384,19 @@ class LdSession:
                 exact_weights=exact,
                 unit_weights=unit,
                 wquant=wquant,
+                majmin=majmin,
                 max_site_distance=cfg.max_site_distance,
+                max_bp_distance=cfg.max_bp_distance,
                 interpret=interpret,
             )
+            self._auxc_dev = self._auxr_dev = None
+            if majmin:
+                from ..ops.pallas_ld import majmin_site_aux
+
+                auxc, auxr = majmin_site_aux(alignment, self.plan.s_pad,
+                                             counts=site_counts)
+                self._auxc_dev, self._auxr_dev = replicate(
+                    self.mesh, auxc, auxr)
             if wquant == "int8":
                 weights_host = pad_weights_int8(w_arr, cfg.seq_chunk)
             elif wquant == "int8x3":
@@ -364,6 +407,7 @@ class LdSession:
             else:
                 weights_host = pad_weights(w_arr, cfg.seq_chunk)
         else:
+            self._auxc_dev = self._auxr_dev = None
             if weights is None:
                 from ..core.henikoff import henikoff_weights
 
@@ -371,6 +415,7 @@ class LdSession:
             self.runner = make_sharded_stats_runner(
                 self.mesh, tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k,
                 max_site_distance=cfg.max_site_distance,
+                max_bp_distance=cfg.max_bp_distance,
             )
             codes_host = pad_alignment(alignment, cfg.tile)
             codes_pre = None
@@ -413,6 +458,30 @@ class LdSession:
             em_h.reshape(n_dev, self.n_batches, k).sum(axis=(0, 2))
         )
 
+    def _ensure_sm_dev(self, what: str):
+        """Validate the site map for on-device distance work (int32 range,
+        non-decreasing) and replicate the padded copy over the mesh —
+        shared by the bp-window mask and :meth:`ld_decay`."""
+        if self._sm_dev is not None:
+            return self._sm_dev
+        sm = self.site_map
+        if sm.size and (sm.max() > np.iinfo(np.int32).max or sm.min() < 0):
+            raise ValueError(f"{what} needs site_map positions that fit "
+                             "int32 (the device distance dtype)")
+        if (np.diff(sm) < 0).any():
+            # e.g. a multi-chromosome VCF where POS resets: pair
+            # "distances" across the reset would be negative or
+            # meaningless — refuse rather than silently mis-bin.
+            raise ValueError(
+                f"{what} needs a non-decreasing site_map (positions "
+                "restart mid-file — multi-chromosome input? run per "
+                "chromosome)")
+        s_pad = cdiv(self.n_sites, self.cfg.tile) * self.cfg.tile
+        sm_pad = np.zeros(s_pad, dtype=np.int32)
+        sm_pad[: self.n_sites] = sm  # padding sites have keep == False
+        (self._sm_dev,) = replicate(self.mesh, sm_pad)
+        return self._sm_dev
+
     def _dispatch(self, b: int, r2_threshold=_UNSET):
         """Enqueue one batch (async — nothing is fetched).
 
@@ -425,39 +494,58 @@ class LdSession:
         return self.runner(
             self.codes_dev, self.weights_dev,
             self.ti_dev, self.tj_dev, self.em_dev, b, thr,
+            auxc=self._auxc_dev, auxr=self._auxr_dev,
+            sm_pad=(self._sm_dev
+                    if self.cfg.max_bp_distance is not None else None),
         )
 
-    def _collect(self, dispatched) -> LdRecords:
-        """Fetch + compact the records of a dispatched batch."""
+    def _start_extract(self, dispatched):
+        """First half of record extraction: fetch the [K] per-tile count
+        vector (the ONLY blocking host read — it completes as soon as the
+        batch's stats kernel does, while the next batch already computes),
+        enqueue the gather-compact dispatch over just the live tiles, and
+        start the record block's device->host copy ASYNCHRONOUSLY.
+
+        Host transfers and compaction work stay O(records) — critical on
+        slow device links and the reason a sparse scan runs at kernel
+        speed.  Returns ``(total, packed)`` for :meth:`_finish_extract`."""
         cfg = self.cfg
         (tcnt, d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev,
          _keep, _mom) = dispatched
-        # Fetch only the [K] per-tile count vector; then gather-compact just
-        # the live tiles in a second dispatch.  Host transfers and compaction
-        # work stay O(records) — critical on slow device links and the reason
-        # a sparse scan runs at kernel speed.
         tcnt = _fetch(tcnt)
         total = int(tcnt.sum())
+        if total == 0:
+            return 0, None
+        live = np.nonzero(tcnt)[0].astype(np.int32)
+        m = len(live)
+        mb = min(_next_bucket(m), len(tcnt))
+        if mb > m:
+            dummy = int(np.nonzero(tcnt == 0)[0][0])  # exists since m < K
+            live = np.concatenate(
+                [live, np.full(mb - m, dummy, dtype=np.int32)]
+            )
+        cap = _next_bucket(total)
+        _cnt_dev, packed = gather_compact(
+            d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev, jnp.asarray(live),
+            tile=cfg.tile, capacity=cap,
+            mesh=self.mesh if jax.process_count() > 1 else None,
+        )
+        # Kick off the host copy now; by the time the caller materializes
+        # this batch (one pipeline step later), the bytes have landed and
+        # np.asarray is free instead of a blocking ~25 ms tunnel roundtrip.
+        try:
+            packed.copy_to_host_async()
+        except (AttributeError, NotImplementedError):  # non-jax/odd backends
+            pass
+        return total, packed
 
+    def _finish_extract(self, total, packed) -> LdRecords:
+        """Second half: materialize one batch's compacted records (a single
+        fetch of the whole [cap, 5] int32 block, sites + bitcast values)."""
         if total == 0:
             all_sites = np.empty((0, 2), dtype=np.int32)
             all_vals = np.empty((0, 3), dtype=np.float32)
         else:
-            live = np.nonzero(tcnt)[0].astype(np.int32)
-            m = len(live)
-            mb = min(_next_bucket(m), len(tcnt))
-            if mb > m:
-                dummy = int(np.nonzero(tcnt == 0)[0][0])  # exists since m < K
-                live = np.concatenate(
-                    [live, np.full(mb - m, dummy, dtype=np.int32)]
-                )
-            cap = _next_bucket(total)
-            cnt_dev, packed = gather_compact(
-                d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev, jnp.asarray(live),
-                tile=cfg.tile, capacity=cap,
-                mesh=self.mesh if jax.process_count() > 1 else None,
-            )
-            # One fetch for the whole record block (sites + bitcast values).
             packed_h = np.asarray(packed)[:total]
             all_sites = packed_h[:, :2]
             all_vals = packed_h[:, 2:].view(np.float32)
@@ -469,6 +557,10 @@ class LdSession:
             d_prime=all_vals[:, 1],
             r2=all_vals[:, 2],
         )
+
+    def _collect(self, dispatched) -> LdRecords:
+        """Fetch + compact the records of a dispatched batch."""
+        return self._finish_extract(*self._start_extract(dispatched))
 
     def run_batch(self, b: int) -> LdRecords:
         """Evaluate one tile batch and return its surviving records."""
@@ -535,23 +627,7 @@ class LdSession:
         edges[b+1]``.  The session r2 threshold is ignored (every
         surviving pair contributes)."""
         edges = validate_decay_edges(edges)
-        if getattr(self, "_sm_dev", None) is None:
-            sm = np.asarray(self.site_map)
-            if sm.size and (sm.max() > np.iinfo(np.int32).max
-                            or sm.min() < 0):
-                raise ValueError("site_map positions must fit int32 for "
-                                 "on-device distance binning")
-            if (np.diff(sm) < 0).any():
-                # e.g. a multi-chromosome VCF where POS resets: pair
-                # "distances" across the reset would be negative or
-                # meaningless — refuse rather than silently mis-bin.
-                raise ValueError(
-                    "ld_decay needs a non-decreasing site_map (positions "
-                    "restart mid-file — multi-chromosome input? run per "
-                    "chromosome)")
-            sm_pad = np.zeros(self.plan.s_pad, dtype=np.int32)
-            sm_pad[: self.n_sites] = sm  # padding sites have keep == False
-            (self._sm_dev,) = replicate(self.mesh, sm_pad)
+        self._ensure_sm_dev("ld_decay")
         runner = make_decay_runner(self.mesh, tile=self.cfg.tile,
                                    edges=edges)
         nb = len(edges) - 1
@@ -747,7 +823,16 @@ class LdSession:
     ) -> Iterator[tuple[int, LdRecords]]:
         """Stream compacted records batch by batch.  ``r2_threshold``
         overrides the session default for this scan only (runtime scalar —
-        no recompilation)."""
+        no recompilation).
+
+        Extraction is pipelined one batch behind compute: per batch the
+        host blocks only on the [K] count fetch (which completes with the
+        batch's stats, while the NEXT batch already computes) — the
+        gather-compact dispatch and the record-block copy run asynchronously
+        and are materialized a step later, by which time they have landed.
+        Previously both extraction roundtrips serialized against each
+        batch's compute, which bounded high-yield small-N scans at ~227 M
+        pairs/s vs ~6 G for reduction-only scans (PERF.md)."""
         t0 = time.monotonic()
         last_report = t0
         tiles_done = 0
@@ -756,12 +841,10 @@ class LdSession:
         # Evaluated work = emitted (non-padding) tiles; padding tiles are
         # free.  This stays truthful under r2 thresholds and windowed plans.
         tiles_total = self.plan.n_tiles
-        # Double-buffer: batch b+1 computes on-device while batch b's counts
-        # travel to the host and its records are compacted/written.
-        for b, dispatched in self._pipelined(start_batch, r2_threshold):
-            records = self._collect(dispatched)
-            records_emitted += len(records)
-            tiles_done += int(self._emit_per_batch[b])
+        pending: tuple | None = None  # (batch, total, packed) awaiting host
+
+        def progress(b):
+            nonlocal last_report
             now = time.monotonic()
             if on_progress and (
                 now - last_report > self.cfg.progress_every_s
@@ -774,7 +857,26 @@ class LdSession:
                     elapsed_s=now - t0,
                 ))
                 last_report = now
-            yield b, records
+
+        # Compute double-buffers via _pipelined; extraction adds a second,
+        # one-batch-deep stage on top.
+        for b, dispatched in self._pipelined(start_batch, r2_threshold):
+            started = self._start_extract(dispatched)
+            if pending is not None:
+                pb, total, packed = pending
+                records = self._finish_extract(total, packed)
+                records_emitted += len(records)
+                tiles_done += int(self._emit_per_batch[pb])
+                progress(pb)
+                yield pb, records
+            pending = (b, *started)
+        if pending is not None:
+            pb, total, packed = pending
+            records = self._finish_extract(total, packed)
+            records_emitted += len(records)
+            tiles_done += int(self._emit_per_batch[pb])
+            progress(pb)
+            yield pb, records
 
 
 def stream_ld_records(
@@ -876,7 +978,8 @@ def run_to_tsv(
     h = hashlib.sha256()
     h.update(repr((
         cfg_r.tile, cfg_r.tiles_per_shard_batch, cfg_r.r2_threshold,
-        cfg_r.max_site_distance, session.engine, cfg_r.seq_chunk,
+        cfg_r.max_site_distance, cfg_r.max_bp_distance,
+        session.engine, cfg_r.seq_chunk,
         cfg_r.weight_quant,  # quantized r2 differs at the 4-dp quantum:
                             # never mix modes in one resumed TSV
         session.n_dev, jax.process_count(),
