@@ -350,14 +350,14 @@ def make_hist_runner(mesh: Mesh, *, edges: tuple):
     return fn
 
 
-def gather_compact(d, dp, r2, mask, tile_i, tile_j, live, *, tile, capacity,
+def gather_compact(d, dp, r2, mask, tile_i, tile_j, *, tile, capacity,
                    mesh=None):
-    """Gather live tiles and compact their records (cached jit by shapes).
+    """Compact a batch's surviving records into one fixed-capacity block
+    (cached jit by shapes).
 
     Args:
         d/dp/r2/mask: ``[K, T, T]`` batch stat tensors (device-resident).
         tile_i/tile_j: ``[K]`` tile coordinates of the batch.
-        live: ``[M]`` int32 indices of tiles with records (M bucketed).
         mesh: when given, the outputs are constrained FULLY REPLICATED over
             it — required in multi-process runs so every host can fetch the
             compacted records (GSPMD would otherwise leave them sharded on
@@ -367,20 +367,24 @@ def gather_compact(d, dp, r2, mask, tile_i, tile_j, live, *, tile, capacity,
         site indices, columns 2-4 the f32 (D, D', r2) bitcast to int32 so
         the whole record block travels to the host in ONE fetch (each
         separate fetch is a ~25 ms roundtrip through the TPU tunnel).
+
+    The compaction is slot-driven (see ``compact_tile_stats``): per batch
+    it costs one cheap mask pass plus O(capacity * T) work, so it runs at
+    full batch shape with no live-tile pre-gather — one compiled program
+    per (batch shape, capacity bucket).
     """
     return _gather_compact_jit(mesh)(
-        d, dp, r2, mask, tile_i, tile_j, live, tile=tile, capacity=capacity
+        d, dp, r2, mask, tile_i, tile_j, tile=tile, capacity=capacity
     )
 
 
-
-def _gc_impl(d, dp, r2, mask, tile_i, tile_j, live, *, tile, capacity):
+def _gc_impl(d, dp, r2, mask, tile_i, tile_j, *, tile, capacity):
     from ..core.ld_tiled import compact_tile_stats
     from ..core.paircore import PairStats
 
-    st = PairStats(d=d[live], d_prime=dp[live], r2=r2[live], keep=mask[live])
+    st = PairStats(d=d, d_prime=dp, r2=r2, keep=mask)
     count, sites, values = compact_tile_stats(
-        st, tile_i[live], tile_j[live], jnp.float32(-jnp.inf),
+        st, tile_i, tile_j, jnp.float32(-jnp.inf),
         tile=tile, capacity=capacity,
     )
     packed = jnp.concatenate(

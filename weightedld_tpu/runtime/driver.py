@@ -516,17 +516,9 @@ class LdSession:
         total = int(tcnt.sum())
         if total == 0:
             return 0, None
-        live = np.nonzero(tcnt)[0].astype(np.int32)
-        m = len(live)
-        mb = min(_next_bucket(m), len(tcnt))
-        if mb > m:
-            dummy = int(np.nonzero(tcnt == 0)[0][0])  # exists since m < K
-            live = np.concatenate(
-                [live, np.full(mb - m, dummy, dtype=np.int32)]
-            )
         cap = _next_bucket(total)
         _cnt_dev, packed = gather_compact(
-            d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev, jnp.asarray(live),
+            d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev,
             tile=cfg.tile, capacity=cap,
             mesh=self.mesh if jax.process_count() > 1 else None,
         )
