@@ -98,6 +98,23 @@ def site_histogram_host(alignment) -> "np.ndarray":
     )
 
 
+def site_histogram_host_site_major(codes_sm, n_sites: int, n_seqs: int,
+                                   row_chunk: int = 4096) -> "np.ndarray":
+    """``[n_sites, N_ALLELES]`` per-site allele counts from a SITE-MAJOR
+    (possibly padded) buffer — the streaming-ingest twin of
+    :func:`site_histogram_host`, chunked over site rows so peak temporaries
+    stay bounded for chromosome-scale matrices."""
+    import numpy as np
+
+    counts = np.zeros((n_sites, N_ALLELES), dtype=np.int64)
+    for lo in range(0, n_sites, row_chunk):
+        hi = min(lo + row_chunk, n_sites)
+        blk = codes_sm[lo:hi, :n_seqs]
+        for c in range(N_ALLELES):
+            counts[lo:hi, c] = (blk == c).sum(axis=1)
+    return counts
+
+
 def site_fractions_host(counts, n_seqs: int):
     """Per-site fractions (float64) from ``[S, 5]`` allele counts: the
     quantities the reference's masks are judged on (``WeightedLD.py:68,

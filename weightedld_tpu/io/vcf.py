@@ -39,7 +39,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..core.encode import ALIGNMENT_DTYPE, GAP
+from ..core.encode import ALIGNMENT_DTYPE, GAP, UNKNOWN
 
 
 class VcfError(ValueError):
@@ -134,44 +134,53 @@ def read_vcf(path: str | Path,
     return read_vcf_python(path)
 
 
-def _variant_lines(path: str | Path) -> tuple[int, list[str]]:
-    """Shared ingest front half: decode (universal newlines, like the
-    reference's text-mode read), locate the ``#CHROM`` header, apply the
-    reference's trailing-line drop, and strip blank lines.  Returns
-    ``(header_idx, data_lines)`` — the header's 0-based line index feeds
-    the 1-based line numbers in parse errors.
+def _iter_variant_lines(path: str | Path):
+    """Streaming ingest front half: yield ``(lineno, line)`` for every
+    variant record, decoding incrementally (chunked gzip inflate via the
+    text wrapper — the whole file is NEVER materialized), locating the
+    ``#CHROM`` header, applying the reference's trailing-line drop, and
+    skipping blank lines.  ``lineno`` is 1-based for parse errors.
 
     Parity quirk (WeightedLD.py:365): the reference unconditionally deletes
-    the final line, assuming a trailing blank.  On files without a trailing
-    newline this silently drops the last record (verified on the t7
-    fixture: 6 records on disk, 5 parsed).  Reproduced as-is.
+    the final element of ``text.split("\\n")``.  When the file ends with a
+    newline that element is the empty string (blank, dropped anyway); when
+    it does not, the LAST RECORD is silently dropped (verified on the t7
+    fixture: 6 records on disk, 5 parsed).  The streaming equivalent —
+    reproduced as-is — is to hold each line until its successor arrives
+    and, at EOF, emit the held line only if it was newline-terminated.
+    Universal-newline decoding matches the reference's text-mode
+    ``\\r\\n``/``\\r`` -> ``\\n`` handling.
     """
+    import io as _io
+
     from .fasta import _open_maybe_gzip
 
-    with _open_maybe_gzip(path) as fh:
-        text = fh.read().decode("utf-8", "replace")
-    # The whole decompressed text is materialized (reference parity needs
-    # the trailing-line quirk over the full split); for repeated
-    # whole-genome --chrom work, prefer pre-splitting per chromosome or
-    # --save-prepared per chromosome.
-    lines = text.replace("\r\n", "\n").replace("\r", "\n").split("\n")
-    del text
+    with _open_maybe_gzip(path) as raw:
+        fh = _io.TextIOWrapper(raw, encoding="utf-8", errors="replace",
+                               newline=None)
+        in_data = False
+        held = None            # (lineno, stripped_line, had_newline)
+        lineno = 0
+        for line in fh:
+            lineno += 1
+            had_nl = line.endswith("\n")
+            body = line[:-1] if had_nl else line
+            if not in_data:
+                if "#CHROM" in body:
+                    in_data = True
+                continue
+            if held is not None and held[1].strip():
+                yield held[0], held[1]
+            held = (lineno, body, had_nl)
+        if not in_data:
+            raise VcfError(f"{path}: no #CHROM header line found")
+        # Trailing-line drop: the held (final) line survives only when the
+        # file ended with a newline (it was followed by the split's empty
+        # last element in the reference's framing).
+        if held is not None and held[2] and held[1].strip():
+            yield held[0], held[1]
 
-    header_idx = None
-    for i, line in enumerate(lines):
-        if "#CHROM" in line:
-            header_idx = i
-            break
-    if header_idx is None:
-        raise VcfError(f"{path}: no #CHROM header line found")
 
-    data_lines = lines[header_idx + 1 :]
-    if data_lines:
-        del data_lines[-1]
-    data_lines = [ln for ln in data_lines if ln.strip()]
-    if not data_lines:
-        raise VcfError(f"{path}: no variant records")
-    return header_idx, data_lines
 
 
 def list_chromosomes(path: str | Path) -> list[str]:
@@ -180,13 +189,13 @@ def list_chromosomes(path: str | Path) -> list[str]:
 
     Applies the same parsing quirks as :func:`read_vcf` (trailing-line
     drop), so every listed chromosome is guaranteed to yield records under
-    the filter.  Only the CHROM column is inspected; this is the cheap way
-    to drive a per-chromosome analysis loop over a whole-genome VCF
-    (capability beyond the reference, which has no CHROM handling at all,
-    ``WeightedLD.py:361-362``)."""
+    the filter.  Only the CHROM column is inspected, streaming (O(1)
+    memory); this is the cheap way to drive a per-chromosome analysis
+    loop over a whole-genome VCF (capability beyond the reference, which
+    has no CHROM handling at all, ``WeightedLD.py:361-362``)."""
     seen: set[str] = set()
     out: list[str] = []
-    for ln in _variant_lines(path)[1]:
+    for _lineno, ln in _iter_variant_lines(path):
         c = ln.split("\t", 1)[0]
         if c not in seen:
             seen.add(c)
@@ -194,21 +203,145 @@ def list_chromosomes(path: str | Path) -> list[str]:
     return out
 
 
-def read_vcf_python(path: str | Path,
-                    chrom: str | None = None) -> tuple[np.ndarray, np.ndarray]:
-    """Pure-Python fallback/oracle for :func:`read_vcf`."""
-    header_idx, data_lines = _variant_lines(path)
-    if len(data_lines[0].split("\t")) <= 12:
+def _decode_record(path, lineno, line, chrom):
+    """Parse one variant line -> ``(pos, row int8)`` or None (chrom
+    filtered).  Shared by the row-list and streaming readers."""
+    cols = line.split("\t", 9)
+    if len(cols) < 10:
+        raise VcfError(f"{path}:{lineno}: fewer than 10 columns")
+    if chrom is not None and cols[0] != chrom:
+        return None
+    pos = int(cols[1])
+
+    fast = _fast_parse_gt_block(cols[9])
+    if fast is not None:
+        return pos, fast
+
+    haps: list[int] = []
+    for field in cols[9].split("\t"):
+        gt = field.split(":", 1)[0]
+        if "|" in gt:
+            a, b = gt.split("|", 1)
+            haps.append(_parse_allele(a))
+            haps.append(_parse_allele(b))
+        elif "/" in gt:
+            # Unphased: haplotype unknown -> both missing (WeightedLD.py:355)
+            haps.append(GAP)
+            haps.append(GAP)
+        else:
+            haps.append(_parse_allele(gt))
+    return pos, np.asarray(haps, dtype=np.int16).astype(ALIGNMENT_DTYPE)
+
+
+def _check_multisample(path, line):
+    if len(line.split("\t")) <= 12:
         raise VcfError(
             f"{path}: too few sample columns — is this a multi-sample VCF?"
         )
 
+
+def scan_vcf(path: str | Path,
+             chrom: str | None = None) -> tuple[int, np.ndarray]:
+    """Streaming pass 1 of the two-pass site-major ingest: ``(n_haplotypes,
+    site_map)`` without materializing any genotypes (O(records) memory —
+    the POS list only).  The first matching record is decoded once to
+    learn the haplotype count; every record is re-validated in pass 2."""
+    positions: list[int] = []
+    n_haps = None
+    first = True
+    for lineno, line in _iter_variant_lines(path):
+        if first:
+            _check_multisample(path, line)
+            first = False
+        cols = line.split("\t", 2)
+        if chrom is not None and cols[0] != chrom:
+            continue
+        if len(cols) < 3:
+            raise VcfError(f"{path}:{lineno}: fewer than 10 columns")
+        positions.append(int(cols[1]))
+        if n_haps is None:
+            rec = _decode_record(path, lineno, line, chrom)
+            n_haps = len(rec[1])
+    if first:
+        raise VcfError(f"{path}: no variant records")
+    if not positions:
+        raise VcfError(f"{path}: no variant records on chromosome {chrom!r}")
+    return n_haps, np.asarray(positions, dtype=np.int64)
+
+
+def read_vcf_site_major(
+    path: str | Path,
+    chrom: str | None = None,
+    s_pad: int | None = None,
+    n_pad: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Two-pass streaming ingest straight into the engine's padded
+    SITE-MAJOR layout: ``(codes [s_pad, n_pad] int8, site_map, n_haps)``.
+
+    Pass 1 (:func:`scan_vcf`) learns the shape; the output buffer is then
+    allocated ONCE (UNKNOWN-padded, the kernel's layout contract) and pass
+    2 decodes each record directly into its row — peak host memory is the
+    padded output matrix itself, vs ~3x for the row-list reader (decoded
+    rows + [S, N] stack + the [N, S] transpose).  That bounds chromosome-
+    scale ``.vcf.gz`` ingest (tens of GB decompressed) at one matrix.
+    Gzip input inflates incrementally (no whole-stream materialization,
+    unlike the reference's ``WeightedLD.py:314`` whole-file read).
+
+    Semantics are identical to :func:`read_vcf` — same record set
+    (trailing-line quirk included), same codes; row s column k holds
+    haplotype ``n_haps-1-k`` (the reference's ``np.rot90`` order,
+    ``WeightedLD.py:375``), so ``codes[:S, :N].T[::-1]... == alignment``
+    — i.e. ``codes[s, k] == alignment[k, s]`` for the row-list reader's
+    ``alignment``.  Verified bit-identical in tests/test_vcf.py.
+
+    ``s_pad``/``n_pad`` (defaults: no padding) must be the engine's
+    resolved tile/seq-chunk multiples so the buffer feeds
+    ``LdSession`` zero-copy (see ``runtime.ingest.prepare_vcf_streamed``).
+    """
+    n_haps, site_map = scan_vcf(path, chrom)
+    s = len(site_map)
+    s_pad = s if s_pad is None else s_pad
+    n_pad = n_haps if n_pad is None else n_pad
+    if s_pad < s or n_pad < n_haps:
+        raise ValueError(f"padding smaller than data: {(s_pad, n_pad)} < "
+                         f"{(s, n_haps)}")
+    out = np.full((s_pad, n_pad), UNKNOWN, dtype=ALIGNMENT_DTYPE)
+    i = 0
+    for lineno, line in _iter_variant_lines(path):
+        rec = _decode_record(path, lineno, line, chrom)
+        if rec is None:
+            continue
+        pos, row = rec
+        if len(row) != n_haps:
+            raise VcfError(
+                f"{path}:{lineno}: inconsistent haplotype count "
+                f"({len(row)} vs {n_haps})"
+            )
+        if i >= s or pos != site_map[i]:
+            raise VcfError(f"{path}: file changed between ingest passes")
+        out[i, :n_haps] = row[::-1]   # rot90 parity: reversed haplotypes
+        i += 1
+    if i != s:
+        raise VcfError(f"{path}: file changed between ingest passes")
+    return out, site_map, n_haps
+
+
+def read_vcf_python(path: str | Path,
+                    chrom: str | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-Python fallback/oracle for :func:`read_vcf`."""
     positions: list[int] = []
     site_rows: list[np.ndarray] = []
     n_haps = None
+    first = True
 
-    def check_width(row, lineno):
-        nonlocal n_haps
+    for lineno, line in _iter_variant_lines(path):
+        if first:
+            _check_multisample(path, line)
+            first = False
+        rec = _decode_record(path, lineno, line, chrom)
+        if rec is None:
+            continue
+        pos, row = rec
         if n_haps is None:
             n_haps = len(row)
         elif len(row) != n_haps:
@@ -216,39 +349,11 @@ def read_vcf_python(path: str | Path,
                 f"{path}:{lineno}: inconsistent haplotype count "
                 f"({len(row)} vs {n_haps})"
             )
+        positions.append(pos)
+        site_rows.append(row)
 
-    for lineno, line in enumerate(data_lines, header_idx + 2):
-        cols = line.split("\t", 9)
-        if len(cols) < 10:
-            raise VcfError(f"{path}:{lineno}: fewer than 10 columns")
-        if chrom is not None and cols[0] != chrom:
-            continue
-        positions.append(int(cols[1]))
-
-        fast = _fast_parse_gt_block(cols[9])
-        if fast is not None:
-            check_width(fast, lineno)
-            site_rows.append(fast)
-            continue
-
-        haps: list[int] = []
-        for field in cols[9].split("\t"):
-            gt = field.split(":", 1)[0]
-            if "|" in gt:
-                a, b = gt.split("|", 1)
-                haps.append(_parse_allele(a))
-                haps.append(_parse_allele(b))
-            elif "/" in gt:
-                # Unphased: haplotype unknown -> both missing (WeightedLD.py:355)
-                haps.append(GAP)
-                haps.append(GAP)
-            else:
-                haps.append(_parse_allele(gt))
-
-        row = np.asarray(haps, dtype=np.int16)
-        check_width(row, lineno)
-        site_rows.append(row.astype(ALIGNMENT_DTYPE))
-
+    if first:
+        raise VcfError(f"{path}: no variant records")
     if not positions:
         raise VcfError(f"{path}: no variant records on chromosome {chrom!r}")
     site_map = np.asarray(positions, dtype=np.int64)
