@@ -96,3 +96,66 @@ def test_gzip_open_does_not_leak_fd(tmp_path):
     # gzip.open(path) owns its underlying file and closes it with the
     # GzipFile (a caller-supplied handle would be left open).
     assert raw is None or raw.closed
+
+
+# ---------------------------------------------------------------------------
+# The Rust binary's line-based FASTA reader (lib.rs:277-307), --compat rust
+# ---------------------------------------------------------------------------
+
+
+def test_rust_reader_unwrapped_adds_newline_column(tmp_path):
+    """On unwrapped FASTA the rust reader equals the python reader plus ONE
+    trailing Unknown column (the kept '\\n') — monomorphic, masked out
+    downstream, so CLI outputs match."""
+    from weightedld_tpu.io.fasta import read_fasta, read_fasta_rust
+
+    f = tmp_path / "x.fasta"
+    f.write_text(">a\nACGT-\n>b\nacgta\n")
+    py = read_fasta(f)
+    ru = read_fasta_rust(f)
+    assert ru.shape == (py.shape[0], py.shape[1] + 1)
+    np.testing.assert_array_equal(ru[:, :-1], py)
+    assert (ru[:, -1] == 5).all()  # '\n' -> Unknown
+
+
+def test_rust_reader_wrapped_records_are_separate_rows(tmp_path):
+    """Wrapped records are NOT concatenated: equal-length wraps become
+    separate sequences (so N doubles), unequal wraps abort."""
+    from weightedld_tpu.io.fasta import read_fasta_rust
+
+    f = tmp_path / "wrapped.fasta"
+    f.write_text(">a\nACGT\nTGCA\n>b\nAAAA\nCCCC\n")
+    ru = read_fasta_rust(f)
+    assert ru.shape == (4, 5)  # every wrap line its own row (+'\n' col)
+
+    g = tmp_path / "ragged.fasta"
+    g.write_text(">a\nACGT\nTG\n")
+    with pytest.raises(ValueError, match="does not concatenate"):
+        read_fasta_rust(g)
+
+
+def test_rust_reader_missing_trailing_newline_is_ragged(tmp_path):
+    from weightedld_tpu.io.fasta import read_fasta_rust
+
+    f = tmp_path / "x.fasta"
+    f.write_text(">a\nACGT\n>b\nTGCA")  # last line: no '\n' -> 4 vs 5 syms
+    with pytest.raises(ValueError, match="expected 5"):
+        read_fasta_rust(f)
+
+
+def test_compat_rust_selects_rust_reader(tmp_path, capsys):
+    """--compat rust flips the FASTA reader; on a WRAPPED file the run must
+    abort like the binary would (exit 2), while --fasta-reader python on
+    the same file succeeds."""
+    from weightedld_tpu.cli import main
+
+    f = tmp_path / "wrapped.fasta"
+    f.write_text(">a\nACGTACGT\nAC\n>b\nTTTTACGT\nGT\n"
+                 ">c\nACGTACGT\nAC\n>d\nACTTACGT\nGT\n")
+    rc = main(["--file", str(f), "--compat", "rust"])
+    assert rc == 2
+    assert "does not concatenate" in capsys.readouterr().err
+    rc = main(["--file", str(f), "--compat", "rust",
+               "--fasta-reader", "python"])
+    capsys.readouterr()
+    assert rc == 0

@@ -1,0 +1,278 @@
+"""Streaming VCF ingest: the two-pass site-major reader must be a drop-in
+replacement for the row-list reader (same record set, same codes, rot90
+parity — ref ``WeightedLD.py:311-379``) with bounded host memory, and the
+end-to-end session must emit identical LD records."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from weightedld_tpu.core.encode import UNKNOWN
+from weightedld_tpu.core.henikoff import (
+    henikoff_weights_host,
+    henikoff_weights_host_site_major,
+)
+from weightedld_tpu.core.sites import (
+    site_histogram_host,
+    site_histogram_host_site_major,
+)
+from weightedld_tpu.io.vcf import (
+    read_vcf,
+    read_vcf_python,
+    read_vcf_site_major,
+    scan_vcf,
+)
+from weightedld_tpu.runtime.driver import DriverConfig, LdSession, SiteMajorCodes
+from weightedld_tpu.runtime.ingest import prepare_vcf_streamed, session_from_vcf
+
+from .fixtures import T7_GOLDEN, T7_PATH
+
+SAMPLES = 12
+
+HEADER = (
+    "##fileformat=VCFv4.1\n"
+    "##contig=<ID=1>\n"
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+    + "\t".join(f"s{i}" for i in range(SAMPLES))
+)
+
+
+def _mk_vcf(tmp_path, rows, name="x.vcf", trailing_newline=True):
+    path = tmp_path / name
+    body = HEADER + "\n" + "\n".join(rows)
+    if trailing_newline:
+        body += "\n"
+    path.write_text(body)
+    return path
+
+
+def _random_rows(rng, n_records, chrom="1", start=100):
+    rows = []
+    for i in range(n_records):
+        gts = []
+        for _ in range(SAMPLES):
+            if rng.random() < 0.1:
+                gts.append(".|.")
+            elif rng.random() < 0.1:
+                gts.append(f"{rng.integers(0, 2)}/{rng.integers(0, 2)}")
+            else:
+                gts.append(f"{rng.integers(0, 3)}|{rng.integers(0, 3)}")
+        rows.append(
+            f"{chrom}\t{start + 7 * i}\trs{i}\tA\tT,G\t100\tPASS\t.\tGT\t"
+            + "\t".join(gts)
+        )
+    return rows
+
+
+def _assert_streamed_matches(path, chrom=None, s_pad=None, n_pad=None):
+    aln, sm = read_vcf(path, chrom=chrom)
+    codes, sm2, n_haps = read_vcf_site_major(
+        path, chrom=chrom, s_pad=s_pad, n_pad=n_pad
+    )
+    np.testing.assert_array_equal(sm, sm2)
+    assert n_haps == aln.shape[0]
+    s = len(sm)
+    # Contract: codes[s, k] == alignment[k, s] (rot90 order folded in).
+    np.testing.assert_array_equal(codes[:s, :n_haps], aln.T)
+    # Padding is UNKNOWN everywhere past the valid region.
+    assert (codes[s:] == UNKNOWN).all()
+    assert (codes[:, n_haps:] == UNKNOWN).all()
+    return codes, sm2, n_haps
+
+
+def test_site_major_matches_row_list_random(tmp_path):
+    rng = np.random.default_rng(7)
+    path = _mk_vcf(tmp_path, _random_rows(rng, 23))
+    _assert_streamed_matches(path, s_pad=32, n_pad=64)
+
+
+def test_site_major_t7_fixture():
+    _assert_streamed_matches(T7_PATH)
+
+
+def test_trailing_line_quirk_matches(tmp_path):
+    """A file WITHOUT a trailing newline silently drops its last record in
+    the reference (WeightedLD.py:365); both readers must agree."""
+    rng = np.random.default_rng(8)
+    rows = _random_rows(rng, 6)
+    with_nl = _mk_vcf(tmp_path, rows, name="a.vcf", trailing_newline=True)
+    without_nl = _mk_vcf(tmp_path, rows, name="b.vcf",
+                         trailing_newline=False)
+    _, sm_with = read_vcf(with_nl)
+    _, sm_without = read_vcf(without_nl)
+    assert len(sm_with) == 6 and len(sm_without) == 5
+    _assert_streamed_matches(with_nl)
+    _assert_streamed_matches(without_nl)
+
+
+def test_gzip_streamed_identical(tmp_path):
+    rng = np.random.default_rng(9)
+    path = _mk_vcf(tmp_path, _random_rows(rng, 17))
+    gz = tmp_path / "x.vcf.gz"
+    gz.write_bytes(gzip.compress(path.read_bytes()))
+    a = read_vcf_site_major(path)
+    b = read_vcf_site_major(gz)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_chrom_filter_streamed(tmp_path):
+    rng = np.random.default_rng(10)
+    rows = _random_rows(rng, 8, chrom="1") + _random_rows(
+        rng, 5, chrom="2", start=900
+    )
+    path = _mk_vcf(tmp_path, rows)
+    _assert_streamed_matches(path, chrom="2")
+
+
+def test_scan_vcf_matches_reader(tmp_path):
+    rng = np.random.default_rng(11)
+    path = _mk_vcf(tmp_path, _random_rows(rng, 9))
+    n_haps, sm = scan_vcf(path)
+    aln, sm2 = read_vcf_python(path)
+    assert n_haps == aln.shape[0]
+    np.testing.assert_array_equal(sm, sm2)
+
+
+def test_padding_too_small_rejected(tmp_path):
+    rng = np.random.default_rng(12)
+    path = _mk_vcf(tmp_path, _random_rows(rng, 9))
+    with pytest.raises(ValueError, match="padding smaller"):
+        read_vcf_site_major(path, s_pad=4)
+
+
+def test_site_histogram_site_major_matches(tmp_path):
+    rng = np.random.default_rng(13)
+    path = _mk_vcf(tmp_path, _random_rows(rng, 15))
+    aln, sm = read_vcf(path)
+    codes, _, n = read_vcf_site_major(path, s_pad=64, n_pad=48)
+    a = site_histogram_host(aln)
+    b = site_histogram_host_site_major(codes, len(sm), n, row_chunk=4)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_henikoff_site_major_f64_close(tmp_path):
+    rng = np.random.default_rng(14)
+    path = _mk_vcf(tmp_path, _random_rows(rng, 40))
+    aln, sm = read_vcf(path)
+    codes, _, n = read_vcf_site_major(path, s_pad=64, n_pad=32)
+    w_ref = henikoff_weights_host(aln)
+    w_sm = henikoff_weights_host_site_major(codes, len(sm), n, row_chunk=7)
+    # Same f64 arithmetic; only the summation grouping differs (chunked).
+    np.testing.assert_allclose(w_sm, w_ref, rtol=1e-12)
+    # Identical at the 6-dp weights-TSV floor.
+    assert [round(float(x), 6) for x in w_sm] == [
+        round(float(x), 6) for x in w_ref
+    ]
+
+
+def _records_map(rec):
+    return {
+        (int(a), int(b)): (float(d), float(dp), float(r2))
+        for a, b, d, dp, r2 in zip(
+            rec.pos_a, rec.pos_b, rec.d, rec.d_prime, rec.r2
+        )
+    }
+
+
+def test_session_from_vcf_matches_standard_path():
+    """End-to-end: the streamed session's records equal the standard
+    (row-list ingest + f64 weights) tiled session's on the t7 fixture."""
+    import weightedld_tpu as wld
+
+    cfg = DriverConfig(tile=8, seq_chunk=8, engine="pallas")
+    res = wld.prepare(T7_PATH)
+    ses_std = LdSession(res.alignment, res.weights, res.site_map, cfg)
+    std = [r for _, r in ses_std.stream()]
+
+    ses_stream = session_from_vcf(T7_PATH, cfg=cfg)
+    got = [r for _, r in ses_stream.stream()]
+
+    m_std = {}
+    for r in std:
+        m_std.update(_records_map(r))
+    m_got = {}
+    for r in got:
+        m_got.update(_records_map(r))
+    assert set(m_got) == set(m_std) and len(m_std) == 10
+    for k in m_std:
+        np.testing.assert_allclose(m_got[k], m_std[k], rtol=0, atol=2e-7)
+    # Weights agree to f64-summation-order noise.
+    np.testing.assert_allclose(ses_stream.weights, ses_std.weights,
+                               rtol=1e-6)
+
+
+def test_prepare_vcf_streamed_padding_contract():
+    sm, site_map = prepare_vcf_streamed(
+        T7_PATH, cfg=DriverConfig(tile=8, seq_chunk=8, engine="pallas")
+    )
+    want = LdSession.required_padding(
+        sm.n_seqs, sm.n_sites,
+        DriverConfig(tile=8, seq_chunk=8, engine="pallas"),
+    )
+    assert tuple(sm.codes.shape) == want
+    # A mismatched session config must be rejected loudly.
+    with pytest.raises(ValueError, match="resolved padding"):
+        LdSession(sm, None, site_map,
+                  DriverConfig(tile=16, seq_chunk=8, engine="pallas"))
+
+
+def test_session_site_major_unweighted_prune_and_maf():
+    """The SiteMajorCodes session must support the analyses that used to
+    need the host [N, S] matrix (prune -> MAF from the site-major
+    histogram)."""
+    cfg = DriverConfig(tile=8, seq_chunk=8, engine="pallas")
+    ses = session_from_vcf(T7_PATH, cfg=cfg, unweighted=True)
+    assert (ses.weights == 1.0).all()
+    kept = ses.prune(0.013)
+    res = __import__("weightedld_tpu").prepare(T7_PATH)
+    ses_std = LdSession(res.alignment, np.ones(res.alignment.shape[0],
+                                               np.float32),
+                        res.site_map, cfg)
+    np.testing.assert_array_equal(kept, ses_std.prune(0.013))
+
+
+def test_cli_stream_ingest_golden(capsys):
+    from weightedld_tpu.cli import main
+
+    rc = main(["--file", T7_PATH, "--stream-ingest", "--tile", "8",
+               "--seq-chunk", "8"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [ln for ln in out.strip().split("\n") if ln][1:]
+    want = [
+        f"{a}\t{b}\t{d}\t{dp}\t{r2}"
+        for a, b, d, dp, r2 in T7_GOLDEN["pairs"]
+    ]
+    assert lines == want
+
+
+def test_cli_stream_ingest_rejects_fasta(capsys):
+    from weightedld_tpu.cli import main
+
+    rc = main(["--file", "/root/reference/tests/example.fasta",
+               "--stream-ingest"])
+    assert rc == 2
+    assert "VCF input only" in capsys.readouterr().err
+
+
+def test_cli_stream_ingest_rejects_save_prepared(tmp_path, capsys):
+    from weightedld_tpu.cli import main
+
+    rc = main(["--file", T7_PATH, "--stream-ingest",
+               "--save-prepared", str(tmp_path / "p.npz")])
+    assert rc == 2
+    assert "--save-prepared" in capsys.readouterr().err
+
+
+def test_file_changed_between_passes_detected(tmp_path):
+    """Pass 2 re-validates every record against pass 1's site map."""
+    rng = np.random.default_rng(15)
+    rows = _random_rows(rng, 6)
+    path = _mk_vcf(tmp_path, rows)
+    n_haps, sm = scan_vcf(path)
+    # Simulate a concurrent modification: different positions.
+    _mk_vcf(tmp_path, _random_rows(rng, 6, start=5000))
+    with pytest.raises(Exception, match="changed between ingest passes"):
+        read_vcf_site_major(path, scan=(n_haps, sm + 1))

@@ -63,6 +63,24 @@ r2_all = np.concatenate([np.asarray(rec.r2)
                          for _, rec in sess.stream()] or [np.empty(0)])
 assert hist == [int((r2_all < 0.1).sum()), int((r2_all >= 0.1).sum())]
 
+# Windowed pallas-interpret session: the band plan drops far tiles, so
+# shards carry UNEVEN real-tile counts (emit masks differ per shard) —
+# the case a naive striping assumption would get wrong on a pod.
+sessw = LdSession(aln, w, np.arange(64) * 2,
+                  DriverConfig(tile=16, tiles_per_shard_batch=2,
+                               engine="pallas", seq_chunk=8,
+                               max_site_distance=20, max_bp_distance=60),
+                  mesh=global_mesh())
+from weightedld_tpu.parallel.triangle import stripe as _stripe
+_ti, _tj, _em = _stripe(sessw.plan, jax.device_count())
+_ps = len(_ti) // jax.device_count()
+emit_counts = [int(_em[d * _ps:(d + 1) * _ps].sum())
+               for d in range(jax.device_count())]
+wrows = []
+for _, rec in sessw.stream():
+    wrows += [(int(a), int(b), round(float(r), 6))
+              for a, b, r in zip(rec.pos_a, rec.pos_b, rec.r2)]
+
 # run_to_tsv under multi-process: process 0 writes the real file, the
 # other drives its shards into /dev/null (the pod_scan pattern).
 from weightedld_tpu.runtime.driver import run_to_tsv
@@ -75,6 +93,8 @@ out = {{"records": sorted(rows), "summary": {{
     "n_pairs": summ["n_pairs"], "n_over": summ["n_over_threshold"]}},
     "top": top_rows, "decay": decay, "hist": hist,
     "n_tsv": int(n_tsv), "is_output": is_output_process()}}
+out["windowed"] = sorted(wrows)
+out["emit_counts"] = emit_counts
 with open(sys.argv[4] + f".proc{{pid}}.json", "w") as f:
     json.dump(out, f)
 """
@@ -154,3 +174,22 @@ def test_two_process_distributed_matches_single(tmp_path):
     # Histogram bins partition the kept pairs (bin-level agreement with
     # unrounded r2 is asserted inside the worker).
     assert sum(results[0]["hist"]) == len(rows)
+
+    # Windowed pallas-interpret session: both processes agree, the plan is
+    # genuinely UNEVEN across shards (the band drops far tiles), and the
+    # record set matches this process's single-host run of the same plan.
+    assert results[0]["windowed"] == results[1]["windowed"]
+    assert results[0]["emit_counts"] == results[1]["emit_counts"]
+    # The banded plan really does hand shards different real-tile counts.
+    assert len(set(results[0]["emit_counts"])) > 1, results[0]["emit_counts"]
+    sessw = LdSession(aln, w, np.arange(64) * 2,
+                      DriverConfig(tile=16, tiles_per_shard_batch=2,
+                                   engine="pallas", seq_chunk=8,
+                                   max_site_distance=20,
+                                   max_bp_distance=60))
+    wrows = []
+    for _, rec in sessw.stream():
+        wrows += [(int(a), int(b), round(float(r), 6))
+                  for a, b, r in zip(rec.pos_a, rec.pos_b, rec.r2)]
+    assert sorted(wrows) == [tuple(r) for r in results[0]["windowed"]]
+    assert len(wrows) > 0

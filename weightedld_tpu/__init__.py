@@ -19,6 +19,7 @@ from .core.sites import compute_variable_sites
 from .io.fasta import read_fasta
 from .io.vcf import list_chromosomes, read_vcf
 from .pipeline import PipelineResult, WldConfig, prepare, run, site_stats
+from .runtime.ingest import prepare_vcf_streamed, session_from_vcf
 
 __version__ = "0.1.0"
 
@@ -41,4 +42,6 @@ __all__ = [
     "prepare",
     "run",
     "site_stats",
+    "prepare_vcf_streamed",
+    "session_from_vcf",
 ]

@@ -60,6 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "(paper-formula weights, dominant-minor site filter, "
                    "r2 > 0.1 output threshold, 3-dp TSV) — explicit flags "
                    "still override")
+    p.add_argument("--fasta-reader", choices=("python", "rust"),
+                   default=None,  # None = follow --compat (explicit wins)
+                   help="FASTA ingest semantics: 'python' = BioPython-style "
+                   "(wrapped records concatenated, as WeightedLD.py); "
+                   "'rust' = the Rust binary's line-based reader (every "
+                   "line its own sequence, terminators kept as Unknown, "
+                   "ragged lengths abort) for byte-parity against that "
+                   "binary; --compat rust selects it")
     p.add_argument("--weighting", choices=("python", "paper"), default="python",
                    help="Henikoff formula variant: 'python' = reference "
                    "WeightedLD.py semantics (default), 'paper' = the "
@@ -169,6 +177,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sort tiled-engine output by (posa, posb) like the "
                    "Python reference (collects all records in memory; the "
                    "default streams in tile order like the Rust reference)")
+    p.add_argument("--stream-ingest", action="store_true",
+                   help="VCF only: two-pass streaming ingest straight into "
+                   "the device layout — peak host memory is ONE padded "
+                   "matrix (chunked gzip inflate; chromosome-scale .vcf.gz "
+                   "stays RAM-bounded).  Record semantics are identical to "
+                   "the default reader; Henikoff weights run chunked in "
+                   "f64 (equal to the default's f64 weights up to "
+                   "summation order, ~1 ulp).  Forces the tiled/pallas "
+                   "engine; incompatible with --save-prepared and "
+                   "--weighting paper")
     p.add_argument("--progress", action="store_true",
                    help="log pairs/s progress to stderr")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -178,7 +196,7 @@ def build_parser() -> argparse.ArgumentParser:
 def _build_session(args, res, mesh, r2_threshold=None):
     """The one place a CLI mode turns args into a device session (four
     output modes share it; a new DriverConfig field is threaded once)."""
-    from .runtime.driver import DriverConfig, LdSession
+    from .runtime.driver import DriverConfig, LdSession, SiteMajorCodes
 
     return LdSession(
         res.alignment, res.weights, res.site_map,
@@ -186,6 +204,11 @@ def _build_session(args, res, mesh, r2_threshold=None):
             tile=args.tile,
             tiles_per_shard_batch=args.tiles_per_batch,
             r2_threshold=r2_threshold,
+            # Streamed ingest buffers are laid out for the pallas kernel;
+            # "auto" would resolve to the xla engine off-TPU and reject
+            # them (interpret mode covers CPU runs).
+            engine=("pallas" if isinstance(res.alignment, SiteMajorCodes)
+                    else "auto"),
             seq_chunk=args.seq_chunk,
             max_site_distance=args.max_distance,
             max_bp_distance=args.max_distance_bp,
@@ -251,6 +274,8 @@ def main(argv=None) -> int:
             args.ndigits = 3
         if args.max_minor == 1.0:
             args.max_minor = 0.5
+    if args.fasta_reader is None:
+        args.fasta_reader = "rust" if args.compat == "rust" else "python"
 
     if args.chrom is not None and args.file is not None \
             and not str(args.file).endswith((".vcf", ".vcf.gz")):
@@ -283,6 +308,7 @@ def main(argv=None) -> int:
         weight_mask=args.weight_mask,
         weighting=args.weighting,
         chrom=args.chrom,
+        fasta_reader=args.fasta_reader,
     )
 
     if args.site_stats is not None:
@@ -308,7 +334,7 @@ def main(argv=None) -> int:
         return 0
 
     prep_keys = ("min_acgt", "min_variability", "unweighted", "max_minor",
-                 "weight_mask", "weighting", "chrom")
+                 "weight_mask", "weighting", "chrom", "fasta_reader")
     t0 = time.monotonic()
     if args.load_prepared:
         from .runtime.cache import load_prepared
@@ -321,7 +347,7 @@ def main(argv=None) -> int:
         # effectively used, not to the requested value — otherwise e.g.
         # --chrom against a pre-chrom cache silently suppresses the
         # mismatch warning.
-        legacy_defaults = {"chrom": None}
+        legacy_defaults = {"chrom": None, "fasta_reader": "python"}
         stored = {k: prep.get(k, legacy_defaults.get(k, wanted[k]))
                   for k in prep_keys}
         diffs = {k: (stored[k], wanted[k]) for k in prep_keys
@@ -331,6 +357,53 @@ def main(argv=None) -> int:
                 "warning: --load-prepared ignores preparation flags; cached "
                 f"vs requested: {diffs}", file=sys.stderr,
             )
+    elif args.file is not None and args.stream_ingest:
+        # Bounded-memory two-pass ingest straight into the device layout
+        # (VCF only; the FASTA path's masks need whole-site views anyway).
+        if not str(args.file).endswith((".vcf", ".vcf.gz")):
+            print("error: --stream-ingest applies to VCF input only",
+                  file=sys.stderr)
+            return 2
+        if args.save_prepared is not None:
+            print("error: --save-prepared needs the sequence-major matrix; "
+                  "drop --stream-ingest to cache this input",
+                  file=sys.stderr)
+            return 2
+        if args.weighting != "python":
+            print("error: --stream-ingest supports the default (python) "
+                  "weighting only", file=sys.stderr)
+            return 2
+        if args.engine in ("dense", "reference"):
+            print(f"error: --stream-ingest requires the tiled engine "
+                  f"(--engine {args.engine} holds the matrix in sequence-"
+                  "major form)", file=sys.stderr)
+            return 2
+        from .pipeline import PipelineResult
+        from .runtime.driver import DriverConfig
+        from .runtime.ingest import prepare_vcf_streamed
+
+        try:
+            # The padding must match the session the records mode builds:
+            # same tile/seq_chunk flags (auto resolution is deterministic
+            # per platform).
+            sm, site_map = prepare_vcf_streamed(
+                args.file, chrom=args.chrom,
+                cfg=DriverConfig(tile=args.tile, seq_chunk=args.seq_chunk,
+                                 engine="pallas"),
+            )
+            if args.unweighted:
+                weights = np.ones(sm.n_seqs, dtype=np.float32)
+            else:
+                from .core.henikoff import henikoff_weights_host_site_major
+
+                weights = henikoff_weights_host_site_major(
+                    sm.codes, sm.n_sites, sm.n_seqs
+                )
+        except (ValueError, OSError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        res = PipelineResult(alignment=sm, site_map=site_map,
+                             weights=weights)
     elif args.file is not None:
         try:
             res = prepare(args.file, cfg)
@@ -345,7 +418,12 @@ def main(argv=None) -> int:
 
         save_prepared(args.save_prepared, res,
                       {k: getattr(cfg, k) for k in prep_keys})
-    n, s = res.alignment.shape
+    from .runtime.driver import SiteMajorCodes as _SMC
+
+    if isinstance(res.alignment, _SMC):
+        n, s = res.alignment.n_seqs, res.alignment.n_sites
+    else:
+        n, s = res.alignment.shape
     log.info("prepared %d sequences x %d LD sites in %.2fs", n, s,
              time.monotonic() - t0)
 
@@ -432,6 +510,8 @@ def main(argv=None) -> int:
         engine = "dense" if s <= 2048 else "tiled"
     if args.max_distance is not None or args.max_distance_bp is not None:
         engine = "tiled"
+    if isinstance(res.alignment, _SMC):
+        engine = "tiled"  # streamed buffers are laid out for this engine
     if args.weight_quant != "none" and engine != "tiled" \
             and args.matrix_output is None:
         print(f"warning: --weight-quant only applies to the tiled TPU "
@@ -679,6 +759,7 @@ def main(argv=None) -> int:
             tile=args.tile,
             tiles_per_shard_batch=args.tiles_per_batch,
             r2_threshold=args.r2_threshold,
+            engine=("pallas" if isinstance(res.alignment, _SMC) else "auto"),
             seq_chunk=args.seq_chunk,
             max_site_distance=args.max_distance,
             max_bp_distance=args.max_distance_bp,

@@ -229,6 +229,63 @@ def henikoff_weights_site_major(
     return weights / weights.max()
 
 
+def henikoff_weights_host_site_major(
+    codes_sm, n_sites: int, n_seqs: int, row_chunk: int = 4096
+) -> "np.ndarray":
+    """Float64 host Henikoff weights (Python formula,
+    ``WeightedLD.py:101-151``) from a SITE-MAJOR (possibly padded) buffer —
+    the weighting stage of the streaming VCF ingest
+    (:func:`weightedld_tpu.runtime.ingest.session_from_vcf`).
+
+    Column ``k`` of the buffer is alignment row ``k`` (the readers'
+    contract, ``io/vcf.py:read_vcf_site_major``), so the returned weights
+    index exactly like :func:`henikoff_weights_host`'s.
+
+    Same per-cell arithmetic as the host twin — f64, the reference's
+    global ``unique_base`` scalar included, the same operand grouping —
+    but per-sequence totals accumulate over ``row_chunk``-site chunks
+    (bounded peak memory: one ``[row_chunk, N]`` f64 block) instead of one
+    whole-array ``np.sum``, so the result can differ from the twin's in
+    the last ~1-2 f64 ulps per weight (summation-order only; tested to
+    <= 1e-12 relative and identical at the 6-dp weights-TSV floor).
+    """
+    import numpy as np
+
+    from .sites import site_histogram_host_site_major
+
+    codes_sm = np.asarray(codes_sm)
+    # Pass 1 (cheap, integer): full per-site histogram for the reference's
+    # global unique_base scalar (unique rows of the [5, S] count matrix in
+    # its f64 form — henikoff_weights_host and module docstring).
+    counts_all = site_histogram_host_site_major(
+        codes_sm, n_sites, n_seqs, row_chunk=row_chunk
+    )                                                          # [S, 5]
+    unique_base = float(
+        len(np.unique(counts_all.T.astype(np.float64), axis=0))
+    )
+
+    total = np.zeros(n_seqs, dtype=np.float64)
+    for lo in range(0, n_sites, row_chunk):
+        hi = min(lo + row_chunk, n_sites)
+        blk = codes_sm[lo:hi, :n_seqs]                         # [B, N] int8
+        b = hi - lo
+        cnt = np.stack(
+            [(blk == c).sum(axis=1) for c in range(N_CODES)], axis=1
+        ).astype(np.float64)                                   # [B, 6]
+        ok = blk != UNKNOWN
+        own = cnt[np.arange(b)[:, None], blk]                  # [B, N]
+        contrib = np.zeros(blk.shape, dtype=np.float64)
+        np.divide(1.0, unique_base * own, out=contrib, where=ok)
+        concrete = cnt[:, :N_ALLELES].sum(axis=1)              # [B]
+        site_avg = np.zeros(b, dtype=np.float64)
+        np.divide(contrib.sum(axis=1), concrete, out=site_avg,
+                  where=concrete > 0)
+        contrib = np.where(ok, contrib, site_avg[:, None])
+        total += contrib.sum(axis=0)
+    with np.errstate(invalid="ignore"):
+        return total / total.max()
+
+
 def henikoff_weights_large(
     alignment, site_chunk: int = 16384, dtype=jnp.float32,
     variant: str = "python",

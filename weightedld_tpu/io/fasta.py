@@ -86,3 +86,48 @@ def read_fasta_with_names_python(
 def read_fasta(path: str | Path) -> np.ndarray:
     """Like :func:`read_fasta_with_names`, codes only."""
     return read_fasta_with_names(path)[0]
+
+
+# The Rust binary's per-character map (lib.rs:53-63): BOTH cases of acgt
+# plus '-' are known; EVERYTHING else — including '\n'/'\r', which its
+# line-based reader never strips — is Unknown.
+_RUST_LUT = np.full(256, 5, dtype=np.int8)  # UNKNOWN
+for _ch, _code in (("a", 0), ("c", 1), ("g", 2), ("t", 3), ("-", 4)):
+    _RUST_LUT[ord(_ch)] = _code
+    _RUST_LUT[ord(_ch.upper())] = _code
+
+
+def read_fasta_rust(path: str | Path) -> np.ndarray:
+    """The reference RUST binary's FASTA semantics, reproduced exactly
+    (``lib.rs:277-307``) — the ``--fasta-reader rust`` / ``--compat rust``
+    ingest for byte-parity against that binary:
+
+    * every non-``>`` line is its OWN sequence — wrapped FASTA records are
+      NOT concatenated (each wrap line becomes a separate row);
+    * the line's terminator is kept: ``line.chars()`` includes ``'\\n'``
+      (and ``'\\r'`` on CRLF files), which maps to Unknown — so every row
+      ends in an Unknown column (monomorphic, masked out downstream, which
+      is why unwrapped outputs still match the Python semantics);
+    * unequal row lengths abort (``SiteSet::from_multi_sequence``,
+      lib.rs:180 — e.g. a final line without a trailing newline, or
+      wrapped records), mirrored here as ``ValueError``;
+    * blank lines are rows too (a lone ``'\\n'`` is a length-1 sequence —
+      and therefore usually a ragged abort, exactly like the binary).
+    """
+    rows: list[np.ndarray] = []
+    with _open_maybe_gzip(path) as fh:
+        for raw_line in fh:
+            if raw_line.startswith(b">"):
+                continue
+            rows.append(_RUST_LUT[np.frombuffer(raw_line, dtype=np.uint8)])
+    if not rows:
+        raise ValueError(f"{path}: no sequences found")
+    n_sites = len(rows[0])
+    for i, r in enumerate(rows):
+        if len(r) != n_sites:
+            raise ValueError(
+                f"{path}: sequence {i} has {len(r)} symbols, expected "
+                f"{n_sites} (the Rust reader does not concatenate wrapped "
+                "FASTA lines and keeps line terminators; lib.rs:180)"
+            )
+    return np.stack(rows, axis=0)

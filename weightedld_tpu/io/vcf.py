@@ -200,6 +200,10 @@ def list_chromosomes(path: str | Path) -> list[str]:
         if c not in seen:
             seen.add(c)
             out.append(c)
+    if not out:
+        # Match the readers (and the pre-streaming behaviour): a header-only
+        # file is an error, not an empty listing.
+        raise VcfError(f"{path}: no variant records")
     return out
 
 
@@ -274,6 +278,7 @@ def read_vcf_site_major(
     chrom: str | None = None,
     s_pad: int | None = None,
     n_pad: int | None = None,
+    scan: tuple[int, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Two-pass streaming ingest straight into the engine's padded
     SITE-MAJOR layout: ``(codes [s_pad, n_pad] int8, site_map, n_haps)``.
@@ -297,8 +302,10 @@ def read_vcf_site_major(
     ``s_pad``/``n_pad`` (defaults: no padding) must be the engine's
     resolved tile/seq-chunk multiples so the buffer feeds
     ``LdSession`` zero-copy (see ``runtime.ingest.prepare_vcf_streamed``).
+    ``scan`` passes a precomputed :func:`scan_vcf` result (skips pass 1;
+    pass 2 still re-validates every record against it).
     """
-    n_haps, site_map = scan_vcf(path, chrom)
+    n_haps, site_map = scan if scan is not None else scan_vcf(path, chrom)
     s = len(site_map)
     s_pad = s if s_pad is None else s_pad
     n_pad = n_haps if n_pad is None else n_pad

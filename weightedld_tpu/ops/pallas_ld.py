@@ -745,8 +745,9 @@ def pallas_tile_stats(
 # ---------------------------------------------------------------------------
 
 
-def majmin_safe_with_unknown(alignment: np.ndarray,
-                             counts: np.ndarray | None = None) -> bool:
+def majmin_safe_with_unknown(alignment: np.ndarray | None,
+                             counts: np.ndarray | None = None,
+                             n_seqs: int | None = None) -> bool:
     """True when the factorized kernel is exact DESPITE UNKNOWN cells.
 
     For a pair (i, j) the reference drops sequences with UNKNOWN at either
@@ -774,7 +775,8 @@ def majmin_safe_with_unknown(alignment: np.ndarray,
     if counts is None:
         counts = site_histogram_host(alignment)
     counts = counts.astype(np.int64)
-    n_seqs = alignment.shape[0]
+    if n_seqs is None:
+        n_seqs = alignment.shape[0]  # counts-only callers pass it explicitly
     u_max = int((n_seqs - counts.sum(axis=1)).max())
     if u_max == 0:
         return True  # no UNKNOWN anywhere: nothing is ever removed

@@ -65,6 +65,10 @@ class WldConfig:
     chrom: str | None = None       # VCF only: keep one chromosome's records
                                    # (the reference ignores CHROM, mixing
                                    # whole-genome POS into one axis)
+    fasta_reader: str = "python"   # "python" (BioPython semantics: wrapped
+                                   # records concatenated, WeightedLD.py:34)
+                                   # or "rust" (the Rust binary's line-based
+                                   # reader, io/fasta.py:read_fasta_rust)
 
 
 @dataclass
@@ -78,7 +82,17 @@ class PipelineResult:
 
 
 def prepare_fasta(path: str | Path, cfg: WldConfig) -> PipelineResult:
-    alignment = read_fasta(path)
+    if cfg.fasta_reader == "rust":
+        from .io.fasta import read_fasta_rust
+
+        alignment = read_fasta_rust(path)
+    elif cfg.fasta_reader == "python":
+        alignment = read_fasta(path)
+    else:
+        raise ValueError(
+            f"fasta_reader must be 'python' or 'rust', got "
+            f"{cfg.fasta_reader!r}"
+        )
     # Host f64 masks: bit-exact with the reference at threshold boundaries
     # (see compute_variable_sites_host).
     hk_mask, ld_mask = compute_variable_sites_host(

@@ -43,6 +43,27 @@ log = logging.getLogger("weightedld_tpu")
 _UNSET = object()  # "use the session default" sentinel (None is meaningful)
 
 
+@dataclass(frozen=True)
+class SiteMajorCodes:
+    """An alignment already in the engine's padded SITE-MAJOR layout —
+    the zero-copy session input of the streaming VCF ingest
+    (:func:`weightedld_tpu.runtime.ingest.session_from_vcf`).
+
+    ``codes`` is ``[s_pad, n_pad]`` int8, UNKNOWN-padded on both axes,
+    with ``codes[s, k] == alignment[k, s]`` for the row-list readers'
+    ``alignment`` (``io/vcf.py:read_vcf_site_major``).  ``s_pad``/``n_pad``
+    must equal the session's resolved tile / seq-chunk multiples —
+    :meth:`LdSession.required_padding` computes them; the constructor
+    validates and raises otherwise (a silently larger buffer would make
+    the kernel sweep dead all-UNKNOWN sequence chunks and desync the
+    padded weights width).
+    """
+
+    codes: np.ndarray
+    n_seqs: int
+    n_sites: int
+
+
 @dataclass
 class DriverConfig:
     tile: int | None = None         # site-tile side (None = auto: 256 on
@@ -241,15 +262,29 @@ class LdSession:
         """``weights=None`` computes Python-formula Henikoff weights ON
         DEVICE from the uploaded codes (one alignment upload instead of
         two — the setup bottleneck at pod scale is the host->device pass);
-        the result is exposed as ``session.weights``."""
+        the result is exposed as ``session.weights``.
+
+        ``alignment`` is either a ``[N, S]`` sequence-major code matrix or
+        a :class:`SiteMajorCodes` buffer already in the engine's padded
+        layout (the streaming-ingest path; pallas engine only — the dense
+        XLA engine consumes the sequence-major matrix directly)."""
         from dataclasses import replace as _replace
 
         cfg = cfg or DriverConfig()
         self.mesh = mesh or default_mesh()
         n_dev = self.mesh.devices.size
         self.n_dev = n_dev
-        self.n_seqs, self.n_sites = alignment.shape
+        sm = alignment if isinstance(alignment, SiteMajorCodes) else None
+        if sm is not None:
+            self.n_seqs, self.n_sites = sm.n_seqs, sm.n_sites
+        else:
+            self.n_seqs, self.n_sites = alignment.shape
         engine = _resolve_engine(cfg.engine)
+        if sm is not None and engine != "pallas":
+            raise ValueError(
+                "SiteMajorCodes input requires the pallas engine "
+                f"(resolved engine: {engine!r})"
+            )
         planes = None
         majmin = False
         site_counts = None
@@ -259,7 +294,16 @@ class LdSession:
                 majmin_safe_with_unknown,
             )
 
-            planes, has_unknown = detect_planes_unknown(alignment)
+            if sm is not None:
+                # Scan only the valid region: the buffer's padding is
+                # UNKNOWN by contract and must not disable the factorized
+                # kernel (padded SITES are invisible to it either way —
+                # distinct == 0 drops their pairs in-kernel).
+                planes, has_unknown = detect_planes_unknown(
+                    sm.codes[: self.n_sites, : self.n_seqs]
+                )
+            else:
+                planes, has_unknown = detect_planes_unknown(alignment)
             # No UNKNOWN anywhere (every VCF matrix; clean FASTA): per-pair
             # major/dmin degenerate to per-site properties and the
             # factorized kernel applies — one (2T x 2T) contraction block
@@ -270,19 +314,40 @@ class LdSession:
             if not has_unknown:
                 majmin = True
             else:
-                from ..core.sites import site_histogram_host
+                if sm is not None:
+                    from ..core.sites import site_histogram_host_site_major
 
-                site_counts = site_histogram_host(alignment)
-                majmin = majmin_safe_with_unknown(alignment, site_counts)
+                    site_counts = site_histogram_host_site_major(
+                        sm.codes, self.n_sites, self.n_seqs
+                    )
+                else:
+                    from ..core.sites import site_histogram_host
+
+                    site_counts = site_histogram_host(alignment)
+                majmin = majmin_safe_with_unknown(
+                    None if sm is not None else alignment,
+                    site_counts, n_seqs=self.n_seqs,
+                )
         # The resolved tile/batch size are properties of (alignment,
         # platform, config), not of the caller's config object: work on a
         # copy so one DriverConfig can be reused across sessions with
         # different inputs.  Read the resolved values from session.cfg.
         cfg = _replace(
             cfg,
-            tile=resolve_tile(cfg.tile, engine, alignment),
+            tile=resolve_tile(cfg.tile, engine,
+                              sm.codes if sm is not None else alignment),
             seq_chunk=resolve_seq_chunk(cfg.seq_chunk, self.n_seqs),
         )
+        if sm is not None:
+            want = (cdiv(self.n_sites, cfg.tile) * cfg.tile,
+                    cdiv(self.n_seqs, cfg.seq_chunk) * cfg.seq_chunk)
+            if tuple(sm.codes.shape) != want:
+                raise ValueError(
+                    f"SiteMajorCodes buffer shape {tuple(sm.codes.shape)} "
+                    f"does not match the session's resolved padding {want} "
+                    f"(tile={cfg.tile}, seq_chunk={cfg.seq_chunk}); size it "
+                    "with LdSession.required_padding(n_seqs, n_sites, cfg)"
+                )
         self.cfg = cfg
         self.site_map = np.asarray(site_map)
         self._sm_dev = None
@@ -296,8 +361,10 @@ class LdSession:
         # Host reference (no copy) for analyses needing per-site stats
         # (prune's minor-allele frequencies); released after the first MAF
         # computation so a chromosome-scale session does not pin the host
-        # alignment for its lifetime.
-        self._alignment = alignment
+        # alignment for its lifetime.  (The SiteMajorCodes buffer IS the
+        # upload source, so holding it costs nothing extra.)
+        self._alignment = None if sm is not None else alignment
+        self._codes_sm = sm
         self._maf_cache = None
 
         k = cfg.tiles_per_shard_batch
@@ -333,9 +400,12 @@ class LdSession:
             )
 
             interpret = jax.devices()[0].platform not in ("tpu", "axon")
-            codes_host = pad_alignment_site_major(
-                alignment, cfg.tile, cfg.seq_chunk
-            )
+            if sm is not None:
+                codes_host = sm.codes  # already padded: zero-copy upload
+            else:
+                codes_host = pad_alignment_site_major(
+                    alignment, cfg.tile, cfg.seq_chunk
+                )
             # (A nibble-packed upload was measured and rejected: the raw
             # transfer is only ~3-7 s/GB even through the tunnel — setup
             # time is compiles + host-side packing, so halving the bytes
@@ -393,8 +463,16 @@ class LdSession:
             if majmin:
                 from ..ops.pallas_ld import majmin_site_aux
 
-                auxc, auxr = majmin_site_aux(alignment, self.plan.s_pad,
-                                             counts=site_counts)
+                if sm is not None and site_counts is None:
+                    from ..core.sites import site_histogram_host_site_major
+
+                    site_counts = site_histogram_host_site_major(
+                        sm.codes, self.n_sites, self.n_seqs
+                    )
+                auxc, auxr = majmin_site_aux(
+                    None if sm is not None else alignment,
+                    self.plan.s_pad, counts=site_counts,
+                )
                 self._auxc_dev, self._auxr_dev = replicate(
                     self.mesh, auxc, auxr)
             if wquant == "int8":
@@ -457,6 +535,25 @@ class LdSession:
         self._emit_per_batch = (
             em_h.reshape(n_dev, self.n_batches, k).sum(axis=(0, 2))
         )
+
+    @staticmethod
+    def required_padding(n_seqs: int, n_sites: int,
+                         cfg: DriverConfig | None = None) -> tuple[int, int]:
+        """``(s_pad, n_pad)`` a :class:`SiteMajorCodes` buffer must have to
+        feed a session built with ``cfg`` on this platform — the same
+        tile / seq-chunk resolution the constructor performs, so streaming
+        ingest can allocate the padded buffer before decoding."""
+        cfg = cfg or DriverConfig()
+        engine = _resolve_engine(cfg.engine)
+        if engine != "pallas":
+            raise ValueError(
+                f"SiteMajorCodes input requires the pallas engine, "
+                f"got {engine!r}"
+            )
+        tile = resolve_tile(cfg.tile, engine, None)
+        seq_chunk = resolve_seq_chunk(cfg.seq_chunk, n_seqs)
+        return (cdiv(n_sites, tile) * tile,
+                cdiv(n_seqs, seq_chunk) * seq_chunk)
 
     def _ensure_sm_dev(self, what: str):
         """Validate the site map for on-device distance work (int32 range,
@@ -720,11 +817,18 @@ class LdSession:
         ``WeightedLD.py:79-87``), computed once and cached; the host
         alignment reference is released afterwards."""
         if self._maf_cache is None:
-            if self._alignment is None:
-                raise RuntimeError("MAF already released; internal error")
-            from ..core.sites import site_histogram_host
+            if self._codes_sm is not None:
+                from ..core.sites import site_histogram_host_site_major
 
-            counts = site_histogram_host(self._alignment)   # [S, 5]
+                counts = site_histogram_host_site_major(
+                    self._codes_sm.codes, self.n_sites, self.n_seqs
+                )
+            elif self._alignment is not None:
+                from ..core.sites import site_histogram_host
+
+                counts = site_histogram_host(self._alignment)   # [S, 5]
+            else:
+                raise RuntimeError("MAF already released; internal error")
             major = counts.max(axis=1)
             total = counts.sum(axis=1)
             self._maf_cache = (total - major) / np.maximum(total, 1)
@@ -967,6 +1071,12 @@ def run_to_tsv(
     session = LdSession(alignment, weights, site_map, cfg or DriverConfig(),
                         mesh)
     cfg_r = session.cfg
+    # Input digest source: the padded site-major buffer for streamed
+    # ingest, the raw matrix otherwise.  The two fingerprints for the same
+    # file intentionally differ (row sampling covers different bytes) —
+    # a checkpoint must be resumed under the same ingest mode.
+    aln_arr = (alignment.codes if isinstance(alignment, SiteMajorCodes)
+               else alignment)
     h = hashlib.sha256()
     h.update(repr((
         cfg_r.tile, cfg_r.tiles_per_shard_batch, cfg_r.r2_threshold,
@@ -975,9 +1085,9 @@ def run_to_tsv(
         cfg_r.weight_quant,  # quantized r2 differs at the 4-dp quantum:
                             # never mix modes in one resumed TSV
         session.n_dev, jax.process_count(),
-        alignment.shape, ndigits,
+        (session.n_seqs, session.n_sites), ndigits,
     )).encode())
-    h.update(np.ascontiguousarray(alignment[:: max(1, alignment.shape[0] // 64)]).tobytes())
+    h.update(np.ascontiguousarray(aln_arr[:: max(1, aln_arr.shape[0] // 64)]).tobytes())
     h.update(session.weights.tobytes())  # covers weights=None (on-device)
     h.update(np.asarray(site_map).tobytes())
     fingerprint = h.hexdigest()

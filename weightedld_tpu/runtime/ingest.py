@@ -1,0 +1,108 @@
+"""Streaming VCF -> device session ingest (bounded host memory).
+
+The reference reads the WHOLE file (and, via gzip text mode, inflates the
+whole stream) into memory before parsing (``WeightedLD.py:311-379``), then
+builds the ``[S, N]`` matrix and rotates it — about three matrices' worth
+of peak host RAM plus the full decompressed text.  Chromosome-scale
+``.vcf.gz`` (tens of GB decompressed) cannot ingest that way.
+
+This module chains the streaming pieces end-to-end so peak host memory is
+ONE padded site-major matrix (the buffer the engine uploads):
+
+* :func:`weightedld_tpu.io.vcf.scan_vcf` — pass 1, learns ``(n_haps,
+  site_map)`` from an incremental line iterator (chunked gzip inflate);
+* :meth:`LdSession.required_padding` — resolves the engine's tile /
+  seq-chunk padding before any genotype is decoded;
+* :func:`weightedld_tpu.io.vcf.read_vcf_site_major` — pass 2, decodes each
+  record straight into its padded row (no ``[S, N]`` + transpose double
+  materialization);
+* :func:`weightedld_tpu.core.henikoff.henikoff_weights_host_site_major` —
+  f64 host weights, chunked over site rows (the VCF path applies no site
+  mask, reference parity — ``WeightedLD.py:385-388``);
+* :class:`LdSession` with a :class:`SiteMajorCodes` input — zero-copy
+  upload of the buffer we just filled.
+
+Record semantics are identical to the row-list reader (same trailing-line
+quirk, same codes, same rot90 haplotype order) — verified bit-identical in
+``tests/test_ingest.py``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..io.vcf import read_vcf_site_major, scan_vcf
+from .driver import DriverConfig, LdSession, SiteMajorCodes
+
+
+def _pin_pallas(cfg: DriverConfig | None) -> DriverConfig:
+    """Streamed buffers are laid out for the pallas kernel; "auto" would
+    resolve to the xla engine off-TPU and reject them (interpret mode
+    covers CPU runs).  An explicit non-pallas engine stays and fails with
+    the session's clear error."""
+    from dataclasses import replace
+
+    cfg = cfg or DriverConfig()
+    return replace(cfg, engine="pallas") if cfg.engine == "auto" else cfg
+
+
+def prepare_vcf_streamed(
+    path: str | Path,
+    chrom: str | None = None,
+    cfg: DriverConfig | None = None,
+) -> tuple[SiteMajorCodes, np.ndarray]:
+    """Two-pass streaming ingest sized for ``cfg``'s resolved padding:
+    ``(SiteMajorCodes, site_map)`` ready for a zero-copy
+    :class:`LdSession` built with the same config (engine pinned to
+    ``pallas`` — see :func:`_pin_pallas`; :func:`session_from_vcf` does
+    both halves consistently)."""
+    cfg = _pin_pallas(cfg)
+    n_haps, site_map = scan_vcf(path, chrom)
+    s_pad, n_pad = LdSession.required_padding(n_haps, len(site_map), cfg)
+    codes, site_map, n_haps = read_vcf_site_major(
+        path, chrom=chrom, s_pad=s_pad, n_pad=n_pad,
+        scan=(n_haps, site_map),
+    )
+    return SiteMajorCodes(codes=codes, n_seqs=n_haps,
+                          n_sites=len(site_map)), site_map
+
+
+def session_from_vcf(
+    path: str | Path,
+    chrom: str | None = None,
+    cfg: DriverConfig | None = None,
+    mesh=None,
+    unweighted: bool = False,
+    weights: np.ndarray | None = None,
+    weight_precision: str = "f64",
+) -> LdSession:
+    """Build a device session from a (possibly gzipped) VCF with bounded
+    host memory — the streaming twin of ``prepare_vcf`` + ``LdSession``.
+
+    Weighting matches the VCF pipeline (Henikoff on the full unmasked
+    haplotype matrix, ``pipeline.prepare_vcf``): ``weight_precision="f64"``
+    (default) runs the chunked f64 host formula
+    (:func:`henikoff_weights_host_site_major` — equal to the ingest
+    default's f64 twin up to chunked-summation order, ~1 ulp);
+    ``"f32"`` defers to the session's on-device site-major weighting (one
+    fewer host pass — the pod-scale choice).  Explicit ``weights`` or
+    ``unweighted=True`` skip weighting entirely.
+    """
+    cfg = _pin_pallas(cfg)
+    sm, site_map = prepare_vcf_streamed(path, chrom=chrom, cfg=cfg)
+    if unweighted:
+        weights = np.ones(sm.n_seqs, dtype=np.float32)
+    elif weights is None and weight_precision == "f64":
+        from ..core.henikoff import henikoff_weights_host_site_major
+
+        weights = henikoff_weights_host_site_major(
+            sm.codes, sm.n_sites, sm.n_seqs
+        )
+    elif weights is None and weight_precision != "f32":
+        raise ValueError(
+            f"weight_precision must be 'f64' or 'f32', got "
+            f"{weight_precision!r}"
+        )
+    return LdSession(sm, weights, site_map, cfg=cfg, mesh=mesh)
