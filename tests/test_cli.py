@@ -478,3 +478,57 @@ def test_query_mode_flag_combinations(tmp_path, capsys):
     for extra in ([], ["--list-chroms"], ["--site-stats", "-"]):
         assert main(["--file", str(tmp_path / "nope.vcf")] + extra) == 2
         assert capsys.readouterr().err.startswith("error:")
+
+
+def test_progress_bar_rendering():
+    """Unit: TTY renders in place with \\r and finishes with a newline;
+    non-TTY emits one line per update."""
+    import io
+
+    from weightedld_tpu.io.progressbar import ProgressBar
+    from weightedld_tpu.runtime.driver import Progress
+
+    class Tty(io.StringIO):
+        def isatty(self):
+            return True
+
+    tty = Tty()
+    bar = ProgressBar(tty)
+    bar(Progress(pairs_done=50, pairs_total=100, records_emitted=3,
+                 elapsed_s=1.0))
+    bar(Progress(pairs_done=100, pairs_total=100, records_emitted=7,
+                 elapsed_s=2.0))
+    out = tty.getvalue()
+    assert out.startswith("\r[")
+    assert " 50.0%" in out and "100.0%" in out
+    assert "eta 00:01" in out            # 50 pairs left at 50/s
+    assert out.endswith("\n")            # completed bar terminates the line
+    bar(Progress(pairs_done=100, pairs_total=100, records_emitted=7,
+                 elapsed_s=2.0))
+    assert tty.getvalue() == out         # no rendering after completion
+
+    plain = io.StringIO()
+    bar2 = ProgressBar(plain)
+    bar2(Progress(pairs_done=10, pairs_total=100, records_emitted=0,
+                  elapsed_s=0.0))        # zero elapsed -> unknown ETA
+    line = plain.getvalue()
+    assert line.endswith("\n") and "\r" not in line
+    assert "eta --:--" in line
+
+    # close() terminates a half-done TTY bar.
+    tty2 = Tty()
+    bar3 = ProgressBar(tty2)
+    bar3(Progress(pairs_done=10, pairs_total=100, records_emitted=0,
+                  elapsed_s=1.0))
+    bar3.close()
+    assert tty2.getvalue().endswith("\n")
+
+
+def test_progress_bar_cli_smoke(tmp_path, capsys):
+    f = tmp_path / "t3.fasta"
+    write_fasta(f, ALL_FASTAS["t3"])
+    rc = main(["--file", str(f), "--engine", "tiled", "--tile", "16",
+               "--progress-bar"])
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "100.0%" in captured.err and "eta" in captured.err

@@ -601,3 +601,36 @@ def test_analytics_cross_consistency(rng):
     top = sess.top_pairs(3)
     if len(top.r2):
         assert float(top.r2[0]) == pytest.approx(summ["r2_max"], rel=1e-6)
+
+
+def test_compact_slot_and_sort_paths_identical(monkeypatch):
+    """compact_tile_stats has two static paths (slot-driven vs the
+    nonzero-sort fallback for huge capacity buckets); both must emit
+    bit-identical records in the same (tile, row, col) order."""
+    from weightedld_tpu.core import ld_tiled
+    from weightedld_tpu.core.paircore import PairStats
+
+    rng = np.random.default_rng(3)
+    k, t = 5, 8
+    st = PairStats(
+        d=jnp.asarray(rng.standard_normal((k, t, t)), jnp.float32),
+        d_prime=jnp.asarray(rng.standard_normal((k, t, t)), jnp.float32),
+        r2=jnp.asarray(rng.random((k, t, t)), jnp.float32),
+        keep=jnp.asarray(rng.random((k, t, t)) < 0.4),
+    )
+    ti = jnp.asarray(rng.integers(0, 7, k), jnp.int32)
+    tj = jnp.asarray(rng.integers(0, 7, k), jnp.int32)
+
+    # Distinct capacity values per path: _SLOT_BYTES_CAP is read at TRACE
+    # time, so a repeated (shape, capacity) would hit the jit cache.
+    cap_slot, cap_sort = 256, 257
+    n1, s1, v1 = ld_tiled.compact_tile_stats(
+        st, ti, tj, jnp.float32(0.3), tile=t, capacity=cap_slot)
+    monkeypatch.setattr(ld_tiled, "_SLOT_BYTES_CAP", 0)
+    # cap_sort * t * 4 = 8224 > 4 * mask.size = 1280 -> sort path.
+    n2, s2, v2 = ld_tiled.compact_tile_stats(
+        st, ti, tj, jnp.float32(0.3), tile=t, capacity=cap_sort)
+    assert int(n1) == int(n2) > 0
+    n = int(n1)
+    np.testing.assert_array_equal(np.asarray(s1)[:n], np.asarray(s2)[:n])
+    np.testing.assert_array_equal(np.asarray(v1)[:n], np.asarray(v2)[:n])

@@ -189,6 +189,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "--weighting paper")
     p.add_argument("--progress", action="store_true",
                    help="log pairs/s progress to stderr")
+    p.add_argument("--progress-bar", action="store_true",
+                   help="live stderr progress bar with percent/rate/ETA "
+                   "(the Rust binary's indicatif analog; in-place on a "
+                   "TTY, one line per update otherwise; overrides "
+                   "--progress)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -519,7 +524,11 @@ def main(argv=None) -> int:
               "(add --engine tiled to use it)", file=sys.stderr)
 
     on_progress = None
-    if args.progress:
+    if args.progress_bar:
+        from .io.progressbar import ProgressBar
+
+        on_progress = ProgressBar(sys.stderr)
+    elif args.progress:
         def on_progress(p):
             print(
                 f"[progress] {p.pairs_done}/{p.pairs_total} pairs evaluated "

@@ -73,6 +73,12 @@ def tile_stats_batch(
     return jax.vmap(one)(tile_i, tile_j, emit)
 
 
+# Slot-driven compaction intermediate budget (bytes); above this (and above
+# the mask domain's own footprint) the sort-based path wins.  Module-level
+# so tests can force the fallback at small shapes.
+_SLOT_BYTES_CAP = 1 << 28
+
+
 @partial(jax.jit, static_argnames=("tile", "capacity"))
 def compact_tile_stats(
     stats: PairStats,
@@ -102,32 +108,54 @@ def compact_tile_stats(
     # paircore keep rules — so their r2 is non-NaN and nothing is lost).
     mask = stats.keep & (stats.r2 > r2_threshold)
 
-    # Compaction WITHOUT jnp.nonzero: nonzero(size=) lowers to a sort over
-    # the full K*T^2 domain on TPU (measured 1.29 s for a 2048-tile batch —
-    # the record-extraction bottleneck of high-yield streams).  Instead:
-    # one cheap pass computes per-ROW survivor counts, and only the
-    # ``capacity`` OUTPUT SLOTS do real work — each slot binary-searches
-    # its source row in the exclusive row-offset table, gathers that row's
-    # mask, and finds its survivor's column via a tiny [capacity, T]
-    # prefix.  Measured 13x faster (1.29 s -> ~0.1 s) with bit-identical
-    # records in the same (tile, row, col) order.
-    rows = mask.reshape(-1, t)                           # [K*T, T]
-    row_counts = rows.sum(axis=1, dtype=jnp.int32)       # [K*T]
-    offs = jnp.cumsum(row_counts) - row_counts           # exclusive
-    count = row_counts.sum().astype(jnp.int32)
-
+    # Compaction WITHOUT jnp.nonzero when capacity is moderate:
+    # nonzero(size=) lowers to a sort over the full K*T^2 domain on TPU
+    # (measured 1.29 s for a 2048-tile batch — the record-extraction
+    # bottleneck of high-yield streams).  Instead: one cheap pass computes
+    # per-ROW survivor counts, and only the ``capacity`` OUTPUT SLOTS do
+    # real work — each slot binary-searches its source row in the
+    # exclusive row-offset table, gathers that row's mask, and finds its
+    # survivor's column via a [capacity, T] prefix.  Measured 13x faster
+    # (1.29 s -> ~0.1 s) with bit-identical records in the same
+    # (tile, row, col) order.
+    #
+    # The [capacity, T] intermediates make the slot-driven path O(cap*T)
+    # memory, which LOSES to the O(K*T^2) sort once capacity approaches
+    # the domain size (a no-threshold stream buckets capacity up to ~2x
+    # the batch's pair count, i.e. cap*T ~ 512x the mask bytes — tens of
+    # GB).  Static hybrid: slots while the intermediates stay under
+    # ~256 MiB AND under the domain's own footprint; the sort otherwise
+    # (there, extraction is inherently O(domain) anyway).
+    slot_bytes = capacity * t * 4
+    use_slots = slot_bytes <= max(_SLOT_BYTES_CAP, 4 * mask.size)
     slot = jnp.arange(capacity, dtype=jnp.int32)
-    rr = jnp.searchsorted(offs, slot, side="right").astype(jnp.int32) - 1
-    rr = jnp.clip(rr, 0, rows.shape[0] - 1)
-    rank = slot - offs[rr]                               # survivor rank in row
-    pref = jnp.cumsum(rows[rr].astype(jnp.int32), axis=1)  # [capacity, T]
-    col = jnp.sum((pref <= rank[:, None]).astype(jnp.int32), axis=1)
-    col = jnp.clip(col, 0, t - 1)
+    if use_slots:
+        rows = mask.reshape(-1, t)                       # [K*T, T]
+        row_counts = rows.sum(axis=1, dtype=jnp.int32)   # [K*T]
+        offs = jnp.cumsum(row_counts) - row_counts       # exclusive
+        count = row_counts.sum().astype(jnp.int32)
 
-    kt = rr // t                                         # tile in batch
-    gi = tile_i[kt] * t + rr % t
-    gj = tile_j[kt] * t + col
-    src = rr * t + col
+        rr = jnp.searchsorted(offs, slot, side="right").astype(jnp.int32) - 1
+        rr = jnp.clip(rr, 0, rows.shape[0] - 1)
+        rank = slot - offs[rr]                           # rank in row
+        pref = jnp.cumsum(rows[rr].astype(jnp.int32), axis=1)  # [cap, T]
+        col = jnp.sum((pref <= rank[:, None]).astype(jnp.int32), axis=1)
+        col = jnp.clip(col, 0, t - 1)
+
+        kt = rr // t                                     # tile in batch
+        gi = tile_i[kt] * t + rr % t
+        gj = tile_j[kt] * t + col
+        src = rr * t + col
+    else:
+        flat = mask.reshape(-1)
+        count = flat.sum().astype(jnp.int32)
+        (src,) = jnp.nonzero(flat, size=capacity, fill_value=0)
+        src = src.astype(jnp.int32)
+        kt = src // (t * t)
+        within = src % (t * t)
+        gi = tile_i[kt] * t + within // t
+        gj = tile_j[kt] * t + within % t
+
     take = lambda x: x.reshape(-1)[src]
     sites = jnp.stack([gi, gj], axis=1)
     values = jnp.stack(
