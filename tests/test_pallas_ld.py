@@ -410,7 +410,14 @@ def test_majmin_session_auto_selected_and_fallback(rng):
         sm = np.arange(50)
         ses = LdSession(aln, w, sm,
                         DriverConfig(tile=16, engine="pallas", seq_chunk=64))
-        assert (ses._auxc_dev is None) == unsafe_unknown
+        # Unsafe margins reject GLOBAL factorization; the session may still
+        # run the hybrid tile-pair split (phase-0 factorized on provably
+        # safe tile pairs) — either way results must match.
+        assert ses._majmin == (not unsafe_unknown)
+        if unsafe_unknown:
+            assert ses._hybrid_safe is None or not ses._hybrid_safe.all()
+        else:
+            assert ses._hybrid_safe is None
         got = {}
         for _b, rec in ses.stream():
             got.update(records_map(rec))
@@ -475,6 +482,67 @@ def test_majmin_safety_gate_rejects_tight_margins(rng):
     aln3[0, 5] = 5
     aln3[:25, 1] = 1  # margins 20 vs u_max 1: safe
     assert majmin_safe_with_unknown(aln3)
+
+
+def test_hybrid_partition_bit_equal_general(rng):
+    # UNKNOWNs plus one tight-margin (count-tie) site: the GLOBAL
+    # factorized safety test fails, but most tile PAIRS remain provably
+    # safe — the session splits the plan (phase 0 factorized kernel,
+    # phase 1 general kernel; majmin_tile_margins) and the merged output
+    # must be bit-identical to forcing the general kernel everywhere.
+    from dataclasses import replace
+
+    from weightedld_tpu.runtime.driver import DriverConfig, LdSession
+
+    n_seqs, n_sites = 64, 70  # tile=16 -> 5x5 tile grid (80 padded sites)
+    aln = rng.choice([0, 0, 0, 0, 0, 1, 1, 2],
+                     size=(n_seqs, n_sites)).astype(np.int8)
+    aln[:32, 36] = 0          # count TIE: c1 == c2 -> margin 0 (tile 2)
+    aln[32:, 36] = 1
+    aln[5, 38] = 5            # UNKNOWN in the same tile -> (2, 2) unsafe
+    aln[7, 3] = 5             # sparse UNKNOWN elsewhere (wide margins)
+    w = (rng.random(n_seqs) + 0.05).astype(np.float32)
+    sm = np.arange(n_sites)
+    cfg = DriverConfig(tile=16, engine="pallas", seq_chunk=64)
+
+    ses = LdSession(aln, w, sm, cfg)
+    assert ses._hybrid_safe is not None
+    assert ses._hybrid_safe.any() and not ses._hybrid_safe.all()
+    assert ses._runner2 is not None and ses._n_batches_p0 < ses.n_batches
+
+    gen = LdSession(aln, w, sm, replace(cfg, kernel="general"))
+    assert gen._hybrid_safe is None and gen._auxc_dev is None
+    assert not gen._majmin
+
+    def rec_map(session):
+        got = {}
+        for _b, rec in session.stream():
+            for a, b, d, dp, r2 in zip(rec.pos_a, rec.pos_b, rec.d,
+                                       rec.d_prime, rec.r2):
+                got[(int(a), int(b))] = (float(d), float(dp), float(r2))
+        return got
+
+    hyb, base = rec_map(ses), rec_map(gen)
+    assert set(hyb) == set(base)
+    for key, vals in base.items():
+        # Bit-equality: the factorized kernel reproduces the general
+        # kernel's f32 combine order on safe tile pairs.
+        assert hyb[key] == vals, key
+
+    sh, sg = ses.summarize(), gen.summarize()
+    assert sh["n_pairs_kept"] == sg["n_pairs_kept"]
+    assert sh["n_records"] == sg["n_records"]
+    np.testing.assert_allclose(sh["r2_sum"], sg["r2_sum"], rtol=1e-5)
+
+
+def test_kernel_config_validation():
+    from weightedld_tpu.runtime.driver import DriverConfig, LdSession
+
+    aln = np.zeros((8, 8), dtype=np.int8)
+    aln[:4, 1] = 1
+    with np.testing.assert_raises(ValueError):
+        LdSession(aln, np.ones(8, np.float32), np.arange(8),
+                  DriverConfig(engine="xla", kernel="majmin"))
 
 
 def test_int8_cascade_packer_error_bounds(rng):

@@ -1026,3 +1026,53 @@ def pallas_tile_stats_majmin(
       auxc, auxc, auxr)
 
     return PairStats(d=d, d_prime=dp, r2=r2, keep=keep.astype(bool))
+
+
+_MARGIN_INF = np.int64(1) << 62
+
+
+def majmin_tile_margins(counts: np.ndarray, n_seqs: int, tile: int,
+                        grid: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-site-TILE ``(stability_margin, unknown_max)`` for the hybrid
+    safe/unsafe tile-pair partition (the per-tile refinement of
+    :func:`majmin_safe_with_unknown`).
+
+    For a pair (a, b) the reference drops sequences UNKNOWN at either site
+    before recomputing major/dmin (``WeightedLD.py:183-211``), so site a's
+    per-pair counts differ from its global counts by at most ``u(b)``
+    decrements (``u(x)`` = UNKNOWN count at site x) — NOT the global
+    ``U_max``.  Site a's maj/dmin identities and its distinct>1 verdict are
+    stable under any ``m`` removals when ``c2 == 0`` (monomorphic: every
+    pair touching it is skipped either way) or
+    ``min(c1-c2, c2-c3) > m`` with descending counts; and trivially exact
+    when ``m == 0`` (nothing is removed — even count TIES are fine, both
+    kernels then see identical counts).
+
+    Tile granularity makes this a cheap static test the plan can consume:
+    with ``stab(T) = min`` site margin and ``umax(T) = max`` site u over a
+    tile's real sites, the tile pair (Ti, Tj) is factorized-exact iff
+
+        (umax(Tj) == 0  or  stab(Ti) > umax(Tj)) and
+        (umax(Ti) == 0  or  stab(Tj) > umax(Ti))
+
+    — in particular clean x clean tile pairs (no UNKNOWN on either side,
+    the overwhelming majority for real FASTA with sparse ambiguity codes)
+    are ALWAYS exact.  Padded tail sites carry margin = +inf / u = 0 (their
+    pairs are dropped in-kernel via distinct == 0 anyway).
+
+    Returns ``(stab [grid] int64, umax [grid] int64)``; monomorphic and
+    padded sites contribute margin ``_MARGIN_INF``.
+    """
+    counts = counts.astype(np.int64)
+    s = counts.shape[0]
+    u = n_seqs - counts.sum(axis=1)
+    top = np.sort(counts, axis=1)[:, ::-1]
+    c1, c2, c3 = top[:, 0], top[:, 1], top[:, 2]
+    margin = np.where(c2 == 0, _MARGIN_INF, np.minimum(c1 - c2, c2 - c3))
+    s_pad = grid * tile
+    mpad = np.full(s_pad, _MARGIN_INF, dtype=np.int64)
+    mpad[:s] = margin
+    upad = np.zeros(s_pad, dtype=np.int64)
+    upad[:s] = u
+    return (mpad.reshape(grid, tile).min(axis=1),
+            upad.reshape(grid, tile).max(axis=1))

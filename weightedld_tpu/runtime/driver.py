@@ -99,6 +99,12 @@ class DriverConfig:
                                     # error), "int8" (~1.6e-5, fastest) —
                                     # those two can move r2 by about the
                                     # 4-dp output rounding quantum.
+    kernel: str = "auto"            # pallas kernel selection: "auto" picks
+                                    # the factorized major/dmin kernel (or
+                                    # the hybrid tile-pair split) whenever
+                                    # exactness is proven, "general" forces
+                                    # the per-pair kernel everywhere
+                                    # (baseline/diagnostic escape hatch).
 
 
 def _resolve_engine(engine: str) -> str:
@@ -288,6 +294,9 @@ class LdSession:
         planes = None
         majmin = False
         site_counts = None
+        if cfg.kernel not in ("auto", "general"):
+            raise ValueError(
+                f"kernel must be 'auto' or 'general', got {cfg.kernel!r}")
         if engine == "pallas":
             from ..ops.pallas_ld import (
                 detect_planes_unknown,
@@ -311,7 +320,9 @@ class LdSession:
             # results (pallas_tile_stats_majmin).  With UNKNOWNs present it
             # still applies when every site's count margins exceed the
             # worst-case per-pair removals (majmin_safe_with_unknown).
-            if not has_unknown:
+            if cfg.kernel == "general":
+                pass  # forced per-pair kernel: skip factorized selection
+            elif not has_unknown:
                 majmin = True
             else:
                 if sm is not None:
@@ -366,6 +377,37 @@ class LdSession:
         self._alignment = None if sm is not None else alignment
         self._codes_sm = sm
         self._maf_cache = None
+
+        # Hybrid tile-pair partition: when UNKNOWNs break the GLOBAL
+        # factorized-kernel safety test (majmin_safe_with_unknown), most
+        # tile PAIRS are usually still exactly factorizable — a pair (a, b)
+        # only needs site a's count margins to absorb site b's UNKNOWN
+        # count and vice versa, and clean x clean tile pairs are always
+        # exact (nothing is ever removed).  Split the plan: safe tile pairs
+        # run the factorized kernel (phase 0), the rest the general
+        # per-pair kernel (phase 1) — bit-identical results, and a real
+        # FASTA with a few scattered ambiguity codes keeps ~the factorized
+        # rate instead of falling entirely to the general kernel
+        # (majmin_tile_margins has the stability argument).
+        self._hybrid_safe = None
+        if engine == "pallas" and not majmin and site_counts is not None:
+            from ..ops.pallas_ld import majmin_tile_margins
+
+            stab, umax = majmin_tile_margins(
+                site_counts, self.n_seqs, cfg.tile, self.plan.grid
+            )
+            pti, ptj = self.plan.tile_i, self.plan.tile_j
+            safe = (
+                ((umax[ptj] == 0) | (stab[pti] > umax[ptj]))
+                & ((umax[pti] == 0) | (stab[ptj] > umax[pti]))
+            )
+            if safe.all():
+                # Strictly weaker than the global test: e.g. all UNKNOWNs
+                # concentrated at one site still pair-safely everywhere.
+                majmin = True
+            elif safe.any():
+                self._hybrid_safe = np.asarray(safe)
+        self._majmin = majmin
 
         k = cfg.tiles_per_shard_batch
         if k is None:
@@ -448,19 +490,29 @@ class LdSession:
                 wquant = ""
             else:
                 wquant = cfg.weight_quant
-            self.runner = make_sharded_stats_runner(
-                self.mesh, tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k,
+            hybrid = self._hybrid_safe is not None
+            common = dict(
+                tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k,
                 engine="pallas", planes=planes, seq_chunk=cfg.seq_chunk,
                 exact_weights=exact,
                 unit_weights=unit,
                 wquant=wquant,
-                majmin=majmin,
                 max_site_distance=cfg.max_site_distance,
                 max_bp_distance=cfg.max_bp_distance,
                 interpret=interpret,
             )
+            self.runner = make_sharded_stats_runner(
+                self.mesh, majmin=majmin or hybrid, **common
+            )
+            # Hybrid phase-1 runner: the general per-pair kernel for the
+            # unsafe tile pairs (same k / shapes, so every downstream
+            # analytics runner consumes both phases' outputs unchanged).
+            self._runner2 = (
+                make_sharded_stats_runner(self.mesh, majmin=False, **common)
+                if hybrid else None
+            )
             self._auxc_dev = self._auxr_dev = None
-            if majmin:
+            if majmin or hybrid:
                 from ..ops.pallas_ld import majmin_site_aux
 
                 if sm is not None and site_counts is None:
@@ -486,6 +538,7 @@ class LdSession:
                 weights_host = pad_weights(w_arr, cfg.seq_chunk)
         else:
             self._auxc_dev = self._auxr_dev = None
+            self._runner2 = None
             if weights is None:
                 from ..core.henikoff import henikoff_weights
 
@@ -511,20 +564,49 @@ class LdSession:
         # Stripe tiles over shards, pad every shard to a whole number of
         # batches, and upload the whole plan once (sharded over the mesh
         # axis).  Each dispatch then addresses its batch by scalar index —
-        # no per-batch host->device array uploads.
-        tile_i, tile_j, emit = stripe(self.plan, n_dev)
-        per_shard = len(tile_i) // n_dev
-        self.n_batches = cdiv(per_shard, k)
-        pps = self.n_batches * k
-        ti_h = np.zeros(n_dev * pps, dtype=np.int32)
-        tj_h = np.zeros(n_dev * pps, dtype=np.int32)
-        em_h = np.zeros(n_dev * pps, dtype=np.int32)
-        for d in range(n_dev):
-            src = slice(d * per_shard, (d + 1) * per_shard)
-            dst = slice(d * pps, d * pps + per_shard)
-            ti_h[dst] = tile_i[src]
-            tj_h[dst] = tile_j[src]
-            em_h[dst] = emit[src]
+        # no per-batch host->device array uploads.  In hybrid mode the plan
+        # splits into two phases (safe tile pairs -> factorized kernel,
+        # the rest -> general kernel), striped independently and laid out
+        # back-to-back per shard, so a batch index still addresses slice
+        # [b*k, (b+1)*k) of the shard's plan buffer in BOTH phases.
+        if self._hybrid_safe is None:
+            phases = [self.plan]
+        else:
+            from dataclasses import replace as _replan
+
+            safe = self._hybrid_safe
+            phases = [
+                _replan(self.plan, tile_i=self.plan.tile_i[safe],
+                        tile_j=self.plan.tile_j[safe]),
+                _replan(self.plan, tile_i=self.plan.tile_i[~safe],
+                        tile_j=self.plan.tile_j[~safe]),
+            ]
+        ti_parts, tj_parts, em_parts, nb_list = [], [], [], []
+        for ph in phases:
+            tile_i, tile_j, emit = stripe(ph, n_dev)
+            per_shard = len(tile_i) // n_dev
+            nb_p = cdiv(per_shard, k)
+            pps = nb_p * k
+            ti_p = np.zeros((n_dev, pps), dtype=np.int32)
+            tj_p = np.zeros((n_dev, pps), dtype=np.int32)
+            em_p = np.zeros((n_dev, pps), dtype=np.int32)
+            for d in range(n_dev):
+                src = slice(d * per_shard, (d + 1) * per_shard)
+                ti_p[d, :per_shard] = tile_i[src]
+                tj_p[d, :per_shard] = tile_j[src]
+                em_p[d, :per_shard] = emit[src]
+            ti_parts.append(ti_p)
+            tj_parts.append(tj_p)
+            em_parts.append(em_p)
+            nb_list.append(nb_p)
+        self.n_batches = sum(nb_list)
+        # Batches [0, _n_batches_p0) dispatch self.runner; the rest
+        # self._runner2 (hybrid only).
+        self._n_batches_p0 = (nb_list[0] if self._hybrid_safe is not None
+                              else self.n_batches)
+        ti_h = np.concatenate(ti_parts, axis=1).reshape(-1)
+        tj_h = np.concatenate(tj_parts, axis=1).reshape(-1)
+        em_h = np.concatenate(em_parts, axis=1).reshape(-1)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         plan_sharding = NamedSharding(self.mesh, P("tiles"))
@@ -588,7 +670,12 @@ class LdSession:
         point of a device-resident serving session)."""
         thr = self.cfg.r2_threshold if r2_threshold is _UNSET else r2_threshold
         thr = -np.inf if thr is None else thr
-        return self.runner(
+        # Hybrid plan: batches [0, _n_batches_p0) are the factorized-safe
+        # tile pairs, the rest run the general per-pair kernel.  Both
+        # phases share one plan buffer (laid out back-to-back per shard),
+        # so the batch index addresses slice [b*k, (b+1)*k) uniformly.
+        runner = (self.runner if b < self._n_batches_p0 else self._runner2)
+        return runner(
             self.codes_dev, self.weights_dev,
             self.ti_dev, self.tj_dev, self.em_dev, b, thr,
             auxc=self._auxc_dev, auxr=self._auxr_dev,
