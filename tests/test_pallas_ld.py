@@ -530,9 +530,11 @@ def test_hybrid_partition_bit_equal_general(rng):
         assert hyb[key] == vals, key
 
     sh, sg = ses.summarize(), gen.summarize()
-    assert sh["n_pairs_kept"] == sg["n_pairs_kept"]
-    assert sh["n_records"] == sg["n_records"]
-    np.testing.assert_allclose(sh["r2_sum"], sg["r2_sum"], rtol=1e-5)
+    assert sh["n_pairs"] == sg["n_pairs"]
+    assert sh["n_over_threshold"] == sg["n_over_threshold"]
+    np.testing.assert_allclose(sh["r2_sum_over_threshold"],
+                               sg["r2_sum_over_threshold"], rtol=1e-5)
+    np.testing.assert_allclose(sh["r2_max"], sg["r2_max"], rtol=1e-6)
 
 
 def test_kernel_config_validation():

@@ -953,9 +953,13 @@ def pallas_tile_stats_majmin(
     interpret: bool = False,
 ) -> PairStats:
     """Factorized major/dmin kernel: same contract as
-    :func:`pallas_tile_stats`, REQUIRING an alignment with no UNKNOWN
-    (code 5) anywhere — true for every VCF-derived matrix (codes 0..4 by
-    construction) and for FASTA alignments without ambiguity characters.
+    :func:`pallas_tile_stats`.  Precondition: either the alignment has no
+    UNKNOWN (code 5) anywhere — true for every VCF-derived matrix (codes
+    0..4 by construction) and for FASTA alignments without ambiguity
+    characters — or every dispatched tile pair's UNKNOWN removals provably
+    cannot change any pair's major/dmin/distinct (the hybrid path's
+    per-site :func:`majmin_safe_with_unknown` / per-tile
+    :func:`majmin_tile_margins` proofs).
 
     Why it exists: the reference recomputes each pair's major/dominant-
     minor alleles after dropping sequences with UNKNOWN at either site
