@@ -187,6 +187,17 @@ def build_parser() -> argparse.ArgumentParser:
                    "summation order, ~1 ulp).  Forces the tiled/pallas "
                    "engine; incompatible with --save-prepared and "
                    "--weighting paper")
+    p.add_argument("--coordinator", type=str, default=None, metavar="HOST:PORT",
+                   help="distributed runtime coordinator address for manual "
+                   "multi-process bring-up (TPU pods / Slurm / Open MPI are "
+                   "auto-detected without any flags; every process runs the "
+                   "SAME command line and only process 0 writes output)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total process count for manual distributed bring-up "
+                   "(with --coordinator/--process-id)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's rank for manual distributed bring-up "
+                   "(with --coordinator/--num-processes)")
     p.add_argument("--progress", action="store_true",
                    help="log pairs/s progress to stderr")
     p.add_argument("--progress-bar", action="store_true",
@@ -233,8 +244,28 @@ def main(argv=None) -> int:
     )
     log = logging.getLogger("weightedld_tpu")
 
+    # Distributed bring-up FIRST (before anything touches the jax backend):
+    # a pod/Slurm/MPI launcher runs this same command line once per host —
+    # every process drives its local chips, only process 0 prints/writes
+    # (the reference is a CLI too, main.rs:121-213; no custom script).
+    from .parallel.multihost import initialize_distributed, is_output_process
+
+    try:
+        initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+    except (RuntimeError, ValueError) as e:
+        print(f"error: distributed bring-up failed: {e}", file=sys.stderr)
+        return 2
+    emit = is_output_process()
+
     from .io.writer import open_text_output, write_pairs, write_weights
     from .pipeline import WldConfig, prepare
+    from .runtime.profiling import StageTimer
+
+    timer = StageTimer()
 
     # Flag-combination validation up front, before any work.
     if args.checkpoint and args.pair_output and \
@@ -298,7 +329,8 @@ def main(argv=None) -> int:
 
         try:
             for c in list_chromosomes(args.file):
-                print(c)
+                if emit:
+                    print(c)
         except (VcfError, OSError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
@@ -331,6 +363,8 @@ def main(argv=None) -> int:
         except (ValueError, OSError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
+        if not emit:
+            return 0
         if str(args.site_stats) == "-":
             write_site_stats(stats, sys.stdout)
         else:
@@ -391,19 +425,23 @@ def main(argv=None) -> int:
             # The padding must match the session the records mode builds:
             # same tile/seq_chunk flags (auto resolution is deterministic
             # per platform).
-            sm, site_map = prepare_vcf_streamed(
-                args.file, chrom=args.chrom,
-                cfg=DriverConfig(tile=args.tile, seq_chunk=args.seq_chunk,
-                                 engine="pallas"),
-            )
-            if args.unweighted:
-                weights = np.ones(sm.n_seqs, dtype=np.float32)
-            else:
-                from .core.henikoff import henikoff_weights_host_site_major
-
-                weights = henikoff_weights_host_site_major(
-                    sm.codes, sm.n_sites, sm.n_seqs
+            with timer.stage("ingest"):
+                sm, site_map = prepare_vcf_streamed(
+                    args.file, chrom=args.chrom,
+                    cfg=DriverConfig(tile=args.tile, seq_chunk=args.seq_chunk,
+                                     engine="pallas"),
                 )
+            with timer.stage("weights"):
+                if args.unweighted:
+                    weights = np.ones(sm.n_seqs, dtype=np.float32)
+                else:
+                    from .core.henikoff import (
+                        henikoff_weights_host_site_major,
+                    )
+
+                    weights = henikoff_weights_host_site_major(
+                        sm.codes, sm.n_sites, sm.n_seqs
+                    )
         except (ValueError, OSError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
@@ -411,14 +449,14 @@ def main(argv=None) -> int:
                              weights=weights)
     elif args.file is not None:
         try:
-            res = prepare(args.file, cfg)
+            res = prepare(args.file, cfg, timer=timer)
         except (ValueError, OSError) as e:  # VcfError, ragged FASTA,
             print(f"error: {e}", file=sys.stderr)   # missing file, ...
             return 2
     else:
         print("error: --file or --load-prepared is required", file=sys.stderr)
         return 2
-    if args.save_prepared:
+    if args.save_prepared and emit:
         from .runtime.cache import save_prepared
 
         save_prepared(args.save_prepared, res,
@@ -444,12 +482,14 @@ def main(argv=None) -> int:
                   "run per chromosome with --chrom)", file=sys.stderr)
             return 2
 
-    if args.weights_output:
+    if args.weights_output and emit:
         with open_text_output(args.weights_output) as fh:
             write_weights(res.weights, fh)
 
     if s < 2:
         log.info("fewer than 2 sites of interest; nothing to do")
+        if not emit:
+            return 0
         if args.matrix_output is not None:
             np.savez_compressed(
                 args.matrix_output,
@@ -524,7 +564,9 @@ def main(argv=None) -> int:
               "(add --engine tiled to use it)", file=sys.stderr)
 
     on_progress = None
-    if args.progress_bar:
+    if not emit:
+        pass  # one progress reporter per pod run (the output process)
+    elif args.progress_bar:
         from .io.progressbar import ProgressBar
 
         on_progress = ProgressBar(sys.stderr)
@@ -549,9 +591,14 @@ def main(argv=None) -> int:
                   f"S={s} > 32768 kept sites — use the record outputs",
                   file=sys.stderr)
             return 2
-        session = _build_session(args, res, mesh)
-        mats = session.matrices()
-        np.savez_compressed(args.matrix_output, site_map=res.site_map, **mats)
+        with timer.stage("upload"):
+            session = _build_session(args, res, mesh)
+        with timer.stage("scan"):
+            mats = session.matrices()
+        if emit:
+            with timer.stage("write"):
+                np.savez_compressed(args.matrix_output,
+                                    site_map=res.site_map, **mats)
         log.info("wrote %s (%d x %d, %d surviving pairs) in %.2fs",
                  args.matrix_output, s, s, int(mats["keep"].sum()),
                  time.monotonic() - t0)
@@ -584,11 +631,14 @@ def main(argv=None) -> int:
                 "r2_max": float(r2[keep].max()) if keep.any() else None,
             }
         else:
-            session = _build_session(args, res, mesh,
-                                     r2_threshold=args.r2_threshold)
-            out = session.summarize()
+            with timer.stage("upload"):
+                session = _build_session(args, res, mesh,
+                                         r2_threshold=args.r2_threshold)
+            with timer.stage("scan"):
+                out = session.summarize()
         out["elapsed_s"] = time.monotonic() - t0
-        print(json.dumps(out))
+        if emit:
+            print(json.dumps(out))
         return 0
 
     from .runtime.profiling import device_trace
@@ -613,15 +663,17 @@ def main(argv=None) -> int:
         except ValueError as e:
             print(f"error: --ld-decay: {e}", file=sys.stderr)
             return 2
-        session = _build_session(args, res, mesh)
+        with timer.stage("upload"):
+            session = _build_session(args, res, mesh)
         try:
-            with device_trace(trace_dir):
+            with device_trace(trace_dir), timer.stage("scan"):
                 out = session.ld_decay(edges)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
         out["elapsed_s"] = time.monotonic() - t0
-        print(json.dumps(out))
+        if emit:
+            print(json.dumps(out))
         return 0
 
     if args.r2_hist is not None:
@@ -636,11 +688,13 @@ def main(argv=None) -> int:
         except ValueError as e:
             print(f"error: --r2-hist: {e}", file=sys.stderr)
             return 2
-        session = _build_session(args, res, mesh)
-        with device_trace(trace_dir):
+        with timer.stage("upload"):
+            session = _build_session(args, res, mesh)
+        with device_trace(trace_dir), timer.stage("scan"):
             out = session.r2_histogram(edges)
         out["elapsed_s"] = time.monotonic() - t0
-        print(json.dumps(out))
+        if emit:
+            print(json.dumps(out))
         return 0
 
     if args.prune_r2 is not None:
@@ -661,22 +715,24 @@ def main(argv=None) -> int:
                   "(multi-chromosome input? run per chromosome)",
                   file=sys.stderr)
             return 2
-        session = _build_session(args, res, mesh)
+        with timer.stage("upload"):
+            session = _build_session(args, res, mesh)
         try:
-            with device_trace(trace_dir):
+            with device_trace(trace_dir), timer.stage("scan"):
                 kept = session.prune(args.prune_r2, rule=args.prune_rule,
                                      on_progress=on_progress)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
-        out = open_text_output(args.pair_output) if args.pair_output \
-            else sys.stdout
-        try:
-            for pos in kept:
-                out.write(f"{int(pos)}\n")
-        finally:
-            if args.pair_output:
-                out.close()
+        if emit:
+            out = open_text_output(args.pair_output) if args.pair_output \
+                else sys.stdout
+            try:
+                for pos in kept:
+                    out.write(f"{int(pos)}\n")
+            finally:
+                if args.pair_output:
+                    out.close()
         log.info("kept %d of %d sites (r2 <= %g) in %.2fs", len(kept), s,
                  args.prune_r2, time.monotonic() - t0)
         return 0
@@ -703,16 +759,18 @@ def main(argv=None) -> int:
             order = np.argsort(-np.asarray(rec.r2), kind="stable")[: args.top]
             rec = LdRecords(*(np.asarray(f)[order] for f in rec))
         else:
-            session = _build_session(args, res, mesh)
-            with device_trace(trace_dir):
+            with timer.stage("upload"):
+                session = _build_session(args, res, mesh)
+            with device_trace(trace_dir), timer.stage("scan"):
                 rec = session.top_pairs(args.top)
-        out = open_text_output(args.pair_output) if args.pair_output \
-            else sys.stdout
-        try:
-            write_pairs(rec, out, ndigits=args.ndigits)
-        finally:
-            if args.pair_output:
-                out.close()
+        if emit:
+            out = open_text_output(args.pair_output) if args.pair_output \
+                else sys.stdout
+            try:
+                write_pairs(rec, out, ndigits=args.ndigits)
+            finally:
+                if args.pair_output:
+                    out.close()
         log.info("wrote top-%d pairs in %.2fs", len(rec),
                  time.monotonic() - t0)
         return 0
@@ -733,28 +791,32 @@ def main(argv=None) -> int:
         if args.r2_threshold is not None:
             m = records.r2 > args.r2_threshold
             records = LdRecords(*(np.asarray(f)[m] for f in records))
-        out = open_text_output(args.pair_output) if args.pair_output else sys.stdout
-        try:
-            write_pairs(records, out, ndigits=args.ndigits)
-        finally:
-            if args.pair_output:
-                out.close()
+        if emit:
+            out = open_text_output(args.pair_output) if args.pair_output else sys.stdout
+            try:
+                write_pairs(records, out, ndigits=args.ndigits)
+            finally:
+                if args.pair_output:
+                    out.close()
     elif engine == "dense":
         import jax.numpy as jnp
 
         from .core.ld_dense import extract_records, ld_all_pairs_dense
 
-        with device_trace(trace_dir):
+        with device_trace(trace_dir), timer.stage("scan"):
             stats = ld_all_pairs_dense(
                 jnp.asarray(res.alignment), jnp.asarray(res.weights)
             )
         records = extract_records(stats, res.site_map, args.r2_threshold)
-        out = open_text_output(args.pair_output) if args.pair_output else sys.stdout
-        try:
-            write_pairs(records, out, ndigits=args.ndigits)
-        finally:
-            if args.pair_output:
-                out.close()
+        if emit:
+            with timer.stage("write"):
+                out = open_text_output(args.pair_output) \
+                    if args.pair_output else sys.stdout
+                try:
+                    write_pairs(records, out, ndigits=args.ndigits)
+                finally:
+                    if args.pair_output:
+                        out.close()
         log.info("wrote %d pairs in %.2fs", len(records), time.monotonic() - t0)
     else:
         from .runtime.driver import (
@@ -777,37 +839,48 @@ def main(argv=None) -> int:
         if args.sort:
             from .core.ld_dense import LdRecords
 
-            with device_trace(trace_dir):
+            with device_trace(trace_dir), timer.stage("scan"):
                 rec = collect_ld_records(
                     res.alignment, res.weights, res.site_map, dcfg, mesh=mesh
                 )
-            order = np.lexsort((rec.pos_b, rec.pos_a))
-            rec = LdRecords(*(np.asarray(f)[order] for f in rec))
-            out = open_text_output(args.pair_output) if args.pair_output else sys.stdout
-            try:
-                write_pairs(rec, out, ndigits=args.ndigits)
-            finally:
-                if args.pair_output:
-                    out.close()
+            if emit:
+                with timer.stage("write"):
+                    order = np.lexsort((rec.pos_b, rec.pos_a))
+                    rec = LdRecords(*(np.asarray(f)[order] for f in rec))
+                    out = open_text_output(args.pair_output) \
+                        if args.pair_output else sys.stdout
+                    try:
+                        write_pairs(rec, out, ndigits=args.ndigits)
+                    finally:
+                        if args.pair_output:
+                            out.close()
             log.info("wrote %d pairs (sorted) in %.2fs", len(rec),
                      time.monotonic() - t0)
         elif args.pair_output:
+            # run_to_tsv is multi-process aware: non-output processes
+            # drive their shards into the null device.  It times its own
+            # upload / scan+write stages into ``timer``.
             with device_trace(trace_dir):
                 nrec = run_to_tsv(
                     res.alignment, res.weights, res.site_map, args.pair_output,
                     dcfg, mesh=mesh, checkpoint=args.checkpoint,
                     ndigits=args.ndigits, on_progress=on_progress,
+                    timer=timer,
                 )
             log.info("wrote %d pairs in %.2fs", nrec, time.monotonic() - t0)
         else:
-            print("posa\tposb\tD\tD'\tR2")
-            with device_trace(trace_dir):
+            if emit:
+                print("posa\tposb\tD\tD'\tR2")
+            with device_trace(trace_dir), timer.stage("scan+write"):
                 for _, rec in stream_ld_records(
                     res.alignment, res.weights, res.site_map, dcfg, mesh=mesh,
                     on_progress=on_progress,
                 ):
-                    write_pairs(rec, sys.stdout, ndigits=args.ndigits,
-                                header=False)
+                    if emit:
+                        write_pairs(rec, sys.stdout, ndigits=args.ndigits,
+                                    header=False)
+    if args.verbose:
+        log.info("stage report:\n%s", timer.report())
     return 0
 
 

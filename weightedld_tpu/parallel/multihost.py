@@ -34,10 +34,24 @@ def initialize_distributed(
 
     Call BEFORE any other jax use: probing the backend first (even
     ``jax.devices()``) would initialize it locally and make a later
-    ``jax.distributed.initialize`` fail.  On TPU pods the arguments are
-    auto-detected from the environment; pass them explicitly for manual
-    bring-up.
+    ``jax.distributed.initialize`` fail.  On TPU pods / Slurm / Open MPI
+    the arguments are auto-detected from the environment; pass them
+    explicitly (or via ``JAX_COORDINATOR_ADDRESS`` +
+    ``JAX_NUM_PROCESSES`` + ``JAX_PROCESS_ID``) for manual bring-up.
     """
+    import os
+
+    if coordinator_address is None and num_processes is None \
+            and process_id is None:
+        # Manual bring-up via environment: the three JAX_* variables name
+        # the group explicitly (launchers without Slurm/MPI/TPU metadata,
+        # e.g. a plain ssh fan-out, export these per process).
+        env = os.environ
+        if all(v in env for v in ("JAX_COORDINATOR_ADDRESS",
+                                  "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")):
+            coordinator_address = env["JAX_COORDINATOR_ADDRESS"]
+            num_processes = int(env["JAX_NUM_PROCESSES"])
+            process_id = int(env["JAX_PROCESS_ID"])
     if (coordinator_address is not None or num_processes is not None
             or process_id is not None):
         jax.distributed.initialize(
@@ -98,5 +112,13 @@ def global_mesh(axis_name: str = "tiles") -> Mesh:
 
 
 def is_output_process() -> bool:
-    """Only process 0 writes records/TSV; other hosts drive their chips."""
+    """Only process 0 writes records/TSV; other hosts drive their chips.
+
+    Backend-free when the distributed runtime is down (every
+    single-process run is its own output process) — so the CLI's fast
+    pre-analysis paths never pay a backend bring-up just to learn they
+    may print.
+    """
+    if not jax.distributed.is_initialized():
+        return True
     return jax.process_index() == 0

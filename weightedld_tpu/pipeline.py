@@ -81,33 +81,40 @@ class PipelineResult:
     records: LdRecords | None = None
 
 
-def prepare_fasta(path: str | Path, cfg: WldConfig) -> PipelineResult:
-    if cfg.fasta_reader == "rust":
-        from .io.fasta import read_fasta_rust
+def prepare_fasta(path: str | Path, cfg: WldConfig,
+                  timer=None) -> PipelineResult:
+    from .runtime.profiling import StageTimer
 
-        alignment = read_fasta_rust(path)
-    elif cfg.fasta_reader == "python":
-        alignment = read_fasta(path)
-    else:
-        raise ValueError(
-            f"fasta_reader must be 'python' or 'rust', got "
-            f"{cfg.fasta_reader!r}"
+    timer = timer or StageTimer()
+    with timer.stage("ingest"):
+        if cfg.fasta_reader == "rust":
+            from .io.fasta import read_fasta_rust
+
+            alignment = read_fasta_rust(path)
+        elif cfg.fasta_reader == "python":
+            alignment = read_fasta(path)
+        else:
+            raise ValueError(
+                f"fasta_reader must be 'python' or 'rust', got "
+                f"{cfg.fasta_reader!r}"
+            )
+    with timer.stage("mask"):
+        # Host f64 masks: bit-exact with the reference at threshold
+        # boundaries (see compute_variable_sites_host).
+        hk_mask, ld_mask = compute_variable_sites_host(
+            alignment, cfg.min_acgt, cfg.min_variability, cfg.max_minor
         )
-    # Host f64 masks: bit-exact with the reference at threshold boundaries
-    # (see compute_variable_sites_host).
-    hk_mask, ld_mask = compute_variable_sites_host(
-        alignment, cfg.min_acgt, cfg.min_variability, cfg.max_minor
-    )
 
-    trimmed = alignment[:, ld_mask]
-    site_map = np.where(ld_mask)[0].astype(np.int64)
+        trimmed = alignment[:, ld_mask]
+        site_map = np.where(ld_mask)[0].astype(np.int64)
 
-    if cfg.unweighted:
-        weights = np.ones(alignment.shape[0], dtype=np.float32)
-    elif cfg.weight_mask == "hk":
-        weights = _weights_for(alignment[:, hk_mask], cfg.weighting)
-    else:
-        weights = _weights_for(trimmed, cfg.weighting)
+    with timer.stage("weights"):
+        if cfg.unweighted:
+            weights = np.ones(alignment.shape[0], dtype=np.float32)
+        elif cfg.weight_mask == "hk":
+            weights = _weights_for(alignment[:, hk_mask], cfg.weighting)
+        else:
+            weights = _weights_for(trimmed, cfg.weighting)
 
     return PipelineResult(
         alignment=trimmed,
@@ -118,21 +125,32 @@ def prepare_fasta(path: str | Path, cfg: WldConfig) -> PipelineResult:
     )
 
 
-def prepare_vcf(path: str | Path, cfg: WldConfig) -> PipelineResult:
-    alignment, site_map = read_vcf(path, chrom=cfg.chrom)
-    if cfg.unweighted:
-        weights = np.ones(alignment.shape[0], dtype=np.float32)
-    else:
-        weights = _weights_for(alignment, cfg.weighting)
+def prepare_vcf(path: str | Path, cfg: WldConfig,
+                timer=None) -> PipelineResult:
+    from .runtime.profiling import StageTimer
+
+    timer = timer or StageTimer()
+    with timer.stage("ingest"):
+        alignment, site_map = read_vcf(path, chrom=cfg.chrom)
+    with timer.stage("weights"):
+        if cfg.unweighted:
+            weights = np.ones(alignment.shape[0], dtype=np.float32)
+        else:
+            weights = _weights_for(alignment, cfg.weighting)
     return PipelineResult(alignment=alignment, site_map=site_map, weights=weights)
 
 
-def prepare(path: str | Path, cfg: WldConfig | None = None) -> PipelineResult:
-    """Dispatch on file suffix like the reference driver (``WeightedLD.py:385``)."""
+def prepare(path: str | Path, cfg: WldConfig | None = None,
+            timer=None) -> PipelineResult:
+    """Dispatch on file suffix like the reference driver (``WeightedLD.py:385``).
+
+    ``timer`` (a :class:`runtime.profiling.StageTimer`) collects per-stage
+    wall-clock spans — ingest / mask / weights — the analog of the Rust
+    binary's ``Instant`` spans (``main.rs:128-210``)."""
     cfg = cfg or WldConfig()
     if str(path).endswith((".vcf", ".vcf.gz")):
-        return prepare_vcf(path, cfg)
-    return prepare_fasta(path, cfg)
+        return prepare_vcf(path, cfg, timer=timer)
+    return prepare_fasta(path, cfg, timer=timer)
 
 
 def run(path: str | Path, cfg: WldConfig | None = None) -> PipelineResult:

@@ -1114,8 +1114,16 @@ def run_to_tsv(
     checkpoint: bool = True,
     ndigits: int = 4,
     on_progress: Callable[[Progress], None] | None = None,
+    timer=None,
 ) -> int:
     """Stream the triangle to a TSV file with batch-level resume.
+
+    Multi-process aware: under a distributed runtime every process drives
+    its own shards (the per-batch fetches are collectives, so all
+    processes iterate the same batches), but only process 0 touches
+    ``out_path`` and the checkpoint — the others stream into the null
+    device.  A pod launcher can therefore hand every process the SAME
+    command line (SURVEY §2.3; the reference is a CLI, ``main.rs:121-213``).
 
     State file ``<out>.ckpt.json`` records the last completed batch plus a
     fingerprint of the run (config + input digests); on restart, completed
@@ -1155,8 +1163,12 @@ def run_to_tsv(
     # different mesh or platform silently interleave two different tile
     # plans into one file.  This also runs the O(N*S) plane-detection scan
     # exactly once (inside the session) instead of once per fingerprint.
-    session = LdSession(alignment, weights, site_map, cfg or DriverConfig(),
-                        mesh)
+    from .profiling import StageTimer
+
+    timer = timer or StageTimer()
+    with timer.stage("upload"):
+        session = LdSession(alignment, weights, site_map,
+                            cfg or DriverConfig(), mesh)
     cfg_r = session.cfg
     # Input digest source: the padded site-major buffer for streamed
     # ingest, the raw matrix otherwise.  The two fingerprints for the same
@@ -1192,10 +1204,14 @@ def run_to_tsv(
         "weight_quant": cfg_r.weight_quant,
     }
 
+    # The session build above touched the backend, so process_count() is
+    # safe here; only process 0 owns the output file and checkpoint.
+    writer = jax.process_count() == 1 or jax.process_index() == 0
+
     start_batch = 0
     offset = None
     n_written = 0
-    if checkpoint and ckpt_path.exists() and out_path.exists():
+    if writer and checkpoint and ckpt_path.exists() and out_path.exists():
         state = json.loads(ckpt_path.read_text())
         if state.get("fingerprint") != fingerprint:
             was = state.get("resolved")
@@ -1220,14 +1236,20 @@ def run_to_tsv(
     if jax.process_count() > 1:
         # Every process MUST iterate the same batches (the per-batch fetches
         # all-gather across processes), but only the output process has the
-        # checkpoint file — broadcast its start_batch to the others.
+        # checkpoint file — broadcast its resume state to the others so the
+        # returned record counts agree everywhere.
         from jax.experimental import multihost_utils
 
-        start_batch = int(multihost_utils.broadcast_one_to_all(
-            np.int32(start_batch)
-        ))
+        start_batch, n_written = (int(v) for v in
+                                  multihost_utils.broadcast_one_to_all(
+                                      np.asarray([start_batch, n_written],
+                                                 np.int64)))
 
-    if offset is None:
+    if not writer:
+        import os
+
+        fh = open(os.devnull, "w")
+    elif offset is None:
         fh = open_text_output(out_path)
         fh.write(PAIR_HEADER + "\n")
     else:
@@ -1235,13 +1257,16 @@ def run_to_tsv(
         fh.truncate(offset)
         fh.seek(offset)
 
-    with fh:
+    with fh, timer.stage("scan+write"):
         for b, rec in session.stream(
             start_batch=start_batch, on_progress=on_progress,
         ):
+            # Records are replicated across processes (gathered on every
+            # host), so n_written agrees everywhere even though only the
+            # writer's bytes land in the real file.
             write_pairs(rec, fh, ndigits=ndigits, header=False)
             n_written += len(rec)
-            if checkpoint:
+            if checkpoint and writer:
                 fh.flush()
                 ckpt_path.write_text(json.dumps({
                     "next_batch": b + 1,
@@ -1250,6 +1275,6 @@ def run_to_tsv(
                     "fingerprint": fingerprint,
                     "resolved": resolved,
                 }))
-    if ckpt_path.exists():
+    if writer and ckpt_path.exists():
         ckpt_path.unlink()
     return n_written
