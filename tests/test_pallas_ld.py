@@ -524,10 +524,23 @@ def test_hybrid_partition_bit_equal_general(rng):
 
     hyb, base = rec_map(ses), rec_map(gen)
     assert set(hyb) == set(base)
+    # Unsafe-site packing may flip a pair's in-kernel orientation (an
+    # earlier DIRTY site is packed after its clean partner); D/D'/r2 are
+    # symmetric under the swap but the f32 combine order differs, so
+    # flipped pairs agree to f32 tolerance — unflipped pairs bit-exactly
+    # (the factorized kernel reproduces the general kernel's combine
+    # order on safe tile pairs).
+    perm = ses._site_perm
+    inv = None
+    if perm is not None:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
     for key, vals in base.items():
-        # Bit-equality: the factorized kernel reproduces the general
-        # kernel's f32 combine order on safe tile pairs.
-        assert hyb[key] == vals, key
+        if inv is not None and inv[key[0]] > inv[key[1]]:
+            np.testing.assert_allclose(hyb[key], vals, rtol=2e-5,
+                                       atol=1e-6, err_msg=str(key))
+        else:
+            assert hyb[key] == vals, key
 
     sh, sg = ses.summarize(), gen.summarize()
     assert sh["n_pairs"] == sg["n_pairs"]
@@ -562,3 +575,113 @@ def test_int8_cascade_packer_error_bounds(rng):
                   * out[i].astype(np.float64) for i in range(levels))
         err = np.abs(rec[:1000] - w.astype(np.float64)).max()
         assert err <= bound, (levels, err)
+
+
+def test_unsafe_site_packing_scattered_unknowns(rng):
+    # The round-2 adversarial class: near-balanced allele counts (small
+    # margins) with ~1% UNKNOWN cells SCATTERED over sites.  In input
+    # order almost every tile pair contains an unsafe site and the hybrid
+    # partition degenerates to the general kernel; the packing permutation
+    # concentrates the dirty sites into trailing tiles so clean x clean
+    # pairs (the bulk) run factorized.  Output must match the forced
+    # general kernel as a SET with f32-tolerance values, and every
+    # order-sensitive API must report in the caller's coordinates.
+    from weightedld_tpu.runtime.driver import (
+        DriverConfig, LdSession, collect_ld_records,
+    )
+
+    n_seqs, n_sites = 64, 160
+    # Near-balanced biallelic sites -> margins of a few counts only.
+    aln = rng.choice([0, 0, 1, 1, 1], size=(n_seqs, n_sites)).astype(np.int8)
+    # Scatter UNKNOWNs over ~30% of sites (1-2 cells each).
+    dirty_sites = rng.choice(n_sites, size=48, replace=False)
+    for s in dirty_sites:
+        aln[rng.integers(n_seqs), s] = 5
+    w = (rng.random(n_seqs) + 0.05).astype(np.float32)
+    sm = np.arange(n_sites) * 3 + 7  # non-trivial positions
+    cfg = DriverConfig(tile=16, engine="pallas", seq_chunk=64)
+
+    ses = LdSession(aln, w, sm, cfg)
+    assert ses._site_perm is not None          # packing engaged
+    assert not ses._majmin and ses._hybrid_safe is not None
+    # Dirty sites occupy the TRAILING internal slots.
+    n_dirty = (np.asarray(
+        [np.count_nonzero(aln[:, s] == 5) for s in range(n_sites)]) > 0).sum()
+    tail = ses._site_perm[n_sites - n_dirty:]
+    assert set(tail) == {s for s in range(n_sites)
+                         if (aln[:, s] == 5).any()}
+    # Packing makes the SAFE phase the bulk of the plan: every clean x
+    # clean tile pair is safe, so unsafe pairs are bounded by
+    # dirty_tiles * grid.
+    grid = ses.plan.grid
+    dirty_tiles = -(-int(n_dirty) // 16)
+    n_unsafe = int((~ses._hybrid_safe).sum())
+    assert n_unsafe <= dirty_tiles * grid, (n_unsafe, dirty_tiles, grid)
+    assert n_unsafe < len(ses._hybrid_safe) // 2  # safe phase dominates
+
+    def rec_map(records_iter):
+        got = {}
+        for rec in records_iter:
+            for a, b, d, dp, r2 in zip(rec.pos_a, rec.pos_b, rec.d,
+                                       rec.d_prime, rec.r2):
+                got[(int(a), int(b))] = (d, dp, r2)
+        return got
+
+    hyb = rec_map(r for _, r in ses.stream())
+    base = rec_map([collect_ld_records(
+        aln, w, sm, DriverConfig(tile=16, engine="pallas", seq_chunk=64,
+                                 kernel="general"))])
+    assert set(hyb) == set(base)
+    for key, vals in base.items():
+        np.testing.assert_allclose(hyb[key], vals, rtol=2e-5, atol=1e-6,
+                                   err_msg=str(key))
+    # Endpoint convention survives packing: pos_a < pos_b everywhere.
+    assert all(a < b for a, b in hyb)
+
+    # matrices() comes back in the CALLER's site order (upper triangle).
+    mats = ses.matrices()
+    gen_ses = LdSession(aln, w, sm, DriverConfig(
+        tile=16, engine="pallas", seq_chunk=64, kernel="general"))
+    mats_gen = gen_ses.matrices()
+    assert gen_ses._site_perm is None
+    np.testing.assert_array_equal(mats["keep"], mats_gen["keep"])
+    np.testing.assert_allclose(mats["r2"][mats["keep"]],
+                               mats_gen["r2"][mats_gen["keep"]],
+                               rtol=2e-5, atol=1e-6)
+    assert not np.tril(mats["keep"], k=-1).any()
+
+    # prune() reports kept positions in input order.
+    kept = ses.prune(0.2)
+    kept_gen = gen_ses.prune(0.2)
+    np.testing.assert_array_equal(kept, kept_gen)
+    assert (np.diff(kept) > 0).all()
+
+    # ld_decay still accepts the (monotonic-in-input-order) site map and
+    # bins identically to the unpacked session.
+    decay = ses.ld_decay([0, 60, 600])
+    decay_gen = gen_ses.ld_decay([0, 60, 600])
+    assert decay["n_pairs"] == decay_gen["n_pairs"]
+    np.testing.assert_allclose(decay["r2_sum"], decay_gen["r2_sum"],
+                               rtol=1e-5)
+
+    # top_pairs: endpoint convention + same top values.
+    top = ses.top_pairs(7)
+    assert all(int(a) < int(b) for a, b in zip(top.pos_a, top.pos_b))
+    top_gen = gen_ses.top_pairs(7)
+    np.testing.assert_allclose(np.sort(top.r2), np.sort(top_gen.r2),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_packing_skipped_for_windowed_plans(rng):
+    # Band plans index the triangle in genomic order; packing must stay
+    # off so the window semantics (and the non-decreasing site_map
+    # contract) hold.
+    from weightedld_tpu.runtime.driver import DriverConfig, LdSession
+
+    aln = rng.choice([0, 0, 1, 1, 1], size=(32, 64)).astype(np.int8)
+    aln[3, 10] = 5
+    aln[9, 40] = 5
+    w = np.ones(32, np.float32)
+    ses = LdSession(aln, w, np.arange(64), DriverConfig(
+        tile=16, engine="pallas", seq_chunk=32, max_site_distance=20))
+    assert ses._site_perm is None

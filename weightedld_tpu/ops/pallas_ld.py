@@ -193,157 +193,169 @@ def _ld_kernel(tile: int, n_sites: int, planes: tuple,
     k = pl.program_id(0)
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
-    f32 = jnp.float32
-    bf16 = jnp.bfloat16
-
-    # Grid is (tile_pair, seq_chunk) with the chunk axis minor: the joint
-    # accumulators persist across chunk steps and reset at chunk 0.  Pallas
-    # streams the code/plane blocks chunk by chunk (double-buffered), so
-    # VMEM use is independent of the total sequence count.
-    # ``single_chunk`` (one chunk covers N_pad — the common case under the
-    # auto chunk policy): store the contractions directly instead of
-    # zero-init + read-modify-write accumulate, saving ~2 (pT)^2-sized VPU
-    # sweeps per tile.
-    if not single_chunk:
-        @pl.when(c == 0)
-        def _():
-            acc_ref[:, :] = jnp.zeros_like(acc_ref)
-            ma_ref[:, :] = jnp.zeros_like(ma_ref)
-            mb_ref[:, :] = jnp.zeros_like(mb_ref)
-
-    def dot16(x, y):
-        # bf16 x bf16 -> f32-accumulated MXU contraction over the chunk axis.
-        return jax.lax.dot_general(
-            x, y, (((1,), (1,)), ((), ())), preferred_element_type=f32
-        )
-
-    # Validity = union of the one-hot planes, NOT (code != UNKNOWN): the
-    # two coincide under detect_planes' covering invariant, but a
-    # caller-restricted `planes` must exclude out-of-plane codes from the
-    # per-pair counts, and identically in both input layouts.  (Mosaic has
-    # no int8 vector add, so the union is bool-OR / int32-summed.)
-    if preplaned:
-        # One-hot planes precomputed in HBM (tile-contiguous layout): the
-        # per-tile compare/widen/concat chain — about half the kernel time
-        # at default sizes — disappears; only casts and weight muls remain.
-        xu8 = a_ref[:, :]                  # (PT, Nc) int8
-        yu8 = b_ref[:, :]
-
-        def union(u8):
-            acc = u8[0 * t:1 * t, :].astype(jnp.int32)
-            for s in range(1, p):
-                acc = acc | u8[s * t:(s + 1) * t, :].astype(jnp.int32)
-            return acc.astype(jnp.int8)    # (T, Nc) {0, 1}
-
-        xv8 = union(xu8)
-        yv8 = union(yu8)
-    else:
-        # Widen int8 codes to int32: v5e Mosaic has no int8 vector compare.
-        a = a_ref[:, :].astype(jnp.int32)  # (T, Nc)
-        b = b_ref[:, :].astype(jnp.int32)
-        xu8 = jnp.concatenate(
-            [(a == s).astype(jnp.int8) for s in planes], axis=0
-        )                                  # (PT, Nc) int8
-        yu8 = jnp.concatenate(
-            [(b == s).astype(jnp.int8) for s in planes], axis=0
-        )
-
-        def union(v):
-            acc = v == planes[0]
-            for s in planes[1:]:
-                acc = acc | (v == s)
-            return acc.astype(jnp.int8)    # (T, Nc) {0, 1}
-
-        xv8 = union(a)
-        yv8 = union(b)
-
-    def dot8(x, y):
-        # int8 x int8 -> int32 MXU contraction (double the bf16 rate), exact.
-        return jax.lax.dot_general(
-            x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-        )
-
-    # Weighted joint-table passes.  Three static variants (see module
-    # docstring): split-bf16 (default, w = w_hi + w_lo to ~2^-17 relative
-    # error — both operands exact in bf16 so each pass is exact given its
-    # operand), ``lo_int8`` (residual pass int8-quantized at double MXU
-    # rate), ``int8`` (BOTH passes int8: w ~= a1*q1 + a2*q2, the two integer
-    # joints are exact and combine in f32 — 1.0 bf16-pass equivalents).
-    # ``exact_weights`` (bf16-representable weights) drops the residual pass.
-    #
-    # ``row_pass`` computes and accumulates the joint one A-plane row at a
-    # time — identical math and FLOPs, but peak temporaries are (T, pT)
-    # instead of (pT, pT), which is what lets p>=4 alphabets fit T=256 in
-    # scoped VMEM (the full-joint temporary alone is 6.55 MB at p=5).
-    if wquant in ("int8", "int8x3") and not exact_weights:
-        nlev = 2 if wquant == "int8" else 3
-        qs = [w_ref[i:i + 1, :].astype(jnp.int32) for i in range(nlev)]
-        scales = [w_ref[nlev + i, 0] for i in range(nlev)]
-
-        def jw_rows(xs8):                     # (rows, Nc) int8 one-hot slice
-            xi = xs8.astype(jnp.int32)
-            acc = None
-            for q, a in zip(qs, scales):
-                xq = (xi * q).astype(jnp.int8)  # one-hot * q fits int8 exactly
-                term = a * dot8(xq, yu8).astype(f32)
-                acc = term if acc is None else acc + term
-            return acc
-    else:
-        w = w_ref[0:1, :]                     # (1, Nc) f32
-        w_hi = w.astype(bf16)
-        yu = yu8.astype(bf16)
-        if wquant == "lo_int8" and not exact_weights:
-            q8 = w_ref[1:2, :].astype(jnp.int32)      # (1, Nc) quantized w_lo
-            alpha = w_ref[2, 0]
-
-            def jw_rows(xs8):
-                xs = xs8.astype(bf16)
-                xq = (xs8.astype(jnp.int32) * q8).astype(jnp.int8)
-                return (dot16(xs * w_hi, yu)
-                        + alpha * dot8(xq, yu8).astype(f32))
-        elif not exact_weights:
-            w_lo = (w - w_hi.astype(f32)).astype(bf16)
-
-            def jw_rows(xs8):
-                xs = xs8.astype(bf16)
-                return dot16(xs * w_hi, yu) + dot16(xs * w_lo, yu)
-        else:
-
-            def jw_rows(xs8):
-                return dot16(xs8.astype(bf16) * w_hi, yu)
-
-    def store(ref, idx, value):
-        # single_chunk: direct store (no zero-init happened); else accumulate.
-        if single_chunk:
-            ref[idx] = value
-        else:
-            ref[idx] += value
-
-    if row_pass:
-        for s in range(p):
-            store(acc_ref, np.s_[s * t:(s + 1) * t, :],
-                  jw_rows(xu8[s * t:(s + 1) * t, :]))
-    else:
-        store(acc_ref, np.s_[:, :], jw_rows(xu8))
-    # Unweighted per-pair marginal counts: two int8 contractions against the
-    # validity plane at 2/p the FLOPs of the full (pT x pT) joint, exact
-    # (int8 x int8 -> int32, double MXU rate).
-    store(ma_ref, np.s_[:, :], dot8(xu8, yv8))  # (PT, T): #{A==s, B valid}
-    store(mb_ref, np.s_[:, :], dot8(xv8, yu8))  # (T, PT): #{A valid, B==u}
-
-    ti = ti_ref[k]
-    tj = tj_ref[k]
     em = em_ref[k]
 
-    @pl.when(c == n_chunks - 1)
-    def _finalize():
-        load_jw = lambda s, u, lo, hi: acc_ref[s * t + lo:s * t + hi,
-                                               u * t:(u + 1) * t]
-        load_cnt_a = lambda s, lo, hi: ma_ref[s * t + lo:s * t + hi, :]
-        load_cnt_b = lambda u, lo, hi: mb_ref[lo:hi, u * t:(u + 1) * t]
-        _ld_finalize(tile, n_sites, planes, ti, tj, em,
-                     d_ref, dp_ref, r2_ref, keep_ref, load_jw,
-                     load_cnt_a, load_cnt_b)
+    # Padding tile pairs (emit == 0: shard balance / batch
+    # fill / the hybrid phase layout) skip the whole body —
+    # only their keep block is zeroed, so a mostly-padded
+    # batch costs ~nothing instead of a full kernel pass.
+    @pl.when((em == 0) & (c == n_chunks - 1))
+    def _skip_keep():
+        keep_ref[:, :] = jnp.zeros_like(keep_ref)
+
+    @pl.when(em != 0)
+    def _compute():
+        f32 = jnp.float32
+        bf16 = jnp.bfloat16
+
+        # Grid is (tile_pair, seq_chunk) with the chunk axis minor: the joint
+        # accumulators persist across chunk steps and reset at chunk 0.  Pallas
+        # streams the code/plane blocks chunk by chunk (double-buffered), so
+        # VMEM use is independent of the total sequence count.
+        # ``single_chunk`` (one chunk covers N_pad — the common case under the
+        # auto chunk policy): store the contractions directly instead of
+        # zero-init + read-modify-write accumulate, saving ~2 (pT)^2-sized VPU
+        # sweeps per tile.
+        if not single_chunk:
+            @pl.when(c == 0)
+            def _():
+                acc_ref[:, :] = jnp.zeros_like(acc_ref)
+                ma_ref[:, :] = jnp.zeros_like(ma_ref)
+                mb_ref[:, :] = jnp.zeros_like(mb_ref)
+
+        def dot16(x, y):
+            # bf16 x bf16 -> f32-accumulated MXU contraction over the chunk axis.
+            return jax.lax.dot_general(
+                x, y, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
+
+        # Validity = union of the one-hot planes, NOT (code != UNKNOWN): the
+        # two coincide under detect_planes' covering invariant, but a
+        # caller-restricted `planes` must exclude out-of-plane codes from the
+        # per-pair counts, and identically in both input layouts.  (Mosaic has
+        # no int8 vector add, so the union is bool-OR / int32-summed.)
+        if preplaned:
+            # One-hot planes precomputed in HBM (tile-contiguous layout): the
+            # per-tile compare/widen/concat chain — about half the kernel time
+            # at default sizes — disappears; only casts and weight muls remain.
+            xu8 = a_ref[:, :]                  # (PT, Nc) int8
+            yu8 = b_ref[:, :]
+
+            def union(u8):
+                acc = u8[0 * t:1 * t, :].astype(jnp.int32)
+                for s in range(1, p):
+                    acc = acc | u8[s * t:(s + 1) * t, :].astype(jnp.int32)
+                return acc.astype(jnp.int8)    # (T, Nc) {0, 1}
+
+            xv8 = union(xu8)
+            yv8 = union(yu8)
+        else:
+            # Widen int8 codes to int32: v5e Mosaic has no int8 vector compare.
+            a = a_ref[:, :].astype(jnp.int32)  # (T, Nc)
+            b = b_ref[:, :].astype(jnp.int32)
+            xu8 = jnp.concatenate(
+                [(a == s).astype(jnp.int8) for s in planes], axis=0
+            )                                  # (PT, Nc) int8
+            yu8 = jnp.concatenate(
+                [(b == s).astype(jnp.int8) for s in planes], axis=0
+            )
+
+            def union(v):
+                acc = v == planes[0]
+                for s in planes[1:]:
+                    acc = acc | (v == s)
+                return acc.astype(jnp.int8)    # (T, Nc) {0, 1}
+
+            xv8 = union(a)
+            yv8 = union(b)
+
+        def dot8(x, y):
+            # int8 x int8 -> int32 MXU contraction (double the bf16 rate), exact.
+            return jax.lax.dot_general(
+                x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+            )
+
+        # Weighted joint-table passes.  Three static variants (see module
+        # docstring): split-bf16 (default, w = w_hi + w_lo to ~2^-17 relative
+        # error — both operands exact in bf16 so each pass is exact given its
+        # operand), ``lo_int8`` (residual pass int8-quantized at double MXU
+        # rate), ``int8`` (BOTH passes int8: w ~= a1*q1 + a2*q2, the two integer
+        # joints are exact and combine in f32 — 1.0 bf16-pass equivalents).
+        # ``exact_weights`` (bf16-representable weights) drops the residual pass.
+        #
+        # ``row_pass`` computes and accumulates the joint one A-plane row at a
+        # time — identical math and FLOPs, but peak temporaries are (T, pT)
+        # instead of (pT, pT), which is what lets p>=4 alphabets fit T=256 in
+        # scoped VMEM (the full-joint temporary alone is 6.55 MB at p=5).
+        if wquant in ("int8", "int8x3") and not exact_weights:
+            nlev = 2 if wquant == "int8" else 3
+            qs = [w_ref[i:i + 1, :].astype(jnp.int32) for i in range(nlev)]
+            scales = [w_ref[nlev + i, 0] for i in range(nlev)]
+
+            def jw_rows(xs8):                     # (rows, Nc) int8 one-hot slice
+                xi = xs8.astype(jnp.int32)
+                acc = None
+                for q, a in zip(qs, scales):
+                    xq = (xi * q).astype(jnp.int8)  # one-hot * q fits int8 exactly
+                    term = a * dot8(xq, yu8).astype(f32)
+                    acc = term if acc is None else acc + term
+                return acc
+        else:
+            w = w_ref[0:1, :]                     # (1, Nc) f32
+            w_hi = w.astype(bf16)
+            yu = yu8.astype(bf16)
+            if wquant == "lo_int8" and not exact_weights:
+                q8 = w_ref[1:2, :].astype(jnp.int32)      # (1, Nc) quantized w_lo
+                alpha = w_ref[2, 0]
+
+                def jw_rows(xs8):
+                    xs = xs8.astype(bf16)
+                    xq = (xs8.astype(jnp.int32) * q8).astype(jnp.int8)
+                    return (dot16(xs * w_hi, yu)
+                            + alpha * dot8(xq, yu8).astype(f32))
+            elif not exact_weights:
+                w_lo = (w - w_hi.astype(f32)).astype(bf16)
+
+                def jw_rows(xs8):
+                    xs = xs8.astype(bf16)
+                    return dot16(xs * w_hi, yu) + dot16(xs * w_lo, yu)
+            else:
+
+                def jw_rows(xs8):
+                    return dot16(xs8.astype(bf16) * w_hi, yu)
+
+        def store(ref, idx, value):
+            # single_chunk: direct store (no zero-init happened); else accumulate.
+            if single_chunk:
+                ref[idx] = value
+            else:
+                ref[idx] += value
+
+        if row_pass:
+            for s in range(p):
+                store(acc_ref, np.s_[s * t:(s + 1) * t, :],
+                      jw_rows(xu8[s * t:(s + 1) * t, :]))
+        else:
+            store(acc_ref, np.s_[:, :], jw_rows(xu8))
+        # Unweighted per-pair marginal counts: two int8 contractions against the
+        # validity plane at 2/p the FLOPs of the full (pT x pT) joint, exact
+        # (int8 x int8 -> int32, double MXU rate).
+        store(ma_ref, np.s_[:, :], dot8(xu8, yv8))  # (PT, T): #{A==s, B valid}
+        store(mb_ref, np.s_[:, :], dot8(xv8, yu8))  # (T, PT): #{A valid, B==u}
+
+        ti = ti_ref[k]
+        tj = tj_ref[k]
+        em = em_ref[k]
+
+        @pl.when(c == n_chunks - 1)
+        def _finalize():
+            load_jw = lambda s, u, lo, hi: acc_ref[s * t + lo:s * t + hi,
+                                                   u * t:(u + 1) * t]
+            load_cnt_a = lambda s, lo, hi: ma_ref[s * t + lo:s * t + hi, :]
+            load_cnt_b = lambda u, lo, hi: mb_ref[lo:hi, u * t:(u + 1) * t]
+            _ld_finalize(tile, n_sites, planes, ti, tj, em,
+                         d_ref, dp_ref, r2_ref, keep_ref, load_jw,
+                         load_cnt_a, load_cnt_b)
 
 
 def _ld_kernel_unit(tile: int, n_sites: int, planes: tuple, preplaned: bool,
@@ -360,51 +372,63 @@ def _ld_kernel_unit(tile: int, n_sites: int, planes: tuple, preplaned: bool,
     k = pl.program_id(0)
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
-
-    if not single_chunk:
-        @pl.when(c == 0)
-        def _():
-            acci_ref[:, :] = jnp.zeros_like(acci_ref)
-
-    if preplaned:
-        xu8 = a_ref[:, :]
-        yu8 = b_ref[:, :]
-    else:
-        a = a_ref[:, :].astype(jnp.int32)
-        b = b_ref[:, :].astype(jnp.int32)
-        xu8 = jnp.concatenate(
-            [(a == s).astype(jnp.int8) for s in planes], axis=0
-        )
-        yu8 = jnp.concatenate(
-            [(b == s).astype(jnp.int8) for s in planes], axis=0
-        )
-    joint = jax.lax.dot_general(
-        xu8, yu8, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    if single_chunk:
-        acci_ref[:, :] = joint
-    else:
-        acci_ref[:, :] += joint
-
-    ti = ti_ref[k]
-    tj = tj_ref[k]
     em = em_ref[k]
 
-    @pl.when(c == n_chunks - 1)
-    def _finalize():
-        load_ju = lambda s, u, lo, hi: acci_ref[s * t + lo:s * t + hi,
-                                                u * t:(u + 1) * t]
-        load_jw = lambda s, u, lo, hi: load_ju(s, u, lo, hi).astype(
-            jnp.float32)
-        # Counts = marginals of the (already materialized) full joint.
-        load_cnt_a = lambda s, lo, hi: sum(
-            load_ju(s, u, lo, hi) for u in range(p))
-        load_cnt_b = lambda u, lo, hi: sum(
-            load_ju(s, u, lo, hi) for s in range(p))
-        _ld_finalize(tile, n_sites, planes, ti, tj, em,
-                     d_ref, dp_ref, r2_ref, keep_ref, load_jw,
-                     load_cnt_a, load_cnt_b)
+    # Padding tile pairs (emit == 0: shard balance / batch
+    # fill / the hybrid phase layout) skip the whole body —
+    # only their keep block is zeroed, so a mostly-padded
+    # batch costs ~nothing instead of a full kernel pass.
+    @pl.when((em == 0) & (c == n_chunks - 1))
+    def _skip_keep():
+        keep_ref[:, :] = jnp.zeros_like(keep_ref)
+
+    @pl.when(em != 0)
+    def _compute():
+
+        if not single_chunk:
+            @pl.when(c == 0)
+            def _():
+                acci_ref[:, :] = jnp.zeros_like(acci_ref)
+
+        if preplaned:
+            xu8 = a_ref[:, :]
+            yu8 = b_ref[:, :]
+        else:
+            a = a_ref[:, :].astype(jnp.int32)
+            b = b_ref[:, :].astype(jnp.int32)
+            xu8 = jnp.concatenate(
+                [(a == s).astype(jnp.int8) for s in planes], axis=0
+            )
+            yu8 = jnp.concatenate(
+                [(b == s).astype(jnp.int8) for s in planes], axis=0
+            )
+        joint = jax.lax.dot_general(
+            xu8, yu8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        if single_chunk:
+            acci_ref[:, :] = joint
+        else:
+            acci_ref[:, :] += joint
+
+        ti = ti_ref[k]
+        tj = tj_ref[k]
+        em = em_ref[k]
+
+        @pl.when(c == n_chunks - 1)
+        def _finalize():
+            load_ju = lambda s, u, lo, hi: acci_ref[s * t + lo:s * t + hi,
+                                                    u * t:(u + 1) * t]
+            load_jw = lambda s, u, lo, hi: load_ju(s, u, lo, hi).astype(
+                jnp.float32)
+            # Counts = marginals of the (already materialized) full joint.
+            load_cnt_a = lambda s, lo, hi: sum(
+                load_ju(s, u, lo, hi) for u in range(p))
+            load_cnt_b = lambda u, lo, hi: sum(
+                load_ju(s, u, lo, hi) for s in range(p))
+            _ld_finalize(tile, n_sites, planes, ti, tj, em,
+                         d_ref, dp_ref, r2_ref, keep_ref, load_jw,
+                         load_cnt_a, load_cnt_b)
 
 
 def _pair_algebra(n_mm, n_md, n_dm, n_dd, keep):
@@ -830,105 +854,117 @@ def _ld_kernel_mm(tile: int, n_sites: int, exact_weights: bool, wquant: str,
     k = pl.program_id(0)
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
-    f32 = jnp.float32
-    bf16 = jnp.bfloat16
-
-    if not single_chunk:
-        @pl.when(c == 0)
-        def _():
-            acc_ref[:, :] = jnp.zeros_like(acc_ref)
-
-    # Build the PER-SITE-selected one-hot planes: row i of xcat's top half
-    # is the major-allele indicator of site i, bottom half the
-    # dominant-minor indicator (one broadcast compare each — no P-plane
-    # sweep, no validity union).
-    a = a_ref[:, :].astype(jnp.int32)          # (T, Nc)
-    b = b_ref[:, :].astype(jnp.int32)
-    xcat = jnp.concatenate([
-        (a == auxa_ref[:, 0:1]).astype(jnp.int8),
-        (a == auxa_ref[:, 1:2]).astype(jnp.int8),
-    ], axis=0)                                  # (2T, Nc)
-    ycat = jnp.concatenate([
-        (b == auxb_ref[:, 0:1]).astype(jnp.int8),
-        (b == auxb_ref[:, 1:2]).astype(jnp.int8),
-    ], axis=0)
-
-    def dot8(x, y):
-        return jax.lax.dot_general(
-            x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-        )
-
-    def dot16(x, y):
-        return jax.lax.dot_general(
-            x, y, (((1,), (1,)), ((), ())), preferred_element_type=f32
-        )
-
-    # ONE (2T x 2T) contraction block per weight pass delivers all four
-    # {maj,dmin} x {maj,dmin} weighted haplotype cells — the same static
-    # weight-arithmetic variants as the general kernel (module docstring),
-    # with identical per-cell values (same integer joints / bf16 products,
-    # same f32 combine order).
-    if unit_weights:
-        # Counts <= N < 2^24: exact in the f32 accumulator.
-        cells = dot8(xcat, ycat).astype(f32)
-    elif wquant in ("int8", "int8x3") and not exact_weights:
-        nlev = 2 if wquant == "int8" else 3
-        xi = xcat.astype(jnp.int32)
-        cells = None
-        for i in range(nlev):
-            q = w_ref[i:i + 1, :].astype(jnp.int32)
-            xq = (xi * q).astype(jnp.int8)      # one-hot * q fits int8
-            term = w_ref[nlev + i, 0] * dot8(xq, ycat).astype(f32)
-            cells = term if cells is None else cells + term
-    else:
-        w = w_ref[0:1, :]                       # (1, Nc) f32
-        w_hi = w.astype(bf16)
-        xs = xcat.astype(bf16)
-        yu = ycat.astype(bf16)
-        if wquant == "lo_int8" and not exact_weights:
-            q8 = w_ref[1:2, :].astype(jnp.int32)
-            xq = (xcat.astype(jnp.int32) * q8).astype(jnp.int8)
-            cells = (dot16(xs * w_hi, yu)
-                     + w_ref[2, 0] * dot8(xq, ycat).astype(f32))
-        elif not exact_weights:
-            w_lo = (w - w_hi.astype(f32)).astype(bf16)
-            cells = dot16(xs * w_hi, yu) + dot16(xs * w_lo, yu)
-        else:
-            cells = dot16(xs * w_hi, yu)
-
-    if single_chunk:
-        acc_ref[:, :] = cells
-    else:
-        acc_ref[:, :] += cells
-
-    ti = ti_ref[k]
-    tj = tj_ref[k]
     em = em_ref[k]
 
-    @pl.when(c == n_chunks - 1)
-    def _finalize():
-        rc = min(128, t)
-        dist_b = auxr_ref[2:3, :] > 1           # (1, T)
-        for lo in range(0, t, rc):
-            hi = lo + rc
-            n_mm = acc_ref[lo:hi, 0:t]
-            n_md = acc_ref[lo:hi, t:2 * t]
-            n_dm = acc_ref[t + lo:t + hi, 0:t]
-            n_dd = acc_ref[t + lo:t + hi, t:2 * t]
-            # The monomorphic-pair skip (WeightedLD.py:196-201) is per-site
-            # here (precondition: no UNKNOWN -> per-pair counts == per-site
-            # counts); padded sites carry distinct == 0.
-            keep = (auxa_ref[lo:hi, 2:3] > 1) & dist_b
-            d, d_prime, r2, keep = _pair_algebra(n_mm, n_md, n_dm, n_dd,
-                                                 keep)
-            gi = (ti * t + lo
-                  + jax.lax.broadcasted_iota(jnp.int32, (rc, t), 0))
-            gj = tj * t + jax.lax.broadcasted_iota(jnp.int32, (rc, t), 1)
-            keep = keep & (gi < gj) & (gj < n_sites) & (em != 0)
-            d_ref[0, lo:hi, :] = d
-            dp_ref[0, lo:hi, :] = d_prime
-            r2_ref[0, lo:hi, :] = r2
-            keep_ref[0, lo:hi, :] = keep.astype(jnp.int8)
+    # Padding tile pairs (emit == 0: shard balance / batch
+    # fill / the hybrid phase layout) skip the whole body —
+    # only their keep block is zeroed, so a mostly-padded
+    # batch costs ~nothing instead of a full kernel pass.
+    @pl.when((em == 0) & (c == n_chunks - 1))
+    def _skip_keep():
+        keep_ref[:, :] = jnp.zeros_like(keep_ref)
+
+    @pl.when(em != 0)
+    def _compute():
+        f32 = jnp.float32
+        bf16 = jnp.bfloat16
+
+        if not single_chunk:
+            @pl.when(c == 0)
+            def _():
+                acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+        # Build the PER-SITE-selected one-hot planes: row i of xcat's top half
+        # is the major-allele indicator of site i, bottom half the
+        # dominant-minor indicator (one broadcast compare each — no P-plane
+        # sweep, no validity union).
+        a = a_ref[:, :].astype(jnp.int32)          # (T, Nc)
+        b = b_ref[:, :].astype(jnp.int32)
+        xcat = jnp.concatenate([
+            (a == auxa_ref[:, 0:1]).astype(jnp.int8),
+            (a == auxa_ref[:, 1:2]).astype(jnp.int8),
+        ], axis=0)                                  # (2T, Nc)
+        ycat = jnp.concatenate([
+            (b == auxb_ref[:, 0:1]).astype(jnp.int8),
+            (b == auxb_ref[:, 1:2]).astype(jnp.int8),
+        ], axis=0)
+
+        def dot8(x, y):
+            return jax.lax.dot_general(
+                x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+            )
+
+        def dot16(x, y):
+            return jax.lax.dot_general(
+                x, y, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
+
+        # ONE (2T x 2T) contraction block per weight pass delivers all four
+        # {maj,dmin} x {maj,dmin} weighted haplotype cells — the same static
+        # weight-arithmetic variants as the general kernel (module docstring),
+        # with identical per-cell values (same integer joints / bf16 products,
+        # same f32 combine order).
+        if unit_weights:
+            # Counts <= N < 2^24: exact in the f32 accumulator.
+            cells = dot8(xcat, ycat).astype(f32)
+        elif wquant in ("int8", "int8x3") and not exact_weights:
+            nlev = 2 if wquant == "int8" else 3
+            xi = xcat.astype(jnp.int32)
+            cells = None
+            for i in range(nlev):
+                q = w_ref[i:i + 1, :].astype(jnp.int32)
+                xq = (xi * q).astype(jnp.int8)      # one-hot * q fits int8
+                term = w_ref[nlev + i, 0] * dot8(xq, ycat).astype(f32)
+                cells = term if cells is None else cells + term
+        else:
+            w = w_ref[0:1, :]                       # (1, Nc) f32
+            w_hi = w.astype(bf16)
+            xs = xcat.astype(bf16)
+            yu = ycat.astype(bf16)
+            if wquant == "lo_int8" and not exact_weights:
+                q8 = w_ref[1:2, :].astype(jnp.int32)
+                xq = (xcat.astype(jnp.int32) * q8).astype(jnp.int8)
+                cells = (dot16(xs * w_hi, yu)
+                         + w_ref[2, 0] * dot8(xq, ycat).astype(f32))
+            elif not exact_weights:
+                w_lo = (w - w_hi.astype(f32)).astype(bf16)
+                cells = dot16(xs * w_hi, yu) + dot16(xs * w_lo, yu)
+            else:
+                cells = dot16(xs * w_hi, yu)
+
+        if single_chunk:
+            acc_ref[:, :] = cells
+        else:
+            acc_ref[:, :] += cells
+
+        ti = ti_ref[k]
+        tj = tj_ref[k]
+        em = em_ref[k]
+
+        @pl.when(c == n_chunks - 1)
+        def _finalize():
+            rc = min(128, t)
+            dist_b = auxr_ref[2:3, :] > 1           # (1, T)
+            for lo in range(0, t, rc):
+                hi = lo + rc
+                n_mm = acc_ref[lo:hi, 0:t]
+                n_md = acc_ref[lo:hi, t:2 * t]
+                n_dm = acc_ref[t + lo:t + hi, 0:t]
+                n_dd = acc_ref[t + lo:t + hi, t:2 * t]
+                # The monomorphic-pair skip (WeightedLD.py:196-201) is per-site
+                # here (precondition: no UNKNOWN -> per-pair counts == per-site
+                # counts); padded sites carry distinct == 0.
+                keep = (auxa_ref[lo:hi, 2:3] > 1) & dist_b
+                d, d_prime, r2, keep = _pair_algebra(n_mm, n_md, n_dm, n_dd,
+                                                     keep)
+                gi = (ti * t + lo
+                      + jax.lax.broadcasted_iota(jnp.int32, (rc, t), 0))
+                gj = tj * t + jax.lax.broadcasted_iota(jnp.int32, (rc, t), 1)
+                keep = keep & (gi < gj) & (gj < n_sites) & (em != 0)
+                d_ref[0, lo:hi, :] = d
+                dp_ref[0, lo:hi, :] = d_prime
+                r2_ref[0, lo:hi, :] = r2
+                keep_ref[0, lo:hi, :] = keep.astype(jnp.int8)
 
 
 @partial(jax.jit, static_argnames=("tile", "n_sites", "seq_chunk",
@@ -1067,12 +1103,8 @@ def majmin_tile_margins(counts: np.ndarray, n_seqs: int, tile: int,
     Returns ``(stab [grid] int64, umax [grid] int64)``; monomorphic and
     padded sites contribute margin ``_MARGIN_INF``.
     """
-    counts = counts.astype(np.int64)
+    margin, u = majmin_site_margins(counts, n_seqs)
     s = counts.shape[0]
-    u = n_seqs - counts.sum(axis=1)
-    top = np.sort(counts, axis=1)[:, ::-1]
-    c1, c2, c3 = top[:, 0], top[:, 1], top[:, 2]
-    margin = np.where(c2 == 0, _MARGIN_INF, np.minimum(c1 - c2, c2 - c3))
     s_pad = grid * tile
     mpad = np.full(s_pad, _MARGIN_INF, dtype=np.int64)
     mpad[:s] = margin
@@ -1080,3 +1112,19 @@ def majmin_tile_margins(counts: np.ndarray, n_seqs: int, tile: int,
     upad[:s] = u
     return (mpad.reshape(grid, tile).min(axis=1),
             upad.reshape(grid, tile).max(axis=1))
+
+
+def majmin_site_margins(counts: np.ndarray, n_seqs: int,
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-SITE ``(stability_margin, unknown_count)`` — the site-granular
+    quantities :func:`majmin_tile_margins` folds per tile, exposed for the
+    driver's unsafe-site PACKING permutation: sites with ``u > 0`` are the
+    only ones that can poison a partner tile, so grouping them into the
+    trailing tiles makes every clean x clean tile pair (the bulk of the
+    triangle) trivially factorized-exact regardless of margins."""
+    counts = counts.astype(np.int64)
+    u = n_seqs - counts.sum(axis=1)
+    top = np.sort(counts, axis=1)[:, ::-1]
+    c1, c2, c3 = top[:, 0], top[:, 1], top[:, 2]
+    margin = np.where(c2 == 0, _MARGIN_INF, np.minimum(c1 - c2, c2 - c3))
+    return margin, u

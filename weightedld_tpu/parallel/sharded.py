@@ -290,7 +290,9 @@ def make_decay_runner(mesh: Mesh, *, tile: int, edges: tuple):
         li = jnp.arange(t, dtype=jnp.int32)
         sma = sm_pad[tile_i[:, None] * t + li[None, :]]   # [K, T]
         smb = sm_pad[tile_j[:, None] * t + li[None, :]]
-        dist = smb[:, None, :] - sma[:, :, None]          # [K, T, T]
+        # |distance|: orientation-free, so the unsafe-site packing
+        # permutation (driver) bins identically to genomic order.
+        dist = jnp.abs(smb[:, None, :] - sma[:, :, None])  # [K, T, T]
         adp = jnp.abs(dp)
         dp_ok = jnp.isfinite(adp)
         counts, sums, dpsums, dpcounts = [], [], [], []

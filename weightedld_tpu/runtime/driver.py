@@ -339,6 +339,45 @@ class LdSession:
                     None if sm is not None else alignment,
                     site_counts, n_seqs=self.n_seqs,
                 )
+        # Unsafe-site PACKING: when the global factorized test fails, the
+        # poisoning sites (u > 0) are usually few and SCATTERED — in input
+        # order they drop one unsafe site into most tiles, so nearly every
+        # tile pair of the hybrid partition below falls to the general
+        # kernel.  Sites are freely permutable (records carry site_map
+        # positions; stream order is documented as plan order, --sort
+        # restores reference order), so pack every UNKNOWN-carrying site
+        # into the trailing tiles: clean x clean tile pairs — the bulk of
+        # the triangle — become unconditionally factorized-exact, and only
+        # O(dirty_tiles x grid) pairs still need the general kernel.
+        # Clean sites are ordered by DESCENDING stability margin so weak-
+        # margin sites concentrate in few tiles (scattered, one weak site
+        # per tile drags every tile's min-margin down); dirty sites by
+        # ascending u for the same reason.  Windowed plans depend on
+        # genomic order and are left unpermuted.
+        self._site_perm = None
+        self._sm_orig_nondecr = None
+        if (not majmin and site_counts is not None and sm is None
+                and cfg.max_site_distance is None
+                and cfg.max_bp_distance is None):
+            from ..ops.pallas_ld import majmin_site_margins
+
+            marg_s, u_s = majmin_site_margins(site_counts, self.n_seqs)
+            bad = u_s > 0
+            if bad.any() and not bad.all():
+                clean = np.flatnonzero(~bad)
+                dirty = np.flatnonzero(bad)
+                perm = np.concatenate([
+                    clean[np.argsort(-marg_s[clean], kind="stable")],
+                    dirty[np.argsort(u_s[dirty], kind="stable")],
+                ])
+                if not np.array_equal(perm, np.arange(self.n_sites)):
+                    sm_arr = np.asarray(site_map)
+                    self._sm_orig_nondecr = \
+                        not bool((np.diff(sm_arr) < 0).any())
+                    alignment = alignment[:, perm]
+                    site_map = sm_arr[perm]
+                    site_counts = site_counts[perm]
+                    self._site_perm = perm
         # The resolved tile/batch size are properties of (alignment,
         # platform, config), not of the caller's config object: work on a
         # copy so one DriverConfig can be reused across sessions with
@@ -377,6 +416,7 @@ class LdSession:
         self._alignment = None if sm is not None else alignment
         self._codes_sm = sm
         self._maf_cache = None
+        self._spec_cap = 0  # learned speculative-compaction capacity
 
         # Hybrid tile-pair partition: when UNKNOWNs break the GLOBAL
         # factorized-kernel safety test (majmin_safe_with_unknown), most
@@ -505,12 +545,22 @@ class LdSession:
                 self.mesh, majmin=majmin or hybrid, **common
             )
             # Hybrid phase-1 runner: the general per-pair kernel for the
-            # unsafe tile pairs (same k / shapes, so every downstream
-            # analytics runner consumes both phases' outputs unchanged).
-            self._runner2 = (
-                make_sharded_stats_runner(self.mesh, majmin=False, **common)
-                if hybrid else None
-            )
+            # unsafe tile pairs.  Its batch size is sized to the (packed,
+            # usually tiny) unsafe phase — power-of-4 bucketed to bound
+            # compiled shapes — so the phase-1 dispatch does not allocate
+            # and sweep phase-0-sized [K, T, T] outputs for a handful of
+            # real tiles.  Downstream consumers compile per output shape,
+            # so both phases' outputs are handled unchanged.
+            self._k2 = None
+            if hybrid:
+                n_unsafe = int((~self._hybrid_safe).sum())
+                self._k2 = min(k, _next_bucket(max(1, cdiv(n_unsafe,
+                                                           n_dev))))
+                self._runner2 = make_sharded_stats_runner(
+                    self.mesh, majmin=False,
+                    **{**common, "k_per_batch": self._k2})
+            else:
+                self._runner2 = None
             self._auxc_dev = self._auxr_dev = None
             if majmin or hybrid:
                 from ..ops.pallas_ld import majmin_site_aux
@@ -539,6 +589,7 @@ class LdSession:
         else:
             self._auxc_dev = self._auxr_dev = None
             self._runner2 = None
+            self._k2 = None
             if weights is None:
                 from ..core.henikoff import henikoff_weights
 
@@ -581,12 +632,16 @@ class LdSession:
                 _replan(self.plan, tile_i=self.plan.tile_i[~safe],
                         tile_j=self.plan.tile_j[~safe]),
             ]
-        ti_parts, tj_parts, em_parts, nb_list = [], [], [], []
-        for ph in phases:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        plan_sharding = NamedSharding(self.mesh, P("tiles"))
+        phase_ks = [k] + ([self._k2] if len(phases) == 2 else [])
+        bufs, nb_list, epb_parts = [], [], []
+        for ph, k_p in zip(phases, phase_ks):
             tile_i, tile_j, emit = stripe(ph, n_dev)
             per_shard = len(tile_i) // n_dev
-            nb_p = cdiv(per_shard, k)
-            pps = nb_p * k
+            nb_p = cdiv(per_shard, k_p)
+            pps = nb_p * k_p
             ti_p = np.zeros((n_dev, pps), dtype=np.int32)
             tj_p = np.zeros((n_dev, pps), dtype=np.int32)
             em_p = np.zeros((n_dev, pps), dtype=np.int32)
@@ -595,28 +650,21 @@ class LdSession:
                 ti_p[d, :per_shard] = tile_i[src]
                 tj_p[d, :per_shard] = tile_j[src]
                 em_p[d, :per_shard] = emit[src]
-            ti_parts.append(ti_p)
-            tj_parts.append(tj_p)
-            em_parts.append(em_p)
+            bufs.append(tuple(
+                jax.device_put(x.reshape(-1), plan_sharding)
+                for x in (ti_p, tj_p, em_p)))
             nb_list.append(nb_p)
+            # Real (non-padding) tiles per batch, for truthful progress.
+            epb_parts.append(em_p.reshape(n_dev, nb_p, k_p).sum(axis=(0, 2)))
         self.n_batches = sum(nb_list)
-        # Batches [0, _n_batches_p0) dispatch self.runner; the rest
-        # self._runner2 (hybrid only).
+        # Batches [0, _n_batches_p0) dispatch self.runner against the
+        # phase-0 plan buffer; the rest self._runner2 against the
+        # (k2-sized) phase-1 buffer (hybrid only).
         self._n_batches_p0 = (nb_list[0] if self._hybrid_safe is not None
                               else self.n_batches)
-        ti_h = np.concatenate(ti_parts, axis=1).reshape(-1)
-        tj_h = np.concatenate(tj_parts, axis=1).reshape(-1)
-        em_h = np.concatenate(em_parts, axis=1).reshape(-1)
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        plan_sharding = NamedSharding(self.mesh, P("tiles"))
-        self.ti_dev = jax.device_put(ti_h, plan_sharding)
-        self.tj_dev = jax.device_put(tj_h, plan_sharding)
-        self.em_dev = jax.device_put(em_h, plan_sharding)
-        # Real (non-padding) tiles per batch, for truthful progress.
-        self._emit_per_batch = (
-            em_h.reshape(n_dev, self.n_batches, k).sum(axis=(0, 2))
-        )
+        self.ti_dev, self.tj_dev, self.em_dev = bufs[0]
+        self._plan2_dev = bufs[1] if len(bufs) == 2 else None
+        self._emit_per_batch = np.concatenate(epb_parts)
 
     @staticmethod
     def required_padding(n_seqs: int, n_sites: int,
@@ -647,10 +695,15 @@ class LdSession:
         if sm.size and (sm.max() > np.iinfo(np.int32).max or sm.min() < 0):
             raise ValueError(f"{what} needs site_map positions that fit "
                              "int32 (the device distance dtype)")
-        if (np.diff(sm) < 0).any():
+        nondecr = (self._sm_orig_nondecr if self._site_perm is not None
+                   else not bool((np.diff(sm) < 0).any()))
+        if not nondecr:
             # e.g. a multi-chromosome VCF where POS resets: pair
             # "distances" across the reset would be negative or
-            # meaningless — refuse rather than silently mis-bin.
+            # meaningless — refuse rather than silently mis-bin.  With
+            # unsafe-site packing active the check runs against the
+            # INPUT order (the permuted map is non-monotonic by design;
+            # per-pair |distance| is order-free).
             raise ValueError(
                 f"{what} needs a non-decreasing site_map (positions "
                 "restart mid-file — multi-chromosome input? run per "
@@ -671,13 +724,18 @@ class LdSession:
         thr = self.cfg.r2_threshold if r2_threshold is _UNSET else r2_threshold
         thr = -np.inf if thr is None else thr
         # Hybrid plan: batches [0, _n_batches_p0) are the factorized-safe
-        # tile pairs, the rest run the general per-pair kernel.  Both
-        # phases share one plan buffer (laid out back-to-back per shard),
-        # so the batch index addresses slice [b*k, (b+1)*k) uniformly.
-        runner = (self.runner if b < self._n_batches_p0 else self._runner2)
+        # tile pairs; the rest run the general per-pair kernel against the
+        # separate (k2-sized) phase-1 plan buffer with a phase-local index.
+        if b < self._n_batches_p0:
+            runner, ti, tj, em = (self.runner, self.ti_dev, self.tj_dev,
+                                  self.em_dev)
+        else:
+            runner = self._runner2
+            ti, tj, em = self._plan2_dev
+            b = b - self._n_batches_p0
         return runner(
             self.codes_dev, self.weights_dev,
-            self.ti_dev, self.tj_dev, self.em_dev, b, thr,
+            ti, tj, em, b, thr,
             auxc=self._auxc_dev, auxr=self._auxr_dev,
             sm_pad=(self._sm_dev
                     if self.cfg.max_bp_distance is not None else None),
@@ -696,15 +754,40 @@ class LdSession:
         cfg = self.cfg
         (tcnt, d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev,
          _keep, _mom) = dispatched
+        gc_mesh = self.mesh if jax.process_count() > 1 else None
+
+        # SPECULATIVE compaction: enqueue the gather with a capacity
+        # learned from earlier batches BEFORE blocking on the count
+        # roundtrip — the compact program then runs back-to-back with the
+        # batch on device instead of serializing behind a ~25 ms tunnel
+        # fetch (the residual stream()-vs-summarize() gap, PERF.md).  The
+        # learned bucket only ratchets up, so overflows (which fall back
+        # to an exact re-dispatch below) die out after the first batch of
+        # a new record-volume regime; capacities share _next_bucket's
+        # power-of-4 grid, so no extra program shapes are compiled.
+        spec_cap = self._spec_cap
+        spec_packed = None
+        if spec_cap:
+            _cnt_dev, spec_packed = gather_compact(
+                d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev,
+                tile=cfg.tile, capacity=spec_cap, mesh=gc_mesh,
+            )
+            try:
+                spec_packed.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+
         tcnt = _fetch(tcnt)
         total = int(tcnt.sum())
         if total == 0:
             return 0, None
         cap = _next_bucket(total)
+        self._spec_cap = max(self._spec_cap, cap)
+        if spec_packed is not None and total <= spec_cap:
+            return total, spec_packed
         _cnt_dev, packed = gather_compact(
             d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev,
-            tile=cfg.tile, capacity=cap,
-            mesh=self.mesh if jax.process_count() > 1 else None,
+            tile=cfg.tile, capacity=cap, mesh=gc_mesh,
         )
         # Kick off the host copy now; by the time the caller materializes
         # this batch (one pipeline step later), the bytes have landed and
@@ -726,6 +809,18 @@ class LdSession:
             all_sites = packed_h[:, :2]
             all_vals = packed_h[:, 2:].view(np.float32)
 
+        if self._site_perm is not None and total:
+            # Packed internal order: internal i < j no longer implies
+            # original kept-site order — swap each record's endpoints back
+            # to the reference's (earlier site, later site) convention
+            # (D/D'/r2 are symmetric under the swap, WeightedLD.py:260-280).
+            p = self._site_perm
+            oi, oj = p[all_sites[:, 0]], p[all_sites[:, 1]]
+            flip = oi > oj
+            a = np.where(flip, all_sites[:, 1], all_sites[:, 0])
+            b = np.where(flip, all_sites[:, 0], all_sites[:, 1])
+            all_sites = np.stack([a, b], axis=1)
+
         return LdRecords(
             pos_a=self.site_map[all_sites[:, 0]],
             pos_b=self.site_map[all_sites[:, 1]],
@@ -742,6 +837,19 @@ class LdSession:
         """Evaluate one tile batch and return its surviving records."""
         return self._collect(self._dispatch(b))
 
+    @staticmethod
+    def _prime(dispatched):
+        """Start the device->host copies of a batch's small control
+        outputs (per-tile counts, fused moments) at DISPATCH time: the
+        transfer then begins the moment the batch finishes on device,
+        instead of waiting for a later _fetch to send the request leg of
+        the roundtrip (~half the tunnel latency per batch)."""
+        for idx in (0, 8):
+            try:
+                dispatched[idx].copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                return
+
     def _pipelined(self, start_batch: int = 0, r2_threshold=_UNSET):
         """Yield (batch_index, dispatched) with batch b+1 already enqueued
         on-device while b's results travel to the host — the single
@@ -750,8 +858,11 @@ class LdSession:
         for b in range(start_batch, self.n_batches):
             if pending is None:
                 pending = self._dispatch(b, r2_threshold)
-            nxt = (self._dispatch(b + 1, r2_threshold)
-                   if b + 1 < self.n_batches else None)
+                self._prime(pending)
+            nxt = None
+            if b + 1 < self.n_batches:
+                nxt = self._dispatch(b + 1, r2_threshold)
+                self._prime(nxt)
             yield b, pending
             pending = nxt
 
@@ -897,6 +1008,15 @@ class LdSession:
                         kept[a] = False
                     else:
                         kept[b] = False
+        if self._site_perm is not None:
+            # Report surviving positions in the caller's INPUT order, not
+            # the packed internal order.
+            p = self._site_perm
+            sm_in = np.empty_like(self.site_map)
+            sm_in[p] = self.site_map
+            kept_in = np.zeros_like(kept)
+            kept_in[p] = kept
+            return sm_in[kept_in]
         return self.site_map[kept]
 
     def _maf(self) -> np.ndarray:
@@ -947,6 +1067,15 @@ class LdSession:
         sites, vals = sites[ok], vals[ok]
         order = np.argsort(-vals[:, 2], kind="stable")[:k]
         sites, vals = sites[order], vals[order]
+        if self._site_perm is not None and len(sites):
+            # Restore the (earlier site, later site) endpoint convention
+            # under unsafe-site packing (see _finish_extract).
+            p = self._site_perm
+            oi, oj = p[sites[:, 0]], p[sites[:, 1]]
+            flip = oi > oj
+            a = np.where(flip, sites[:, 1], sites[:, 0])
+            b = np.where(flip, sites[:, 0], sites[:, 1])
+            sites = np.stack([a, b], axis=1)
         return LdRecords(
             pos_a=self.site_map[sites[:, 0]],
             pos_b=self.site_map[sites[:, 1]],
@@ -996,6 +1125,27 @@ class LdSession:
                     np.copyto(out[key][i0:i0 + h, j0:j0 + w],
                               v[kk, :h, :w], where=km)
         out["keep"] = keep_m
+        if self._site_perm is not None:
+            # Internal (packed) order -> the caller's kept-site order:
+            # M_orig[perm[k], perm[l]] = M_int[k, l], then fold entries
+            # that land below the diagonal back into the upper triangle
+            # (the matrices' documented convention).
+            p = self._site_perm
+            ix = np.ix_(p, p)
+            for key in ("d", "d_prime", "r2"):
+                m = np.full_like(out[key], np.nan)
+                m[ix] = out[key]
+                out[key] = m
+            km = np.zeros_like(keep_m)
+            km[ix] = keep_m
+            low = np.nonzero(np.tril(km, k=-1))
+            if low[0].size:
+                for key in ("d", "d_prime", "r2"):
+                    out[key][low[1], low[0]] = out[key][low]
+                    out[key][low] = np.nan
+                km[low[1], low[0]] = True
+                km[low] = False
+            out["keep"] = km
         return out
 
     def stream(
