@@ -634,3 +634,50 @@ def test_compact_slot_and_sort_paths_identical(monkeypatch):
     n = int(n1)
     np.testing.assert_array_equal(np.asarray(s1)[:n], np.asarray(s2)[:n])
     np.testing.assert_array_equal(np.asarray(v1)[:n], np.asarray(v2)[:n])
+
+
+def test_speculative_compaction_learns_and_overflows(rng):
+    """The stream() fast path dispatches the gather with a LEARNED capacity
+    before the count lands; an undersized guess must fall back to an exact
+    re-dispatch with identical records, and huge record volumes must turn
+    speculation off (its O(capacity*T) cost would exceed the roundtrip)."""
+    from weightedld_tpu.runtime import driver as drv
+    from weightedld_tpu.runtime.driver import DriverConfig, LdSession
+
+    aln = rng.choice([0, 0, 0, 1, 1, 4], size=(32, 96)).astype(np.int8)
+    w = (rng.random(32) + 0.05).astype(np.float32)
+    ses = LdSession(aln, w, np.arange(96),
+                    DriverConfig(tile=16, tiles_per_shard_batch=1,
+                                 r2_threshold=0.5))
+    assert ses._spec_cap == 0  # nothing learned yet
+
+    def rows(records_iter):
+        return sorted(
+            (int(a), int(b), float(r))
+            for _, rec in records_iter
+            for a, b, r in zip(rec.pos_a, rec.pos_b, rec.r2))
+
+    sparse = rows(ses.stream())             # learns a small capacity
+    cap_after_sparse = ses._spec_cap
+    assert cap_after_sparse > 0
+    # Denser scan: early batches OVERFLOW the learned guess (exact
+    # fallback), later ones ride the ratcheted capacity. Same records
+    # as a fresh session with no learned state.
+    dense = rows(ses.stream(r2_threshold=0.0))
+    fresh = LdSession(aln, w, np.arange(96),
+                      DriverConfig(tile=16, tiles_per_shard_batch=1,
+                                   r2_threshold=0.0))
+    assert dense == rows(fresh.stream())
+    assert ses._spec_cap >= cap_after_sparse
+    assert sparse == [r for r in dense if r[2] > 0.5]
+
+    # Beyond the regime: a bucket over the ceiling disables speculation
+    # (shrink the ceiling rather than compiling a giant gather).
+    ses._spec_cap = 4
+    orig_max = drv._SPEC_CAP_MAX
+    try:
+        drv._SPEC_CAP_MAX = 2
+        list(ses.stream(r2_threshold=0.0))
+    finally:
+        drv._SPEC_CAP_MAX = orig_max
+    assert ses._spec_cap == 0

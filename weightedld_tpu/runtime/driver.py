@@ -42,6 +42,10 @@ log = logging.getLogger("weightedld_tpu")
 
 _UNSET = object()  # "use the session default" sentinel (None is meaningful)
 
+# Speculative-compaction capacity ceiling (records): above this, the
+# O(capacity * T) gather costs more than the count roundtrip it hides.
+_SPEC_CAP_MAX = 1 << 22
+
 
 @dataclass(frozen=True)
 class SiteMajorCodes:
@@ -782,7 +786,14 @@ class LdSession:
         if total == 0:
             return 0, None
         cap = _next_bucket(total)
-        self._spec_cap = max(self._spec_cap, cap)
+        if cap <= _SPEC_CAP_MAX:
+            self._spec_cap = max(self._spec_cap, cap)
+        else:
+            # Record volume beyond speculation's regime: the compaction is
+            # O(capacity * T), so a multi-million-record batch costs more
+            # to re-gather speculatively than the roundtrip it would hide
+            # (extraction is O(records)-bound there anyway).
+            self._spec_cap = 0
         if spec_packed is not None and total <= spec_cap:
             return total, spec_packed
         _cnt_dev, packed = gather_compact(
