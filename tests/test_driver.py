@@ -681,3 +681,28 @@ def test_speculative_compaction_learns_and_overflows(rng):
     finally:
         drv._SPEC_CAP_MAX = orig_max
     assert ses._spec_cap == 0
+
+
+def test_batch_tiles_host_matches_device_plan(rng):
+    # The host-retained striped plan reproduces the dispatched bi/bj tile
+    # coordinates exactly for every batch, across BOTH hybrid phases (the
+    # phase-1 buffer has its own k2 batch width).  matrices() relies on
+    # this to skip two device fetches per batch.
+    from weightedld_tpu.runtime.driver import LdSession, _fetch
+
+    aln = rng.choice([0, 0, 1, 1, 1], size=(40, 90)).astype(np.int8)
+    for s in rng.choice(90, size=20, replace=False):
+        aln[rng.integers(40), s] = 5
+    w = np.ones(40, np.float32)
+    ses = LdSession(
+        aln, w, np.arange(90),
+        DriverConfig(tile=16, engine="pallas", seq_chunk=64,
+                     tiles_per_shard_batch=2),
+    )
+    assert ses._hybrid_safe is not None  # two phases engaged
+    assert ses.n_batches > ses._n_batches_p0 > 1
+    for b in range(ses.n_batches):
+        disp = ses._dispatch(b)
+        hi, hj, _em = ses._batch_tiles_host(b)
+        np.testing.assert_array_equal(hi, _fetch(disp[5]))
+        np.testing.assert_array_equal(hj, _fetch(disp[6]))

@@ -111,12 +111,16 @@ class DriverConfig:
                                     # (baseline/diagnostic escape hatch).
 
 
-def _resolve_engine(engine: str) -> str:
+def _resolve_engine(engine: str, platform: str | None = None) -> str:
     if engine != "auto":
         return engine
     # The fused Pallas kernel targets real TPUs; the XLA path is the
-    # portable CPU/interpret fallback.
-    platform = jax.devices()[0].platform
+    # portable CPU/interpret fallback.  ``platform`` is the platform of the
+    # devices that will actually EXECUTE (the session mesh's) — the default
+    # backend can differ, e.g. a CPU dryrun mesh while a TPU-tunnel plugin
+    # owns jax.devices().
+    if platform is None:
+        platform = jax.devices()[0].platform
     return "pallas" if platform in ("tpu", "axon") else "xla"
 
 
@@ -190,7 +194,8 @@ def resolve_seq_chunk(seq_chunk: int | None, n_seqs: int) -> int:
 
 
 def resolve_tile(tile: int | None, engine: str, alignment: np.ndarray,
-                 seq_chunk: int = 512, planes: tuple | None = None) -> int:
+                 seq_chunk: int = 512, planes: tuple | None = None,
+                 platform: str | None = None) -> int:
     """Auto site-tile side: T=256 measured +4-21% over T=128 on v5e across
     plane counts (p=5 included, since the per-kernel scoped-VMEM raise in
     ``pallas_tile_stats`` — the 16 MB default was what used to cap p=5 at
@@ -203,8 +208,10 @@ def resolve_tile(tile: int | None, engine: str, alignment: np.ndarray,
     del seq_chunk, planes  # no longer consulted (kept for API compat)
     if tile is not None:
         return tile
-    if (_resolve_engine(engine) == "pallas"
-            and jax.devices()[0].platform in ("tpu", "axon")):
+    if platform is None:
+        platform = jax.devices()[0].platform
+    if (_resolve_engine(engine, platform) == "pallas"
+            and platform in ("tpu", "axon")):
         from ..ops.pallas_ld import vmem_capable
 
         return 256 if vmem_capable() else 128
@@ -284,12 +291,16 @@ class LdSession:
         self.mesh = mesh or default_mesh()
         n_dev = self.mesh.devices.size
         self.n_dev = n_dev
+        # Platform of the devices that will EXECUTE — the session mesh's,
+        # not the default backend's (they differ when a CPU dryrun mesh
+        # coexists with a registered TPU-tunnel plugin).
+        self._platform = self.mesh.devices.flat[0].platform
         sm = alignment if isinstance(alignment, SiteMajorCodes) else None
         if sm is not None:
             self.n_seqs, self.n_sites = sm.n_seqs, sm.n_sites
         else:
             self.n_seqs, self.n_sites = alignment.shape
-        engine = _resolve_engine(cfg.engine)
+        engine = _resolve_engine(cfg.engine, self._platform)
         if sm is not None and engine != "pallas":
             raise ValueError(
                 "SiteMajorCodes input requires the pallas engine "
@@ -389,7 +400,8 @@ class LdSession:
         cfg = _replace(
             cfg,
             tile=resolve_tile(cfg.tile, engine,
-                              sm.codes if sm is not None else alignment),
+                              sm.codes if sm is not None else alignment,
+                              platform=self._platform),
             seq_chunk=resolve_seq_chunk(cfg.seq_chunk, self.n_seqs),
         )
         if sm is not None:
@@ -455,14 +467,15 @@ class LdSession:
 
         k = cfg.tiles_per_shard_batch
         if k is None:
-            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+            on_tpu = self._platform in ("tpu", "axon")
             if engine == "pallas" and on_tpu:
                 # Dispatch roundtrips dominate mid-size scans (each batch
                 # costs a host->device->host count fetch; measured 924 M ->
                 # 1,559 M pairs/s at S=16k going from 5 batches to 1), so
                 # fit the whole per-shard plan in one batch when memory
                 # allows.  Budget: the [K, T, T] stat outputs (~14 B/pair)
-                # exist twice (double-buffered dispatch) — ~2 GiB each was
+                # exist up to three deep (double-buffered dispatch + one
+                # batch held by stream's deferred extraction) — ~2 GiB each was
                 # measured safe on a 16 GiB v5e; with no r2 threshold every
                 # surviving pair becomes a record, so additionally cap the
                 # per-batch gather-compact buffers (~20 B/record, capacity
@@ -485,7 +498,7 @@ class LdSession:
                 weights_bf16_exact,
             )
 
-            interpret = jax.devices()[0].platform not in ("tpu", "axon")
+            interpret = self._platform not in ("tpu", "axon")
             if sm is not None:
                 codes_host = sm.codes  # already padded: zero-copy upload
             else:
@@ -641,6 +654,9 @@ class LdSession:
         plan_sharding = NamedSharding(self.mesh, P("tiles"))
         phase_ks = [k] + ([self._k2] if len(phases) == 2 else [])
         bufs, nb_list, epb_parts = [], [], []
+        self._plan_host = []  # (ti_p, tj_p, em_p, k_p) per phase — lets
+        # consumers recover a batch's tile coordinates WITHOUT fetching the
+        # runner's bi/bj outputs (each fetch is a ~25 ms tunnel roundtrip).
         for ph, k_p in zip(phases, phase_ks):
             tile_i, tile_j, emit = stripe(ph, n_dev)
             per_shard = len(tile_i) // n_dev
@@ -658,6 +674,7 @@ class LdSession:
                 jax.device_put(x.reshape(-1), plan_sharding)
                 for x in (ti_p, tj_p, em_p)))
             nb_list.append(nb_p)
+            self._plan_host.append((ti_p, tj_p, em_p, k_p))
             # Real (non-padding) tiles per batch, for truthful progress.
             epb_parts.append(em_p.reshape(n_dev, nb_p, k_p).sum(axis=(0, 2)))
         self.n_batches = sum(nb_list)
@@ -746,41 +763,53 @@ class LdSession:
         )
 
     def _start_extract(self, dispatched):
-        """First half of record extraction: fetch the [K] per-tile count
-        vector (the ONLY blocking host read — it completes as soon as the
-        batch's stats kernel does, while the next batch already computes),
-        enqueue the gather-compact dispatch over just the live tiles, and
-        start the record block's device->host copy ASYNCHRONOUSLY.
+        """Synchronous record extraction (the one-off :meth:`run_batch` /
+        :meth:`_collect` path): speculative gather + immediate count
+        resolution.  :meth:`stream` splits the two halves across pipeline
+        steps instead so no fetch ever blocks on an in-flight batch.
 
         Host transfers and compaction work stay O(records) — critical on
         slow device links and the reason a sparse scan runs at kernel
         speed.  Returns ``(total, packed)`` for :meth:`_finish_extract`."""
-        cfg = self.cfg
+        return self._resolve_extract(
+            dispatched, *self._start_extract_spec(dispatched))
+
+    def _start_extract_spec(self, dispatched):
+        """Non-blocking extraction half: enqueue the SPECULATIVE
+        gather-compact (capacity learned from earlier batches) and start
+        its host copy — no fetch, no host stall.  The compact program runs
+        back-to-back with the batch on device instead of serializing
+        behind the count roundtrip; the learned bucket only ratchets up,
+        so overflows (re-dispatched exactly in :meth:`_resolve_extract`)
+        die out after the first batch of a new record-volume regime.
+        Capacities share ``_next_bucket``'s power-of-4 grid, so no extra
+        program shapes are compiled.  Returns ``(spec_cap, spec_packed)``."""
         (tcnt, d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev,
          _keep, _mom) = dispatched
         gc_mesh = self.mesh if jax.process_count() > 1 else None
-
-        # SPECULATIVE compaction: enqueue the gather with a capacity
-        # learned from earlier batches BEFORE blocking on the count
-        # roundtrip — the compact program then runs back-to-back with the
-        # batch on device instead of serializing behind a ~25 ms tunnel
-        # fetch (the residual stream()-vs-summarize() gap, PERF.md).  The
-        # learned bucket only ratchets up, so overflows (which fall back
-        # to an exact re-dispatch below) die out after the first batch of
-        # a new record-volume regime; capacities share _next_bucket's
-        # power-of-4 grid, so no extra program shapes are compiled.
         spec_cap = self._spec_cap
         spec_packed = None
         if spec_cap:
             _cnt_dev, spec_packed = gather_compact(
                 d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev,
-                tile=cfg.tile, capacity=spec_cap, mesh=gc_mesh,
+                tile=self.cfg.tile, capacity=spec_cap, mesh=gc_mesh,
             )
             try:
                 spec_packed.copy_to_host_async()
             except (AttributeError, NotImplementedError):
                 pass
+        return spec_cap, spec_packed
 
+    def _resolve_extract(self, dispatched, spec_cap, spec_packed):
+        """Blocking extraction half: materialize the [K] count (its copy
+        started at dispatch, so run one pipeline step behind compute it
+        exposes no roundtrip), learn the speculative capacity, and accept
+        the speculative block or re-dispatch an exact gather on overflow
+        (the caller keeps the batch's stat tensors alive until here).
+        Returns ``(total, packed)`` for :meth:`_finish_extract`."""
+        (tcnt, d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev,
+         _keep, _mom) = dispatched
+        gc_mesh = self.mesh if jax.process_count() > 1 else None
         tcnt = _fetch(tcnt)
         total = int(tcnt.sum())
         if total == 0:
@@ -798,11 +827,10 @@ class LdSession:
             return total, spec_packed
         _cnt_dev, packed = gather_compact(
             d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev,
-            tile=cfg.tile, capacity=cap, mesh=gc_mesh,
+            tile=self.cfg.tile, capacity=cap, mesh=gc_mesh,
         )
         # Kick off the host copy now; by the time the caller materializes
-        # this batch (one pipeline step later), the bytes have landed and
-        # np.asarray is free instead of a blocking ~25 ms tunnel roundtrip.
+        # this batch, the bytes have (mostly) landed.
         try:
             packed.copy_to_host_async()
         except (AttributeError, NotImplementedError):  # non-jax/odd backends
@@ -877,6 +905,28 @@ class LdSession:
             yield b, pending
             pending = nxt
 
+    def _pipelined_reduce(self, per_batch, r2_threshold=_UNSET):
+        """Yield ``(b, np.ndarray)`` for ``per_batch(b, dispatched)`` (a
+        device-array-returning reduction over one batch), materialized ONE
+        batch behind compute: the result's device->host copy starts the
+        moment it is enqueued, so by materialization time the bytes have
+        landed and no host fetch is exposed as a blocking tunnel roundtrip
+        — the reduction analog of :meth:`stream`'s extraction pipeline."""
+        single = jax.process_count() == 1
+        pending = None
+        for b, dispatched in self._pipelined(r2_threshold=r2_threshold):
+            out = per_batch(b, dispatched)
+            if single:  # multi-process shards are gathered by _fetch
+                try:
+                    out.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
+            if pending is not None:
+                yield pending[0], _fetch(pending[1])
+            pending = (b, out)
+        if pending is not None:
+            yield pending[0], _fetch(pending[1])
+
     def summarize(self, r2_threshold=_UNSET) -> dict:
         """Whole-triangle reduction-only scan: pair counts and r2 moments,
         with O(1) host traffic per batch — the pod-scale 'stats-only' mode
@@ -889,10 +939,11 @@ class LdSession:
         n_over = 0
         r2_sum = 0.0
         r2_max = -np.inf
-        for _b, dispatched in self._pipelined(r2_threshold=r2_threshold):
-            # Single fused fetch: [n_dev, 4] int32, f32 moments bitcast
-            # (one ~25 ms tunnel roundtrip instead of two per batch).
-            mom = _fetch(dispatched[8])
+        # Single fused [n_dev, 4] int32 array per batch (f32 moments
+        # bitcast), copy started at dispatch (_prime) and materialized one
+        # batch behind compute — no exposed tunnel roundtrips.
+        for _b, mom in self._pipelined_reduce(
+                lambda b, d: d[8], r2_threshold=r2_threshold):
             mc = mom[:, :2]
             mv = mom[:, 2:].view(np.float32)
             n_pairs += int(mc[:, 0].sum())
@@ -933,9 +984,9 @@ class LdSession:
         sums = np.zeros(nb, dtype=np.float64)
         dp_sums = np.zeros(nb, dtype=np.float64)
         dp_counts = np.zeros(nb, dtype=np.int64)
-        for _b, dispatched in self._pipelined():
-            (_tcnt, _d, dp_t, r2_t, _mask, bi, bj, keep_t, _mom) = dispatched
-            packed = _fetch(runner(r2_t, dp_t, keep_t, bi, bj, self._sm_dev))
+        for _b, packed in self._pipelined_reduce(
+                lambda b, d: runner(d[3], d[2], d[7], d[5], d[6],
+                                    self._sm_dev)):
             packed = packed.reshape(-1, nb, 4)            # [n_dev, B, 4]
             counts += packed[:, :, 0].astype(np.int64).sum(axis=0)
             sums += np.ascontiguousarray(packed[:, :, 1]).view(
@@ -966,10 +1017,9 @@ class LdSession:
         runner = make_hist_runner(self.mesh, edges=edges)
         nb = len(edges) - 1
         counts = np.zeros(nb, dtype=np.int64)
-        for _b, dispatched in self._pipelined():
-            r2_t, keep_t = dispatched[3], dispatched[7]
-            packed = _fetch(runner(r2_t, keep_t)).reshape(-1, nb)
-            counts += packed.astype(np.int64).sum(axis=0)
+        for _b, packed in self._pipelined_reduce(
+                lambda b, d: runner(d[3], d[7])):
+            counts += packed.reshape(-1, nb).astype(np.int64).sum(axis=0)
         return {"edges": list(edges), "n_pairs": counts.tolist()}
 
     def prune(self, r2_threshold: float, rule: str = "maf",
@@ -1067,9 +1117,8 @@ class LdSession:
             raise ValueError(f"k must be positive, got {k}")
         runner = make_topk_runner(self.mesh, tile=self.cfg.tile, k_out=k)
         parts = []
-        for _b, dispatched in self._pipelined():
-            (_tcnt, d_t, dp_t, r2_t, _mask, bi, bj, keep_t, _mom) = dispatched
-            packed = _fetch(runner(d_t, dp_t, r2_t, keep_t, bi, bj))
+        for _b, packed in self._pipelined_reduce(
+                lambda b, d: runner(d[1], d[2], d[3], d[7], d[5], d[6])):
             parts.append(packed.reshape(-1, 5))
         cand = np.concatenate(parts, axis=0)
         sites = cand[:, :2]
@@ -1095,6 +1144,20 @@ class LdSession:
             r2=vals[:, 2],
         )
 
+    def _batch_tiles_host(self, b: int):
+        """Host-side ``(tile_i, tile_j, emit)`` [K] vectors for global batch
+        ``b`` — the same values the dispatched bi/bj device outputs carry
+        (shard d's rows of the striped plan slice ``[b*k, (b+1)*k)``,
+        concatenated in device order), computed from the retained plan so
+        consumers never pay device fetches for tile coordinates."""
+        ph = 0
+        if len(self._plan_host) == 2 and b >= self._n_batches_p0:
+            ph, b = 1, b - self._n_batches_p0
+        ti_p, tj_p, em_p, k_p = self._plan_host[ph]
+        sl = slice(b * k_p, (b + 1) * k_p)
+        return (ti_p[:, sl].reshape(-1), tj_p[:, sl].reshape(-1),
+                em_p[:, sl].reshape(-1))
+
     def matrices(self) -> dict[str, np.ndarray]:
         """Assemble full square LD matrices (a capability beyond the
         reference, for heatmaps / downstream matrix consumers).
@@ -1103,7 +1166,14 @@ class LdSession:
         was skipped or below the diagonal), "keep": [S, S] bool}``.  Host
         memory is O(S^2); the tile computation itself streams exactly like
         :meth:`stream` (the r2 threshold is ignored — matrices are
-        complete)."""
+        complete).
+
+        The O(pairs) host traffic is latency-engineered like the record
+        path: each batch's four stat tensors start their device->host
+        copies asynchronously at dispatch, tile coordinates come from the
+        host-retained plan (no bi/bj fetches), and assembly runs one batch
+        BEHIND compute, so by materialization time the bytes have landed
+        and no fetch blocks on a tunnel roundtrip."""
         s = self.n_sites
         t = self.cfg.tile
         out = {
@@ -1111,30 +1181,41 @@ class LdSession:
             for k in ("d", "d_prime", "r2")
         }
         keep_m = np.zeros((s, s), dtype=bool)
-        for _b, dispatched in self._pipelined():
-            (_tcnt, d_t, dp_t, r2_t, _mask, bi, bj, keep_t, _mom) = (
-                dispatched
-            )
-            vals = {
-                "d": _fetch(d_t),
-                "d_prime": _fetch(dp_t),
-                "r2": _fetch(r2_t),
-            }
-            keep_h = _fetch(keep_t)       # emit/diagonal/skip rules folded in
-            bi_h = _fetch(bi)
-            bj_h = _fetch(bj)
-            for kk in range(len(bi_h)):
+
+        def assemble(b, tensors):
+            d_h, dp_h, r2_h, keep_h = (_fetch(x) for x in tensors)
+            bi_h, bj_h, em_h = self._batch_tiles_host(b)
+            vals = {"d": d_h, "d_prime": dp_h, "r2": r2_h}
+            for kk in np.nonzero(em_h)[0]:  # padding tiles cost nothing
                 i0, j0 = int(bi_h[kk]) * t, int(bj_h[kk]) * t
                 if i0 >= s or j0 >= s:
                     continue
                 h, w = min(t, s - i0), min(t, s - j0)
-                km = keep_h[kk, :h, :w]
-                if not km.any():  # padding tiles land here (keep all-False)
+                km = keep_h[kk, :h, :w]     # diagonal/skip rules folded in
+                if not km.any():
                     continue
                 keep_m[i0:i0 + h, j0:j0 + w] |= km
                 for key, v in vals.items():
                     np.copyto(out[key][i0:i0 + h, j0:j0 + w],
                               v[kk, :h, :w], where=km)
+
+        pending = None
+        for b, dispatched in self._pipelined():
+            (_tcnt, d_t, dp_t, r2_t, _mask, _bi, _bj, keep_t, _mom) = (
+                dispatched
+            )
+            tensors = (d_t, dp_t, r2_t, keep_t)
+            if jax.process_count() == 1:  # multi-process: _fetch gathers
+                for x in tensors:
+                    try:
+                        x.copy_to_host_async()
+                    except (AttributeError, NotImplementedError):
+                        break
+            if pending is not None:
+                assemble(*pending)
+            pending = (b, tensors)
+        if pending is not None:
+            assemble(*pending)
         out["keep"] = keep_m
         if self._site_perm is not None:
             # Internal (packed) order -> the caller's kept-site order:
@@ -1169,14 +1250,17 @@ class LdSession:
         overrides the session default for this scan only (runtime scalar —
         no recompilation).
 
-        Extraction is pipelined one batch behind compute: per batch the
-        host blocks only on the [K] count fetch (which completes with the
-        batch's stats, while the NEXT batch already computes) — the
-        gather-compact dispatch and the record-block copy run asynchronously
-        and are materialized a step later, by which time they have landed.
-        Previously both extraction roundtrips serialized against each
-        batch's compute, which bounded high-yield small-N scans at ~227 M
-        pairs/s vs ~6 G for reduction-only scans (PERF.md)."""
+        Extraction is FULLY deferred one batch behind compute: batch b's
+        speculative gather-compact is enqueued (and its host copy started)
+        with no host read at all, and its [K] count — whose copy began at
+        dispatch — is materialized only while batch b+1 computes, by which
+        time the bytes have landed.  The batch's stat tensors stay alive
+        one pipeline step so a speculative-capacity overflow can still
+        re-dispatch an exact gather (the only path that ever exposes a
+        roundtrip, and it dies out after one batch of a new record-volume
+        regime).  Round 1 serialized both extraction roundtrips against
+        each batch (227 M pairs/s high-yield); round 2 hid the gather but
+        still blocked on each batch's count fetch."""
         t0 = time.monotonic()
         last_report = t0
         tiles_done = 0
@@ -1185,7 +1269,7 @@ class LdSession:
         # Evaluated work = emitted (non-padding) tiles; padding tiles are
         # free.  This stays truthful under r2 thresholds and windowed plans.
         tiles_total = self.plan.n_tiles
-        pending: tuple | None = None  # (batch, total, packed) awaiting host
+        pending: tuple | None = None  # (b, dispatched, spec_cap, spec_packed)
 
         def progress(b):
             nonlocal last_report
@@ -1203,24 +1287,26 @@ class LdSession:
                 last_report = now
 
         # Compute double-buffers via _pipelined; extraction adds a second,
-        # one-batch-deep stage on top.
-        for b, dispatched in self._pipelined(start_batch, r2_threshold):
-            started = self._start_extract(dispatched)
-            if pending is not None:
-                pb, total, packed = pending
-                records = self._finish_extract(total, packed)
-                records_emitted += len(records)
-                tiles_done += int(self._emit_per_batch[pb])
-                progress(pb)
-                yield pb, records
-            pending = (b, *started)
-        if pending is not None:
-            pb, total, packed = pending
-            records = self._finish_extract(total, packed)
+        # one-batch-deep stage on top (pending holds the batch's dispatched
+        # stat tensors — up to three batches of [K, T, T] outputs are alive
+        # at once, covered by the tiles_per_shard_batch HBM budget).
+        def emit(pending):
+            nonlocal records_emitted, tiles_done
+            pb, dispatched, spec_cap, spec_packed = pending
+            records = self._finish_extract(
+                *self._resolve_extract(dispatched, spec_cap, spec_packed))
             records_emitted += len(records)
             tiles_done += int(self._emit_per_batch[pb])
             progress(pb)
-            yield pb, records
+            return pb, records
+
+        for b, dispatched in self._pipelined(start_batch, r2_threshold):
+            spec = self._start_extract_spec(dispatched)
+            if pending is not None:
+                yield emit(pending)
+            pending = (b, dispatched, *spec)
+        if pending is not None:
+            yield emit(pending)
 
 
 def stream_ld_records(
