@@ -53,6 +53,7 @@ def make_sharded_stats_runner(
     max_site_distance: int | None = None,
     max_bp_distance: int | None = None,
     interpret: bool = False,
+    emit_capacity: int | None = None,
 ):
     """Stats-only sharded pass: evaluate one batch of tiles, apply the r2
     threshold, and return per-tile record counts plus the masked stat
@@ -65,11 +66,22 @@ def make_sharded_stats_runner(
     over the (usually few) tiles that actually contain records — a sparse
     scan never pays the O(K*T^2) compaction scan (measured 340-460 ms per
     2048-tile batch).
+
+    ``emit_capacity``: when set, each SHARD additionally slot-compacts its
+    surviving records into a ``[capacity, 5]`` int32 block INSIDE the same
+    program (sites + f32 D/D'/r2 bitcast — the ``gather_compact`` packing)
+    and the runner returns it as a 10th output.  One dispatch then carries
+    stats + records: streaming pays no second per-batch program launch
+    (each launch through a TPU tunnel costs ~half a roundtrip of host
+    work).  The per-shard record count can exceed the capacity — the
+    caller detects overflow from the [K] counts and re-dispatches an exact
+    gather (the driver's speculative-capacity protocol).
     """
     key = (
         "stats", tuple(d.id for d in mesh.devices.flat), tile, n_sites,
         k_per_batch, engine, planes, seq_chunk, exact_weights, unit_weights,
         wquant, majmin, max_site_distance, max_bp_distance, interpret,
+        emit_capacity,
     )
     cached = _RUNNER_CACHE.get(key)
     if cached is not None:
@@ -153,15 +165,33 @@ def make_sharded_stats_runner(
         moments = jnp.concatenate(
             [mom_counts, jax.lax.bitcast_convert_type(mom_vals, jnp.int32)]
         )[None]
-        return (tile_counts, st.d, st.d_prime, st.r2, mask, tile_i, tile_j,
+        outs = (tile_counts, st.d, st.d_prime, st.r2, mask, tile_i, tile_j,
                 keep, moments)
+        if emit_capacity:
+            # Per-shard slot compaction fused into the stats program: no
+            # cross-shard traffic (each shard packs its OWN records), same
+            # record order as the separate gather within a shard.
+            from ..core.paircore import PairStats
 
+            stp = PairStats(d=st.d, d_prime=st.d_prime, r2=st.r2, keep=mask)
+            _cnt, sites, values = compact_tile_stats(
+                stp, tile_i, tile_j, jnp.float32(-jnp.inf),
+                tile=tile, capacity=emit_capacity,
+            )
+            packed = jnp.concatenate(
+                [sites, jax.lax.bitcast_convert_type(values, jnp.int32)],
+                axis=1,
+            )[None]                                       # [1, cap, 5]
+            outs = outs + (packed,)
+        return outs
+
+    n_out = 10 if emit_capacity else 9
     fn = jax.jit(jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(),
                   P(AXIS), P(AXIS), P(AXIS), P(), P()),
-        out_specs=(P(AXIS),) * 9,
+        out_specs=(P(AXIS),) * n_out,
         check_vma=False,
     ))
 

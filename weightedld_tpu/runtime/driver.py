@@ -433,6 +433,7 @@ class LdSession:
         self._codes_sm = sm
         self._maf_cache = None
         self._spec_cap = 0  # learned speculative-compaction capacity
+        self._cap_hist = []  # last 2 per-shard buckets (shrink window)
 
         # Hybrid tile-pair partition: when UNKNOWNs break the GLOBAL
         # factorized-kernel safety test (majmin_safe_with_unknown), most
@@ -561,6 +562,9 @@ class LdSession:
             self.runner = make_sharded_stats_runner(
                 self.mesh, majmin=majmin or hybrid, **common
             )
+            # (majmin flag, kwargs) per phase, for fused stats+records
+            # runner variants built lazily per capacity bucket (_dispatch).
+            self._fused_common = [(majmin or hybrid, common)]
             # Hybrid phase-1 runner: the general per-pair kernel for the
             # unsafe tile pairs.  Its batch size is sized to the (packed,
             # usually tiny) unsafe phase — power-of-4 bucketed to bound
@@ -576,6 +580,8 @@ class LdSession:
                 self._runner2 = make_sharded_stats_runner(
                     self.mesh, majmin=False,
                     **{**common, "k_per_batch": self._k2})
+                self._fused_common.append(
+                    (False, {**common, "k_per_batch": self._k2}))
             else:
                 self._runner2 = None
             self._auxc_dev = self._auxr_dev = None
@@ -611,11 +617,13 @@ class LdSession:
                 from ..core.henikoff import henikoff_weights
 
                 weights = np.asarray(henikoff_weights(jnp.asarray(alignment)))
-            self.runner = make_sharded_stats_runner(
-                self.mesh, tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k,
+            xla_kw = dict(
+                tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k,
                 max_site_distance=cfg.max_site_distance,
                 max_bp_distance=cfg.max_bp_distance,
             )
+            self.runner = make_sharded_stats_runner(self.mesh, **xla_kw)
+            self._fused_common = [(False, xla_kw)]
             codes_host = pad_alignment(alignment, cfg.tile)
             codes_pre = None
             weights_host = np.asarray(weights, dtype=np.float32)
@@ -735,25 +743,38 @@ class LdSession:
         (self._sm_dev,) = replicate(self.mesh, sm_pad)
         return self._sm_dev
 
-    def _dispatch(self, b: int, r2_threshold=_UNSET):
+    def _fused_runner(self, phase: int, cap: int):
+        """Stats runner variant that ALSO slot-compacts each shard's
+        records inside the same program (``emit_capacity``) — built lazily
+        per power-of-4 capacity bucket and cached by the runner registry,
+        so streaming pays one dispatch per batch instead of two."""
+        flag, kw = self._fused_common[min(phase, len(self._fused_common) - 1)]
+        return make_sharded_stats_runner(
+            self.mesh, majmin=flag, emit_capacity=cap, **kw)
+
+    def _dispatch(self, b: int, r2_threshold=_UNSET, emit_capacity=None):
         """Enqueue one batch (async — nothing is fetched).
 
         ``r2_threshold`` overrides the session default for this dispatch
         (``None`` = emit every surviving pair); it is a runtime scalar of
         the compiled program, so per-scan thresholds never recompile (the
-        point of a device-resident serving session)."""
+        point of a device-resident serving session).  ``emit_capacity``
+        selects the fused stats+records program (streaming scans)."""
         thr = self.cfg.r2_threshold if r2_threshold is _UNSET else r2_threshold
         thr = -np.inf if thr is None else thr
         # Hybrid plan: batches [0, _n_batches_p0) are the factorized-safe
         # tile pairs; the rest run the general per-pair kernel against the
         # separate (k2-sized) phase-1 plan buffer with a phase-local index.
         if b < self._n_batches_p0:
-            runner, ti, tj, em = (self.runner, self.ti_dev, self.tj_dev,
-                                  self.em_dev)
+            phase, ti, tj, em = 0, self.ti_dev, self.tj_dev, self.em_dev
+            runner = self.runner
         else:
+            phase = 1
             runner = self._runner2
             ti, tj, em = self._plan2_dev
             b = b - self._n_batches_p0
+        if emit_capacity:
+            runner = self._fused_runner(phase, emit_capacity)
         return runner(
             self.codes_dev, self.weights_dev,
             ti, tj, em, b, thr,
@@ -762,91 +783,103 @@ class LdSession:
                     if self.cfg.max_bp_distance is not None else None),
         )
 
-    def _start_extract(self, dispatched):
-        """Synchronous record extraction (the one-off :meth:`run_batch` /
-        :meth:`_collect` path): speculative gather + immediate count
-        resolution.  :meth:`stream` splits the two halves across pipeline
-        steps instead so no fetch ever blocks on an in-flight batch.
-
-        Host transfers and compaction work stay O(records) — critical on
-        slow device links and the reason a sparse scan runs at kernel
-        speed.  Returns ``(total, packed)`` for :meth:`_finish_extract`."""
-        return self._resolve_extract(
-            dispatched, *self._start_extract_spec(dispatched))
-
     def _start_extract_spec(self, dispatched):
-        """Non-blocking extraction half: enqueue the SPECULATIVE
-        gather-compact (capacity learned from earlier batches) and start
-        its host copy — no fetch, no host stall.  The compact program runs
-        back-to-back with the batch on device instead of serializing
-        behind the count roundtrip; the learned bucket only ratchets up,
-        so overflows (re-dispatched exactly in :meth:`_resolve_extract`)
-        die out after the first batch of a new record-volume regime.
-        Capacities share ``_next_bucket``'s power-of-4 grid, so no extra
-        program shapes are compiled.  Returns ``(spec_cap, spec_packed)``."""
+        """Non-blocking extraction half.  A FUSED dispatch (10 outputs)
+        already carries each shard's slot-compacted ``[cap, 5]`` record
+        block inside the stats program itself — nothing extra to enqueue.
+        Otherwise, when a speculative capacity has been learned, enqueue a
+        separate gather-compact and start its host copy — no fetch, no
+        host stall.  The learned bucket only ratchets up, so overflows
+        (re-dispatched exactly in :meth:`_extract_records`) die out after
+        the first batch of a new record-volume regime; capacities share
+        ``_next_bucket``'s power-of-4 grid, so no extra program shapes are
+        compiled.  Returns a ``(kind, cap, packed)`` spec triple."""
+        if len(dispatched) > 9:
+            packed = dispatched[9]                # [n_dev, cap, 5] sharded
+            return "shards", int(packed.shape[1]), packed
         (tcnt, d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev,
          _keep, _mom) = dispatched
-        gc_mesh = self.mesh if jax.process_count() > 1 else None
         spec_cap = self._spec_cap
-        spec_packed = None
-        if spec_cap:
-            _cnt_dev, spec_packed = gather_compact(
-                d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev,
-                tile=self.cfg.tile, capacity=spec_cap, mesh=gc_mesh,
-            )
-            try:
-                spec_packed.copy_to_host_async()
-            except (AttributeError, NotImplementedError):
-                pass
-        return spec_cap, spec_packed
-
-    def _resolve_extract(self, dispatched, spec_cap, spec_packed):
-        """Blocking extraction half: materialize the [K] count (its copy
-        started at dispatch, so run one pipeline step behind compute it
-        exposes no roundtrip), learn the speculative capacity, and accept
-        the speculative block or re-dispatch an exact gather on overflow
-        (the caller keeps the batch's stat tensors alive until here).
-        Returns ``(total, packed)`` for :meth:`_finish_extract`."""
-        (tcnt, d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev,
-         _keep, _mom) = dispatched
+        if not spec_cap:
+            return "none", 0, None
         gc_mesh = self.mesh if jax.process_count() > 1 else None
-        tcnt = _fetch(tcnt)
-        total = int(tcnt.sum())
-        if total == 0:
-            return 0, None
-        cap = _next_bucket(total)
-        if cap <= _SPEC_CAP_MAX:
-            self._spec_cap = max(self._spec_cap, cap)
-        else:
+        _cnt_dev, spec_packed = gather_compact(
+            d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev,
+            tile=self.cfg.tile, capacity=spec_cap, mesh=gc_mesh,
+        )
+        try:
+            spec_packed.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        return "global", spec_cap, spec_packed
+
+    def _extract_records(self, dispatched, spec) -> LdRecords:
+        """Blocking extraction half (stream() runs it one batch behind
+        compute): materialize the [K] count — its copy started at
+        dispatch, so no roundtrip is exposed — learn the speculative
+        capacity, and accept the fused/speculative record block or
+        re-dispatch an exact gather on overflow (the caller keeps the
+        batch's stat tensors alive until here)."""
+        kind, cap, packed = spec
+        # Per-shard record counts ride the fused [n_dev, 4] moments output
+        # (column 1 = thresholded pair count — the exact record
+        # population), so extraction needs no [K] tile-count fetch at all.
+        mom = _fetch(dispatched[8])
+        per_shard = mom[:, 1]
+        total = int(per_shard.sum())
+        max_shard = int(per_shard.max()) if total else 0
+        # Capacity learning is PER SHARD (the fused compaction packs each
+        # shard's own records); on one device max_shard == total, so the
+        # single-chip semantics are unchanged.  A TWO-BATCH sliding window
+        # (not a pure ratchet) lets the capacity SHRINK after two
+        # consecutive smaller batches: an oversized bucket learned in one
+        # high-yield scan would otherwise poison every later low-yield
+        # scan of the resident session with O(capacity * T) compaction and
+        # a [capacity, 5] transfer per batch (measured 171 -> 239 ms on a
+        # ZERO-record scan after a 74k-record scan had ratcheted to 16384).
+        bucket = _next_bucket(max(1, max_shard))
+        if bucket <= _SPEC_CAP_MAX:
+            self._cap_hist = (self._cap_hist + [bucket])[-2:]
+            self._spec_cap = max(self._cap_hist)
+        elif max_shard:
+            self._cap_hist = []
             # Record volume beyond speculation's regime: the compaction is
             # O(capacity * T), so a multi-million-record batch costs more
             # to re-gather speculatively than the roundtrip it would hide
             # (extraction is O(records)-bound there anyway).
             self._spec_cap = 0
-        if spec_packed is not None and total <= spec_cap:
-            return total, spec_packed
-        _cnt_dev, packed = gather_compact(
+        if total == 0:
+            return self._records_from_flat(np.empty((0, 5), np.int32))
+        if kind == "shards" and max_shard <= cap:
+            ph = _fetch(packed).reshape(self.n_dev, cap, 5)
+            flat = np.concatenate(
+                [ph[d, :int(c)] for d, c in enumerate(per_shard)], axis=0)
+            return self._records_from_flat(flat)
+        if kind == "global" and total <= cap:
+            return self._finish_extract(total, packed)
+        # Overflow (or un-learned first batch): exact global gather from
+        # the still-alive stat tensors — the one path that pays a fetch.
+        (_t, d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev) = dispatched[:7]
+        gc_mesh = self.mesh if jax.process_count() > 1 else None
+        _cnt_dev, gp = gather_compact(
             d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev,
-            tile=self.cfg.tile, capacity=cap, mesh=gc_mesh,
+            tile=self.cfg.tile, capacity=_next_bucket(total), mesh=gc_mesh,
         )
-        # Kick off the host copy now; by the time the caller materializes
-        # this batch, the bytes have (mostly) landed.
-        try:
-            packed.copy_to_host_async()
-        except (AttributeError, NotImplementedError):  # non-jax/odd backends
-            pass
-        return total, packed
+        return self._finish_extract(total, gp)
 
     def _finish_extract(self, total, packed) -> LdRecords:
-        """Second half: materialize one batch's compacted records (a single
+        """Materialize one batch's GLOBALLY compacted records (a single
         fetch of the whole [cap, 5] int32 block, sites + bitcast values)."""
         if total == 0:
-            all_sites = np.empty((0, 2), dtype=np.int32)
-            all_vals = np.empty((0, 3), dtype=np.float32)
-        else:
-            packed_h = np.asarray(packed)[:total]
-            all_sites = packed_h[:, :2]
-            all_vals = packed_h[:, 2:].view(np.float32)
+            return self._records_from_flat(np.empty((0, 5), np.int32))
+        return self._records_from_flat(np.asarray(packed)[:total])
+
+    def _records_from_flat(self, packed_h) -> LdRecords:
+        """``[n, 5]`` int32 host rows (sites + bitcast D/D'/r2) ->
+        :class:`LdRecords` in the caller's coordinates."""
+        total = len(packed_h)
+        all_sites = packed_h[:, :2]
+        all_vals = packed_h[:, 2:].view(np.float32)
 
         if self._site_perm is not None and total:
             # Packed internal order: internal i < j no longer implies
@@ -870,7 +903,8 @@ class LdSession:
 
     def _collect(self, dispatched) -> LdRecords:
         """Fetch + compact the records of a dispatched batch."""
-        return self._finish_extract(*self._start_extract(dispatched))
+        return self._extract_records(
+            dispatched, self._start_extract_spec(dispatched))
 
     def run_batch(self, b: int) -> LdRecords:
         """Evaluate one tile batch and return its surviving records."""
@@ -883,24 +917,33 @@ class LdSession:
         transfer then begins the moment the batch finishes on device,
         instead of waiting for a later _fetch to send the request leg of
         the roundtrip (~half the tunnel latency per batch)."""
-        for idx in (0, 8):
+        idxs = (8, 9) if len(dispatched) > 9 else (8,)
+        for idx in idxs:
             try:
                 dispatched[idx].copy_to_host_async()
             except (AttributeError, NotImplementedError):
                 return
 
-    def _pipelined(self, start_batch: int = 0, r2_threshold=_UNSET):
+    def _pipelined(self, start_batch: int = 0, r2_threshold=_UNSET,
+                   fused: bool = False):
         """Yield (batch_index, dispatched) with batch b+1 already enqueued
         on-device while b's results travel to the host — the single
-        double-buffering loop behind summarize/stream/matrices."""
+        double-buffering loop behind summarize/stream/matrices.
+
+        ``fused=True`` (streaming): dispatch the stats+records program at
+        the CURRENT learned capacity — read at each dispatch, so learning
+        from batch b's count takes effect from batch b+2's dispatch on."""
+        def cap():
+            return (self._spec_cap or None) if fused else None
+
         pending = None
         for b in range(start_batch, self.n_batches):
             if pending is None:
-                pending = self._dispatch(b, r2_threshold)
+                pending = self._dispatch(b, r2_threshold, cap())
                 self._prime(pending)
             nxt = None
             if b + 1 < self.n_batches:
-                nxt = self._dispatch(b + 1, r2_threshold)
+                nxt = self._dispatch(b + 1, r2_threshold, cap())
                 self._prime(nxt)
             yield b, pending
             pending = nxt
@@ -1292,19 +1335,19 @@ class LdSession:
         # at once, covered by the tiles_per_shard_batch HBM budget).
         def emit(pending):
             nonlocal records_emitted, tiles_done
-            pb, dispatched, spec_cap, spec_packed = pending
-            records = self._finish_extract(
-                *self._resolve_extract(dispatched, spec_cap, spec_packed))
+            pb, dispatched, spec = pending
+            records = self._extract_records(dispatched, spec)
             records_emitted += len(records)
             tiles_done += int(self._emit_per_batch[pb])
             progress(pb)
             return pb, records
 
-        for b, dispatched in self._pipelined(start_batch, r2_threshold):
+        for b, dispatched in self._pipelined(start_batch, r2_threshold,
+                                             fused=True):
             spec = self._start_extract_spec(dispatched)
             if pending is not None:
                 yield emit(pending)
-            pending = (b, dispatched, *spec)
+            pending = (b, dispatched, spec)
         if pending is not None:
             yield emit(pending)
 
