@@ -706,3 +706,35 @@ def test_batch_tiles_host_matches_device_plan(rng):
         hi, hj, _em = ses._batch_tiles_host(b)
         np.testing.assert_array_equal(hi, _fetch(disp[5]))
         np.testing.assert_array_equal(hj, _fetch(disp[6]))
+
+
+def test_speculative_capacity_shrinks_after_high_yield_scan(rng):
+    """The learned capacity is a TWO-BATCH sliding window, not a ratchet:
+    a resident session that ran one high-yield scan must not keep paying
+    that scan's oversized per-batch compaction/transfer on later
+    low-yield scans (PERF.md round 3: 171 -> 239 ms on a zero-record scan
+    before the window)."""
+    from weightedld_tpu.runtime.driver import (
+        DriverConfig, LdSession, _next_bucket,
+    )
+
+    aln = random_alignment(rng, 32, 96)
+    w = (rng.random(32) + 0.05).astype(np.float32)
+    ses = LdSession(aln, w, np.arange(96),
+                    DriverConfig(tile=16, tiles_per_shard_batch=1,
+                                 r2_threshold=0.9))
+    assert ses.n_batches >= 3
+    dense = sum(len(r) for _, r in ses.stream(r2_threshold=0.0))
+    cap_dense = ses._spec_cap
+    # Learning is per SHARD (the fused compaction packs per shard).
+    assert cap_dense >= _next_bucket(
+        dense // (ses.n_batches * ses.n_dev))
+    sparse = sum(len(r) for _, r in ses.stream(r2_threshold=0.99))
+    assert sparse < dense
+    # After >= 2 low-yield batches the window has forgotten the dense
+    # bucket entirely.
+    assert ses._spec_cap < cap_dense
+    assert ses._spec_cap == max(ses._cap_hist)
+    # And the shrunken capacity still produces identical records.
+    again = sum(len(r) for _, r in ses.stream(r2_threshold=0.0))
+    assert again == dense

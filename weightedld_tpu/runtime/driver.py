@@ -195,16 +195,23 @@ def resolve_seq_chunk(seq_chunk: int | None, n_seqs: int) -> int:
 
 def resolve_tile(tile: int | None, engine: str, alignment: np.ndarray,
                  seq_chunk: int = 512, planes: tuple | None = None,
-                 platform: str | None = None) -> int:
+                 platform: str | None = None, majmin: bool = False,
+                 n_seqs: int | None = None) -> int:
     """Auto site-tile side: T=256 measured +4-21% over T=128 on v5e across
     plane counts (p=5 included, since the per-kernel scoped-VMEM raise in
     ``pallas_tile_stats`` — the 16 MB default was what used to cap p=5 at
-    T=128; T=512 measured 20% SLOWER than 256 at the headline shape, so
-    256 is the ceiling of the auto rule).  Gated on ``vmem_capable``:
-    v2/v3 (16 MiB VMEM, no limit raise) stay at the T=128 the default
-    budget is known to fit.  An explicit ``tile`` always wins (and can
-    OOM).  ``seq_chunk``/``planes`` are accepted for compatibility; the
-    rule no longer depends on them."""
+    T=128; T=512 measured 20% SLOWER than 256 at the headline shape for
+    the GENERAL kernel, whose (pT)^2 accumulator quadruples).  For PURE
+    factorized sessions (``majmin`` — the (2T x 2T) accumulator stays
+    small) T=512 wins exactly in the 512 < N <= 2048 band, where one
+    short sequence chunk cannot amortize the per-grid-step fixed costs
+    and 4x the pairs/step can: measured +8.5% at N=1,000 and +6.0% at
+    N=2,000, but -2% at N <= 250 and -18% at N=4,000 (working set), so
+    the band is a measured boundary, not a heuristic.  Gated on
+    ``vmem_capable``: v2/v3 (16 MiB VMEM, no limit raise) stay at the
+    T=128 the default budget is known to fit.  An explicit ``tile``
+    always wins (and can OOM).  ``seq_chunk``/``planes`` are accepted for
+    compatibility; the rule no longer depends on them."""
     del seq_chunk, planes  # no longer consulted (kept for API compat)
     if tile is not None:
         return tile
@@ -214,7 +221,11 @@ def resolve_tile(tile: int | None, engine: str, alignment: np.ndarray,
             and platform in ("tpu", "axon")):
         from ..ops.pallas_ld import vmem_capable
 
-        return 256 if vmem_capable() else 128
+        if not vmem_capable():
+            return 128
+        if majmin and n_seqs is not None and 512 < n_seqs <= 2048:
+            return 512
+        return 256
     return 128
 
 
@@ -399,9 +410,14 @@ class LdSession:
         # different inputs.  Read the resolved values from session.cfg.
         cfg = _replace(
             cfg,
+            # The T=512 factorized band applies only to in-memory inputs:
+            # SiteMajorCodes buffers were pre-sized by required_padding(),
+            # which cannot know majmin — their tile must stay the default.
             tile=resolve_tile(cfg.tile, engine,
                               sm.codes if sm is not None else alignment,
-                              platform=self._platform),
+                              platform=self._platform,
+                              majmin=majmin and sm is None,
+                              n_seqs=self.n_seqs),
             seq_chunk=resolve_seq_chunk(cfg.seq_chunk, self.n_seqs),
         )
         if sm is not None:
