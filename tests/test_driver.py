@@ -738,3 +738,23 @@ def test_speculative_capacity_shrinks_after_high_yield_scan(rng):
     # And the shrunken capacity still produces identical records.
     again = sum(len(r) for _, r in ses.stream(r2_threshold=0.0))
     assert again == dense
+
+
+def test_resolve_tile_factorized_band():
+    # T=512 applies exactly to pure factorized sessions in the measured
+    # 512 < N <= 2048 band (PERF.md round 3); the general kernel and
+    # out-of-band N keep T=256; non-TPU platforms keep T=128.
+    from weightedld_tpu.runtime.driver import resolve_tile
+
+    for n, want in ((250, 256), (512, 256), (513, 512), (1000, 512),
+                    (2048, 512), (2049, 256), (4000, 256)):
+        got = resolve_tile(None, "pallas", None, platform="tpu",
+                           majmin=True, n_seqs=n)
+        assert got == want, (n, got, want)
+    assert resolve_tile(None, "pallas", None, platform="tpu",
+                        majmin=False, n_seqs=1000) == 256
+    assert resolve_tile(None, "pallas", None, platform="cpu",
+                        majmin=True, n_seqs=1000) == 128
+    # Explicit tile always wins.
+    assert resolve_tile(64, "pallas", None, platform="tpu",
+                        majmin=True, n_seqs=1000) == 64
