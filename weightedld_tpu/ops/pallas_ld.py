@@ -877,7 +877,9 @@ def _ld_kernel_mm(tile: int, n_sites: int, exact_weights: bool, wquant: str,
         # Build the PER-SITE-selected one-hot planes: row i of xcat's top half
         # is the major-allele indicator of site i, bottom half the
         # dominant-minor indicator (one broadcast compare each — no P-plane
-        # sweep, no validity union).
+        # sweep, no validity union).  The int32 widen is load-bearing:
+        # Mosaic on v5e rejects int8 vector compares ("Target does not
+        # support this comparison", measured round 3 — PERF.md dead ends).
         a = a_ref[:, :].astype(jnp.int32)          # (T, Nc)
         b = b_ref[:, :].astype(jnp.int32)
         xcat = jnp.concatenate([
