@@ -408,28 +408,39 @@ class LdSession:
         # platform, config), not of the caller's config object: work on a
         # copy so one DriverConfig can be reused across sessions with
         # different inputs.  Read the resolved values from session.cfg.
-        cfg = _replace(
-            cfg,
-            # The T=512 factorized band applies only to in-memory inputs:
-            # SiteMajorCodes buffers were pre-sized by required_padding(),
-            # which cannot know majmin — their tile must stay the default.
-            tile=resolve_tile(cfg.tile, engine,
-                              sm.codes if sm is not None else alignment,
-                              platform=self._platform,
-                              majmin=majmin and sm is None,
-                              n_seqs=self.n_seqs),
-            seq_chunk=resolve_seq_chunk(cfg.seq_chunk, self.n_seqs),
-        )
+        # The T=512 factorized band applies directly to in-memory inputs.
+        # SiteMajorCodes buffers were pre-sized by required_padding(): the
+        # session accepts EITHER sizing — the default tile, or the majmin-
+        # band tile when the caller sized with required_padding(...,
+        # majmin=True) (the streaming VCF ingest does: VCF codes are 0..4
+        # by construction, so the factorized kernel always applies there).
+        tile = resolve_tile(cfg.tile, engine,
+                            sm.codes if sm is not None else alignment,
+                            platform=self._platform,
+                            majmin=majmin and sm is None,
+                            n_seqs=self.n_seqs)
+        seq_chunk = resolve_seq_chunk(cfg.seq_chunk, self.n_seqs)
         if sm is not None:
-            want = (cdiv(self.n_sites, cfg.tile) * cfg.tile,
-                    cdiv(self.n_seqs, cfg.seq_chunk) * cfg.seq_chunk)
-            if tuple(sm.codes.shape) != want:
+            def _want(t):
+                return (cdiv(self.n_sites, t) * t,
+                        cdiv(self.n_seqs, seq_chunk) * seq_chunk)
+
+            if cfg.tile is None and majmin:
+                t_band = resolve_tile(None, engine, sm.codes,
+                                      platform=self._platform,
+                                      majmin=True, n_seqs=self.n_seqs)
+                if (t_band != tile
+                        and tuple(sm.codes.shape) == _want(t_band)):
+                    tile = t_band
+            if tuple(sm.codes.shape) != _want(tile):
                 raise ValueError(
                     f"SiteMajorCodes buffer shape {tuple(sm.codes.shape)} "
-                    f"does not match the session's resolved padding {want} "
-                    f"(tile={cfg.tile}, seq_chunk={cfg.seq_chunk}); size it "
-                    "with LdSession.required_padding(n_seqs, n_sites, cfg)"
+                    f"does not match the session's resolved padding "
+                    f"{_want(tile)} (tile={tile}, seq_chunk={seq_chunk}); "
+                    "size it with LdSession.required_padding(n_seqs, "
+                    "n_sites, cfg)"
                 )
+        cfg = _replace(cfg, tile=tile, seq_chunk=seq_chunk)
         self.cfg = cfg
         self.site_map = np.asarray(site_map)
         self._sm_dev = None
@@ -713,11 +724,18 @@ class LdSession:
 
     @staticmethod
     def required_padding(n_seqs: int, n_sites: int,
-                         cfg: DriverConfig | None = None) -> tuple[int, int]:
+                         cfg: DriverConfig | None = None,
+                         majmin: bool = False) -> tuple[int, int]:
         """``(s_pad, n_pad)`` a :class:`SiteMajorCodes` buffer must have to
         feed a session built with ``cfg`` on this platform — the same
         tile / seq-chunk resolution the constructor performs, so streaming
-        ingest can allocate the padded buffer before decoding."""
+        ingest can allocate the padded buffer before decoding.
+
+        ``majmin=True``: size for the factorized-kernel tile band (T=512
+        for 512 < N <= 2048 — PERF.md round 3) when the caller KNOWS the
+        decoded matrix can never contain UNKNOWN (VCF ingest: codes are
+        0..4 by construction).  The session accepts either sizing and
+        adopts the band tile when the buffer was sized for it."""
         cfg = cfg or DriverConfig()
         engine = _resolve_engine(cfg.engine)
         if engine != "pallas":
@@ -725,7 +743,8 @@ class LdSession:
                 f"SiteMajorCodes input requires the pallas engine, "
                 f"got {engine!r}"
             )
-        tile = resolve_tile(cfg.tile, engine, None)
+        tile = resolve_tile(cfg.tile, engine, None, majmin=majmin,
+                            n_seqs=n_seqs)
         seq_chunk = resolve_seq_chunk(cfg.seq_chunk, n_seqs)
         return (cdiv(n_sites, tile) * tile,
                 cdiv(n_seqs, seq_chunk) * seq_chunk)

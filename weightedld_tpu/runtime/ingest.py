@@ -60,7 +60,11 @@ def prepare_vcf_streamed(
     both halves consistently)."""
     cfg = _pin_pallas(cfg)
     n_haps, site_map = scan_vcf(path, chrom)
-    s_pad, n_pad = LdSession.required_padding(n_haps, len(site_map), cfg)
+    # VCF codes are 0..4 by construction — the factorized kernel always
+    # applies, so size for its tile band (required_padding docstring);
+    # a forced general kernel keeps the default tile.
+    s_pad, n_pad = LdSession.required_padding(
+        n_haps, len(site_map), cfg, majmin=(cfg.kernel != "general"))
     codes, site_map, n_haps = read_vcf_site_major(
         path, chrom=chrom, s_pad=s_pad, n_pad=n_pad,
         scan=(n_haps, site_map),
