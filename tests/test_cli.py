@@ -169,17 +169,58 @@ def test_gzip_pair_and_weights_output(tmp_path):
     assert gzip.open(wgz, "rt").read().startswith("sequence\tweight\n")
 
 
-def test_gzip_checkpoint_refused(tmp_path):
+def test_gzip_checkpoint_resume_byte_exact(tmp_path):
+    """Checkpointed .gz output: per-segment gzip members let resume
+    truncate at a member boundary; the resumed file byte-equals an
+    uninterrupted checkpointed run, and decompresses to the plain TSV."""
+    import gzip
+
+    from weightedld_tpu.runtime import driver as drv
     from weightedld_tpu.runtime.driver import DriverConfig, run_to_tsv
 
     from .fixtures import random_alignment
 
     rng = np.random.default_rng(0)
-    aln = random_alignment(rng, 10, 30)
-    with pytest.raises(ValueError, match="gzip"):
-        run_to_tsv(aln, np.ones(10, np.float32), np.arange(30),
-                   tmp_path / "x.tsv.gz", DriverConfig(tile=16),
-                   checkpoint=True)
+    aln = random_alignment(rng, 24, 64)
+    w = np.ones(24, np.float32)
+    sm = np.arange(64)
+    cfg = DriverConfig(tile=16, tiles_per_shard_batch=1)
+
+    plain = tmp_path / "x.tsv"
+    n_plain = run_to_tsv(aln, w, sm, plain, cfg, checkpoint=False)
+    full_gz = tmp_path / "full.tsv.gz"
+    n_full = run_to_tsv(aln, w, sm, full_gz, cfg, checkpoint=True)
+    assert n_full == n_plain
+    assert gzip.open(full_gz, "rt").read() == plain.read_text()
+
+    # Interrupt after 2 batches, then resume with the same command.
+    part = tmp_path / "part.tsv.gz"
+
+    class Stop(Exception):
+        pass
+
+    calls = {"n": 0}
+    orig = drv.LdSession.stream
+
+    def limited_stream(*args, **kwargs):
+        for item in orig(*args, **kwargs):
+            yield item
+            calls["n"] += 1
+            if calls["n"] >= 2 and not kwargs.get("start_batch"):
+                raise Stop
+
+    drv.LdSession.stream = limited_stream
+    try:
+        with pytest.raises(Stop):
+            run_to_tsv(aln, w, sm, part, cfg, checkpoint=True)
+    finally:
+        drv.LdSession.stream = orig
+    ckpt = part.with_suffix(part.suffix + ".ckpt.json")
+    assert ckpt.exists()
+    n_resumed = run_to_tsv(aln, w, sm, part, cfg, checkpoint=True)
+    assert not ckpt.exists()
+    assert n_resumed == n_full
+    assert part.read_bytes() == full_gz.read_bytes()
 
 
 def test_gzip_output_deterministic(tmp_path):
@@ -194,15 +235,21 @@ def test_gzip_output_deterministic(tmp_path):
     assert a.read_bytes() == b.read_bytes()
 
 
-def test_gzip_checkpoint_flag_conflict_clean_error(tmp_path, capsys):
+def test_gzip_checkpoint_cli_accepted(tmp_path, capsys):
+    """--checkpoint + .gz --pair-output now compose (gzip members)."""
+    import gzip
+
     from .fixtures import ALL_FASTAS, write_fasta
 
     src = tmp_path / "e.fasta"
     write_fasta(src, ALL_FASTAS["example"])
-    rc = main(["--file", str(src), "--pair-output",
-               str(tmp_path / "x.tsv.gz"), "--checkpoint"])
-    assert rc == 2
-    assert "gzip" in capsys.readouterr().err
+    gz = tmp_path / "x.tsv.gz"
+    plain = tmp_path / "x.tsv"
+    assert main(["--file", str(src), "--pair-output", str(plain)]) == 0
+    rc = main(["--file", str(src), "--pair-output", str(gz),
+               "--checkpoint"])
+    assert rc == 0
+    assert gzip.open(gz, "rt").read() == plain.read_text()
 
 
 def test_matrix_output_few_sites(tmp_path):

@@ -175,9 +175,14 @@ def test_cli_two_process_stats_only_prints_once(cli_env):
         assert payloads[0][key] == want[key]
 
 
-def test_cli_two_process_checkpoint_kill_resume(cli_env):
+@pytest.mark.parametrize("suffix", ["", ".gz"])
+def test_cli_two_process_checkpoint_kill_resume(cli_env, suffix):
+    """Kill-mid-triangle resume, plain TSV and gzip: the .gz variant
+    exercises the per-segment gzip-member output (GzipMemberWriter) —
+    resume truncates at a member boundary and the final file byte-equals
+    an uninterrupted checkpointed run."""
     tmp, entry, fasta = cli_env
-    out_tsv = tmp / "ckpt.tsv"
+    out_tsv = tmp / ("ckpt.tsv" + suffix)
     ckpt = Path(str(out_tsv) + ".ckpt.json")
 
     # Interrupted run: both processes hard-exit after 2 streamed batches
@@ -203,7 +208,7 @@ def test_cli_two_process_checkpoint_kill_resume(cli_env):
         torn[: state["byte_offset"]]
 
     # Ground truth: an uninterrupted 2-process run into a fresh file.
-    clean_tsv = tmp / "clean.tsv"
+    clean_tsv = tmp / ("clean.tsv" + suffix)
     _run_cli_distributed(entry, [
         "--file", str(fasta), "--pair-output", str(clean_tsv),
         "--checkpoint", *FLAGS,

@@ -218,6 +218,39 @@ def test_prepare_vcf_streamed_padding_contract():
                   DriverConfig(tile=16, seq_chunk=8, engine="pallas"))
 
 
+def test_band_sized_buffer_accepted_when_tile_resolves_smaller(tmp_path):
+    """A SiteMajorCodes buffer pre-sized for a LARGER tile than the session
+    resolves (the ALT5/majmin-False ingest scenario: required_padding(...,
+    majmin=True) sizes for the T=512 factorized band, then an UNKNOWN cell
+    makes majmin resolve False and the session falls back to the default
+    tile) must be adopted by slicing the all-UNKNOWN band padding off —
+    not crash session construction (round-3 advisor finding)."""
+    rng = np.random.default_rng(16)
+    # 17 records: cdiv(17, 8)*8 = 24 != cdiv(17, 16)*16 = 32 — the exact
+    # shape-mismatch class of the crash.
+    path = _mk_vcf(tmp_path, _random_rows(rng, 17))
+    cfg = DriverConfig(tile=8, seq_chunk=8, engine="pallas")
+    # Exactly-sized reference run.
+    sm_exact, site_map = prepare_vcf_streamed(path, cfg=cfg)
+    ses_exact = LdSession(sm_exact, None, site_map, cfg)
+    exact = {}
+    for _, r in ses_exact.stream():
+        exact.update(_records_map(r))
+    # Band-sized buffer: padded for tile 16 while the session resolves 8.
+    codes, sm2, n_haps = read_vcf_site_major(path, s_pad=32, n_pad=24)
+    smc = SiteMajorCodes(codes=codes, n_seqs=n_haps, n_sites=len(sm2))
+    ses = LdSession(smc, None, sm2, cfg)
+    assert ses.cfg.tile == 8
+    got = {}
+    for _, r in ses.stream():
+        got.update(_records_map(r))
+    assert got == exact and len(exact) > 0
+    # A buffer SMALLER than required is still rejected loudly.
+    with pytest.raises(ValueError, match="resolved padding"):
+        LdSession(SiteMajorCodes(codes=codes[:16], n_seqs=n_haps,
+                                 n_sites=len(sm2)), None, sm2, cfg)
+
+
 def test_session_site_major_unweighted_prune_and_maf():
     """The SiteMajorCodes session must support the analyses that used to
     need the host [N, S] matrix (prune -> MAF from the site-major

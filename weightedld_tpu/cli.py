@@ -106,7 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
                    "default: auto — large batches on TPU)")
     p.add_argument("--checkpoint", action="store_true",
                    help="enable batch-level resume for --pair-output runs "
-                   "(tiled engine)")
+                   "(tiled engine; a .gz output is written as per-segment "
+                   "gzip members so resume stays byte-exact)")
     p.add_argument("--ndigits", type=int, default=4,
                    help="output rounding digits [default 4, as reference]")
     p.add_argument("--stats-only", action="store_true",
@@ -267,13 +268,9 @@ def main(argv=None) -> int:
 
     timer = StageTimer()
 
-    # Flag-combination validation up front, before any work.
-    if args.checkpoint and args.pair_output and \
-            str(args.pair_output).endswith(".gz"):
-        print("error: --checkpoint needs byte-offset resume, which a gzip "
-              "--pair-output cannot support; drop one of the two",
-              file=sys.stderr)
-        return 2
+    # (--checkpoint composes with a .gz --pair-output: run_to_tsv writes
+    # per-segment gzip members so resume can truncate at a member
+    # boundary — see GzipMemberWriter.)
     # One output mode per invocation.
     modes = [name for name, on in (
         ("--matrix-output", args.matrix_output is not None),

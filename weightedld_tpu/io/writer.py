@@ -52,6 +52,59 @@ class _DeterministicGzipText(io.TextIOWrapper):
             self._raw.close()
 
 
+class GzipMemberWriter:
+    """Checkpoint-compatible gzip TSV writer: the text written between
+    ``flush()`` calls becomes ONE independent deterministic gzip member
+    (no mtime, no filename), and concatenated members form a single valid
+    gzip stream (RFC 1952 multi-member — ``gzip.open`` and zcat decode
+    them seamlessly).  A resume can therefore truncate the file at any
+    recorded member boundary (``tell()`` right after ``flush()``) — the
+    byte-offset semantics checkpointed output needs, which a single gzip
+    stream cannot offer (``run_to_tsv`` uses this for ``--checkpoint``
+    with a ``.gz`` pair output).
+
+    Empty segments write no member, so the byte stream depends only on
+    the records themselves (a zero-record batch adds nothing) and a
+    resumed run byte-equals an uninterrupted one."""
+
+    def __init__(self, path, append_at: int | None = None):
+        if append_at is None:
+            self._f = open(path, "wb")
+        else:
+            self._f = open(path, "r+b")
+            self._f.truncate(append_at)
+            self._f.seek(append_at)
+        self._buf = io.StringIO()
+
+    def write(self, s: str) -> int:
+        return self._buf.write(s)
+
+    def flush(self) -> None:
+        import gzip
+
+        data = self._buf.getvalue()
+        if data:
+            self._f.write(gzip.compress(data.encode("utf-8"), mtime=0))
+            self._buf = io.StringIO()
+        self._f.flush()
+
+    def tell(self) -> int:
+        """Current member boundary — call right after :meth:`flush`."""
+        return self._f.tell()
+
+    def close(self) -> None:
+        try:
+            self.flush()
+        finally:
+            self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def _fmt(x: float, ndigits: int) -> str:
     # Python's print(round(x, 4)) semantics: shortest float repr.
     return repr(round(float(x), ndigits))

@@ -433,13 +433,30 @@ class LdSession:
                         and tuple(sm.codes.shape) == _want(t_band)):
                     tile = t_band
             if tuple(sm.codes.shape) != _want(tile):
-                raise ValueError(
-                    f"SiteMajorCodes buffer shape {tuple(sm.codes.shape)} "
-                    f"does not match the session's resolved padding "
-                    f"{_want(tile)} (tile={tile}, seq_chunk={seq_chunk}); "
-                    "size it with LdSession.required_padding(n_seqs, "
-                    "n_sites, cfg)"
-                )
+                want_s, want_n = _want(tile)
+                s_have, n_have = sm.codes.shape
+                if (n_have == want_n and s_have > want_s
+                        and s_have % tile == 0):
+                    # A buffer pre-sized for the factorized tile band
+                    # (required_padding(..., majmin=True) -> T=512) feeding
+                    # a session whose majmin resolved False (e.g. an ALT5
+                    # cell coded UNKNOWN whose site margins fail the safety
+                    # test): the trailing rows are all-UNKNOWN padding by
+                    # the SiteMajorCodes contract (want_s >= n_sites), so
+                    # adopt the buffer by slicing them off — a zero-copy
+                    # view — instead of crashing session construction.
+                    sm = SiteMajorCodes(codes=sm.codes[:want_s],
+                                        n_seqs=self.n_seqs,
+                                        n_sites=self.n_sites)
+                else:
+                    raise ValueError(
+                        f"SiteMajorCodes buffer shape "
+                        f"{tuple(sm.codes.shape)} does not match the "
+                        f"session's resolved padding {_want(tile)} "
+                        f"(tile={tile}, seq_chunk={seq_chunk}); size it "
+                        "with LdSession.required_padding(n_seqs, n_sites, "
+                        "cfg)"
+                    )
         cfg = _replace(cfg, tile=tile, seq_chunk=seq_chunk)
         self.cfg = cfg
         self.site_map = np.asarray(site_map)
@@ -502,14 +519,17 @@ class LdSession:
                 # 1,559 M pairs/s at S=16k going from 5 batches to 1), so
                 # fit the whole per-shard plan in one batch when memory
                 # allows.  Budget: the [K, T, T] stat outputs (~14 B/pair)
-                # exist up to three deep (double-buffered dispatch + one
-                # batch held by stream's deferred extraction) — ~2 GiB each was
-                # measured safe on a 16 GiB v5e; with no r2 threshold every
-                # surviving pair becomes a record, so additionally cap the
-                # per-batch gather-compact buffers (~20 B/record, capacity
-                # bucketed up to 2x) at ~1 GiB.
+                # exist up to THREE deep (double-buffered dispatch + one
+                # batch held by stream's deferred extraction since round 3)
+                # — 1.5 GiB each bounds the stat peak at ~4.5 GiB on a
+                # 16 GiB v5e (the 2 GiB-each budget predates the third live
+                # copy; headline perf is batch-count-insensitive here, the
+                # batches pipeline).  With no r2 threshold every surviving
+                # pair becomes a record, so additionally cap the per-batch
+                # gather-compact buffers (~20 B/record, capacity bucketed
+                # up to 2x) at ~1 GiB.
                 t2 = cfg.tile * cfg.tile
-                mem_cap = max(1, (1 << 31) // (t2 * 14))
+                mem_cap = max(1, (3 << 29) // (t2 * 14))
                 if cfg.r2_threshold is None:
                     mem_cap = min(mem_cap, max(1, (1 << 30) // (t2 * 40)))
                 k = min(max(cdiv(self.plan.n_tiles, n_dev), 1), mem_cap)
@@ -725,26 +745,35 @@ class LdSession:
     @staticmethod
     def required_padding(n_seqs: int, n_sites: int,
                          cfg: DriverConfig | None = None,
-                         majmin: bool = False) -> tuple[int, int]:
+                         majmin: bool = False,
+                         platform: str | None = None) -> tuple[int, int]:
         """``(s_pad, n_pad)`` a :class:`SiteMajorCodes` buffer must have to
-        feed a session built with ``cfg`` on this platform — the same
-        tile / seq-chunk resolution the constructor performs, so streaming
-        ingest can allocate the padded buffer before decoding.
+        feed a session built with ``cfg`` — the same tile / seq-chunk
+        resolution the constructor performs, so streaming ingest can
+        allocate the padded buffer before decoding.
+
+        ``platform`` is the platform of the mesh the session will run on
+        (``mesh.devices.flat[0].platform``); default = the default
+        backend's.  Pass it whenever the session mesh differs from the
+        default backend (e.g. a CPU dryrun mesh while a TPU-tunnel plugin
+        owns ``jax.devices()``) so the buffer is sized for the tile the
+        session will actually resolve.
 
         ``majmin=True``: size for the factorized-kernel tile band (T=512
         for 512 < N <= 2048 — PERF.md round 3) when the caller KNOWS the
         decoded matrix can never contain UNKNOWN (VCF ingest: codes are
         0..4 by construction).  The session accepts either sizing and
-        adopts the band tile when the buffer was sized for it."""
+        adopts the band tile when the buffer was sized for it (or slices
+        the band padding off when majmin turns out not to hold)."""
         cfg = cfg or DriverConfig()
-        engine = _resolve_engine(cfg.engine)
+        engine = _resolve_engine(cfg.engine, platform)
         if engine != "pallas":
             raise ValueError(
                 f"SiteMajorCodes input requires the pallas engine, "
                 f"got {engine!r}"
             )
-        tile = resolve_tile(cfg.tile, engine, None, majmin=majmin,
-                            n_seqs=n_seqs)
+        tile = resolve_tile(cfg.tile, engine, None, platform=platform,
+                            majmin=majmin, n_seqs=n_seqs)
         seq_chunk = resolve_seq_chunk(cfg.seq_chunk, n_seqs)
         return (cdiv(n_sites, tile) * tile,
                 cdiv(n_seqs, seq_chunk) * seq_chunk)
@@ -1470,13 +1499,14 @@ def run_to_tsv(
     from ..io.writer import PAIR_HEADER, open_text_output, write_pairs
 
     out_path = Path(out_path)
+    # A checkpointed .gz output is written as INDEPENDENT deterministic
+    # gzip members (header, then one member per checkpoint segment):
+    # concatenated members are a single valid gzip stream, so readers see
+    # one file while resume truncates at a recorded member boundary — the
+    # byte-offset semantics a single gzip stream cannot offer
+    # (GzipMemberWriter).  A resumed run byte-equals an uninterrupted
+    # checkpointed run; the non-checkpoint .gz path stays a single member.
     is_gz = str(out_path).endswith(".gz")
-    if is_gz and checkpoint:
-        raise ValueError(
-            "checkpoint/resume needs byte-offset truncation, which a gzip "
-            "stream cannot support — use an uncompressed --pair-output or "
-            "drop --checkpoint"
-        )
     ckpt_path = out_path.with_suffix(out_path.suffix + ".ckpt.json")
 
     # Build the session FIRST and fingerprint its RESOLVED plan: batch
@@ -1574,6 +1604,13 @@ def run_to_tsv(
         import os
 
         fh = open(os.devnull, "w")
+    elif is_gz and checkpoint:
+        from ..io.writer import GzipMemberWriter
+
+        fh = GzipMemberWriter(out_path, append_at=offset)
+        if offset is None:
+            fh.write(PAIR_HEADER + "\n")
+            fh.flush()  # header = its own member, so batch-0 resume works
     elif offset is None:
         fh = open_text_output(out_path)
         fh.write(PAIR_HEADER + "\n")

@@ -52,19 +52,25 @@ def prepare_vcf_streamed(
     path: str | Path,
     chrom: str | None = None,
     cfg: DriverConfig | None = None,
+    platform: str | None = None,
 ) -> tuple[SiteMajorCodes, np.ndarray]:
     """Two-pass streaming ingest sized for ``cfg``'s resolved padding:
     ``(SiteMajorCodes, site_map)`` ready for a zero-copy
     :class:`LdSession` built with the same config (engine pinned to
     ``pallas`` — see :func:`_pin_pallas`; :func:`session_from_vcf` does
-    both halves consistently)."""
+    both halves consistently).  ``platform`` sizes for the session mesh's
+    platform when it differs from the default backend."""
     cfg = _pin_pallas(cfg)
     n_haps, site_map = scan_vcf(path, chrom)
-    # VCF codes are 0..4 by construction — the factorized kernel always
-    # applies, so size for its tile band (required_padding docstring);
-    # a forced general kernel keeps the default tile.
+    # VCF codes are 0..5 (an ALT5+ allele maps to UNKNOWN for reference
+    # parity) — majmin USUALLY applies, so size for the factorized tile
+    # band (required_padding docstring); if an ALT5 cell breaks the
+    # factorized safety test the session slices the band padding off
+    # (zero-copy) rather than rejecting the buffer.  A forced general
+    # kernel keeps the default tile.
     s_pad, n_pad = LdSession.required_padding(
-        n_haps, len(site_map), cfg, majmin=(cfg.kernel != "general"))
+        n_haps, len(site_map), cfg, majmin=(cfg.kernel != "general"),
+        platform=platform)
     codes, site_map, n_haps = read_vcf_site_major(
         path, chrom=chrom, s_pad=s_pad, n_pad=n_pad,
         scan=(n_haps, site_map),
@@ -95,7 +101,9 @@ def session_from_vcf(
     ``unweighted=True`` skip weighting entirely.
     """
     cfg = _pin_pallas(cfg)
-    sm, site_map = prepare_vcf_streamed(path, chrom=chrom, cfg=cfg)
+    platform = (mesh.devices.flat[0].platform if mesh is not None else None)
+    sm, site_map = prepare_vcf_streamed(path, chrom=chrom, cfg=cfg,
+                                        platform=platform)
     if unweighted:
         weights = np.ones(sm.n_seqs, dtype=np.float32)
     elif weights is None and weight_precision == "f64":
