@@ -44,7 +44,7 @@ def synthetic_alignment(rng, n_seqs, n_sites):
     return aln
 
 
-def bench_tpu() -> tuple[float, int]:
+def bench_tpu() -> tuple[float, int, int, bool]:
     """One retry, but ONLY for runtime-transport failures the TPU tunnel
     actually produces (JaxRuntimeError from a dropped dispatch, OS-level
     connection errors).  Deterministic Python-side failures — shape or
@@ -97,20 +97,11 @@ def _bench_tpu_once() -> tuple[float, int]:
     # One full scan is ~0.2 s at steady state: short enough that per-batch
     # dispatch jitter through the TPU tunnel dominates a single timing.
     # Each sample therefore times several back-to-back scans.
-    scans_per_sample = 3 if on_tpu else 1
-    best = 0.0
-    for _ in range(3):
-        t0 = time.monotonic()
-        total = 0
-        for _ in range(scans_per_sample):
-            for _, rec in session.stream():
-                total += len(rec)
-        dt = time.monotonic() - t0
-        best = max(best, scans_per_sample * n_pairs / dt)
+    best, recs = _time_stream(session, n_pairs,
+                              scans_per_sample=3 if on_tpu else 1)
     print(f"[bench] tpu: {best:,.0f} pairs/s "
-          f"({total // scans_per_sample} records emitted per scan)",
-          file=sys.stderr)
-    return best, n_sites
+          f"({recs} records emitted per scan)", file=sys.stderr)
+    return best, n_sites, recs, on_tpu
 
 
 def _native_bench(n_seqs: int, n_sites: int) -> dict | None:
@@ -156,6 +147,189 @@ def bench_cpu_baseline() -> float | None:
     print(f"[bench] cpu baseline: {best:,.0f} pairs/s "
           f"({threads} threads, best of 3)", file=sys.stderr)
     return best
+
+
+def structured_alignment(rng, n_seqs, n_sites, n_groups):
+    """LD-structured synthetic input: ``n_groups`` triplets of correlated
+    sites (a seed site plus two 2%-mutated copies — within-triplet r2 far
+    above 0.1) scattered among otherwise-independent sites drawn from the
+    criterion distribution.  Each triplet contributes ~3 surviving records
+    at ``r2 > 0.1`` while cross-triplet/random pairs at N=1,000 essentially
+    never pass (r2 ~ 1/N), so the scan yields ~``3 * n_groups`` records —
+    the 'loaded rate' regime the zero-yield headline floor does not cover."""
+    aln = synthetic_alignment(rng, n_seqs, n_sites)
+    seeds = rng.choice(n_sites, size=(n_groups, 3), replace=False)
+    for s0, s1, s2 in seeds:
+        for dst in (s1, s2):
+            col = aln[:, s0].copy()
+            mut = rng.random(n_seqs) < 0.02
+            col[mut] = np.where(col[mut] == 0, 3, 0)
+            aln[:, dst] = col
+    return aln
+
+
+def _time_stream(session, n_pairs, scans_per_sample=3, samples=3):
+    """Best-of-N timed stream() scans -> (pairs_per_s, records_per_scan)."""
+    best = 0.0
+    total = 0
+    for _ in range(samples):
+        t0 = time.monotonic()
+        total = 0
+        for _ in range(scans_per_sample):
+            for _, rec in session.stream():
+                total += len(rec)
+        dt = time.monotonic() - t0
+        best = max(best, scans_per_sample * n_pairs / dt)
+    return best, total // scans_per_sample
+
+
+def bench_loaded(on_tpu: bool) -> dict:
+    """Second headline measurement on the LD-structured input (~1e4
+    records/scan): the loaded streaming rate, so the driver-captured JSON
+    carries both the zero-yield floor and a realistic-output rate."""
+    from weightedld_tpu.core.henikoff import henikoff_weights
+    from weightedld_tpu.runtime.driver import DriverConfig, LdSession
+
+    import jax.numpy as jnp
+
+    n_sites = S_TPU if on_tpu else 1024
+    n_groups = 3400 if on_tpu else 80
+    rng = np.random.default_rng(7)
+    aln = structured_alignment(rng, N_SEQS, n_sites, n_groups)
+    weights = np.asarray(henikoff_weights(jnp.asarray(aln)))
+    session = LdSession(
+        aln, weights, np.arange(n_sites),
+        DriverConfig(r2_threshold=R2_THRESHOLD,
+                     engine="auto" if on_tpu else "xla"),
+    )
+    for _ in session.stream():  # warm-up/compile
+        pass
+    n_pairs = n_sites * (n_sites - 1) // 2
+    rate, recs = _time_stream(session, n_pairs,
+                              scans_per_sample=3 if on_tpu else 1)
+    print(f"[bench] loaded (LD-structured): {rate:,.0f} pairs/s "
+          f"({recs} records emitted per scan)", file=sys.stderr)
+    return {"pairs_per_s": round(rate), "records_per_scan": recs,
+            "n_corr_groups": n_groups}
+
+
+# ---------------------------------------------------------------------------
+# Pod scaling harness (bench.py --pod [N])
+# ---------------------------------------------------------------------------
+
+
+def bench_pod(n: int | None) -> int:
+    """One-command 1->N shard scaling measurement over the visible devices.
+
+    Real multi-chip hardware: measures wall-clock pairs/s at 1, 2, ..., N
+    shards of the SAME fixed input and reports scaling efficiency vs the
+    1-shard rate — THE command to run the day a real slice exists.
+
+    Fewer than N devices visible: relaunches itself on a virtual N-device
+    CPU mesh (``--xla_force_host_platform_device_count``).  Virtual
+    devices share the host cores, so wall-clock scaling is NOT a hardware
+    measurement there; the per-row ``efficiency`` is then the exact static
+    work balance of the striped plan (``pairs_per_shard``), clearly
+    labeled via ``efficiency_basis`` — it validates the sharded path and
+    the load balance that real-chip scaling rides on (communication is
+    O(records), see PERF.md)."""
+    import jax
+
+    navail = jax.device_count()
+    n = n or navail
+    if navail < n:
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""  # keep the TPU tunnel untouched
+        flags = " ".join(
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f
+        )
+        env["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count={n}".strip()
+        )
+        print(f"[pod] {navail} device(s) visible; relaunching on a "
+              f"virtual {n}-device CPU mesh", file=sys.stderr)
+        return subprocess.call(
+            [sys.executable, __file__, "--pod", str(n)], env=env)
+    return _bench_pod_run(n)
+
+
+def _bench_pod_run(n: int) -> int:
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from weightedld_tpu.core.henikoff import henikoff_weights
+    from weightedld_tpu.parallel.triangle import pairs_per_shard
+    from weightedld_tpu.runtime.driver import DriverConfig, LdSession
+
+    devices = jax.devices()[:n]
+    platform = devices[0].platform
+    on_tpu = platform in ("tpu", "axon")
+    virtual = not on_tpu
+    n_seqs = N_SEQS if on_tpu else 200
+    n_sites = S_TPU if on_tpu else 4096
+    rng = np.random.default_rng(42)
+    aln = synthetic_alignment(rng, n_seqs, n_sites)
+    weights = np.asarray(henikoff_weights(jnp.asarray(aln)))
+    n_pairs = n_sites * (n_sites - 1) // 2
+
+    shard_counts = [1]
+    while shard_counts[-1] * 2 <= n:
+        shard_counts.append(shard_counts[-1] * 2)
+    if shard_counts[-1] != n:
+        shard_counts.append(n)
+
+    rows = []
+    base_rate = None
+    for m in shard_counts:
+        mesh = Mesh(np.asarray(devices[:m]), ("tiles",))
+        session = LdSession(
+            aln, weights, np.arange(n_sites),
+            DriverConfig(r2_threshold=R2_THRESHOLD),
+            mesh=mesh,
+        )
+        for _ in session.stream():  # warm-up/compile this mesh size
+            pass
+        rate, _recs = _time_stream(
+            session, n_pairs, scans_per_sample=3 if on_tpu else 1,
+            samples=3 if on_tpu else 2)
+        if base_rate is None:
+            base_rate = rate
+        pps = pairs_per_shard(session.plan, m)
+        assert int(pps.sum()) == session.plan.n_pairs
+        balance = float(pps.mean() / pps.max())
+        spread_pct = float((pps.max() - pps.min()) / pps.mean() * 100.0)
+        scaling = rate / (m * base_rate)
+        eff = balance if virtual else scaling
+        rows.append({
+            "shards": m,
+            "pairs_per_s": round(rate),
+            "efficiency": round(eff, 4),
+            "scaling_efficiency": round(scaling, 4),
+            "balance_efficiency": round(balance, 6),
+            "pairs_spread_pct": round(spread_pct, 4),
+            "tile": session.cfg.tile,
+            "n_batches": session.n_batches,
+        })
+        print(f"[pod] shards={m:3d}: {rate:14,.0f} pairs/s  "
+              f"efficiency={eff:.4f}  balance={balance:.6f}  "
+              f"spread={spread_pct:.4f}%", file=sys.stderr)
+    print(json.dumps({
+        "metric": "pod_scaling_pairs_per_s",
+        "n_devices": n,
+        "platform": platform,
+        "virtual_mesh": virtual,
+        "efficiency_basis": (
+            "plan_balance (virtual devices share host cores; wall-clock "
+            "scaling is not a hardware measurement here)" if virtual
+            else "measured_wall_clock_vs_1_shard"),
+        "config": {"n_seqs": n_seqs, "n_sites": n_sites,
+                   "r2_threshold": R2_THRESHOLD},
+        "rows": rows,
+    }))
+    return 0
 
 
 SWEEP_N = (10, 50, 100, 250, 500, 1000)
@@ -223,13 +397,24 @@ def bench_sweep() -> int:
 def main() -> int:
     if "--sweep" in sys.argv:
         return bench_sweep()
-    tpu, n_sites = bench_tpu()
+    if "--pod" in sys.argv:
+        idx = sys.argv.index("--pod")
+        arg = sys.argv[idx + 1] if idx + 1 < len(sys.argv) else None
+        return bench_pod(int(arg) if arg and arg.isdigit() else None)
+    tpu, n_sites, recs, on_tpu = bench_tpu()
+    loaded = bench_loaded(on_tpu)
     cpu = bench_cpu_baseline()
     result = {
         "metric": "weighted_ld_site_pairs_per_s_per_chip",
         "value": round(tpu),
         "unit": "pairs/s",
         "vs_baseline": round(tpu / cpu, 2) if cpu else None,
+        # The headline input is random (criterion distribution): at
+        # r2 > 0.1 essentially nothing passes, so `value` is the
+        # ZERO-YIELD scan floor; `loaded` re-measures on an LD-structured
+        # input with ~1e4 records/scan (both streaming scans).
+        "records_per_scan": recs,
+        "loaded": loaded,
         "config": {
             "n_seqs": N_SEQS,
             "n_sites": n_sites,

@@ -196,6 +196,68 @@ def test_matrices_match_dense(rng):
         )
 
 
+def test_tile_pair_counts_and_shard_balance():
+    """bench.py --pod's live load-balance accounting: per-tile true pair
+    counts match brute force, and per-shard sums mirror stripe() exactly
+    (summing to S(S-1)/2 for all-pairs plans)."""
+    from weightedld_tpu.parallel.triangle import (
+        pairs_per_shard,
+        plan_tiles,
+        stripe,
+        tile_pair_counts,
+    )
+
+    p = plan_tiles(10, 4)
+    counts = tile_pair_counts(p)
+    for k in range(p.n_tiles):
+        i0, j0 = int(p.tile_i[k]) * 4, int(p.tile_j[k]) * 4
+        brute = sum(1 for a in range(i0, min(i0 + 4, 10))
+                    for b in range(j0, min(j0 + 4, 10)) if a < b)
+        assert counts[k] == brute
+    for s, t in ((70, 16), (257, 32), (1000, 128)):
+        plan = plan_tiles(s, t)
+        assert int(tile_pair_counts(plan).sum()) == plan.n_pairs
+        for m in (1, 3, 8):
+            pps = pairs_per_shard(plan, m)
+            assert int(pps.sum()) == plan.n_pairs
+            # Mirror of stripe()'s shard-major emit layout.
+            ti, tj, emit = stripe(plan, m)
+            per = len(ti) // m
+            c = tile_pair_counts(plan)
+            tile_of = {(int(a), int(b)): int(v) for a, b, v in
+                       zip(plan.tile_i, plan.tile_j, c)}
+            for d in range(m):
+                sl = slice(d * per, (d + 1) * per)
+                want = sum(tile_of[(int(a), int(b))]
+                           for a, b, e in zip(ti[sl], tj[sl], emit[sl])
+                           if e)
+                assert want == int(pps[d])
+
+
+def test_matrices_reduced_precision(rng):
+    """matrices(dtype=f16|bf16): identical keep/NaN structure, values
+    within the dtype's relative precision of the f32 export (the device-
+    side downcast halves the API's transport bytes — PERF.md)."""
+    from weightedld_tpu.runtime.driver import LdSession
+
+    aln = random_alignment(rng, 20, 60)
+    w = (np.abs(rng.normal(size=20)) + 0.1).astype(np.float32)
+    sess = LdSession(aln, w, np.arange(60), DriverConfig(tile=16))
+    m32 = sess.matrices()
+    with pytest.raises(ValueError, match="dtype"):
+        sess.matrices(dtype=np.float64)
+    for dt, tol in ((np.float16, 2.0 ** -10), (jnp.bfloat16, 2.0 ** -7)):
+        m = sess.matrices(dtype=dt)
+        np.testing.assert_array_equal(m["keep"], m32["keep"])
+        for key in ("d", "d_prime", "r2"):
+            assert m[key].dtype == np.dtype(dt)
+            got = m[key].astype(np.float32)
+            np.testing.assert_array_equal(np.isnan(got), np.isnan(m32[key]))
+            np.testing.assert_allclose(
+                got[m["keep"]], m32[key][m["keep"]],
+                rtol=tol, atol=tol, equal_nan=True)
+
+
 def test_matrix_output_cli(tmp_path, rng):
     from .fixtures import ALL_FASTAS, write_fasta
     from weightedld_tpu.cli import main as cli_main

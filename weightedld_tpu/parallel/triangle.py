@@ -96,6 +96,38 @@ def plan_tiles(n_sites: int, tile: int = 128,
     )
 
 
+def tile_pair_counts(plan: TilePlan) -> np.ndarray:
+    """True (in-triangle, padding-excluded) pair count of every tile.
+
+    Off-diagonal tiles carry ``h * w`` pairs (their row range is entirely
+    below their col range), diagonal tiles ``h (h - 1) / 2`` — the
+    reference notes the same half-full diagonal tiles, ``lib.rs:650-653``.
+    For windowed plans this counts the tile's full in-triangle pairs (the
+    engine's in-tile window mask is not subtracted)."""
+    t = plan.tile
+    s = plan.n_sites
+    i0 = plan.tile_i.astype(np.int64) * t
+    j0 = plan.tile_j.astype(np.int64) * t
+    h = np.clip(s - i0, 0, t)
+    w = np.clip(s - j0, 0, t)
+    return np.where(plan.tile_i == plan.tile_j, h * (h - 1) // 2, h * w)
+
+
+def pairs_per_shard(plan: TilePlan, n_shards: int) -> np.ndarray:
+    """Exact true-pair count each shard evaluates under :func:`stripe` —
+    the static load-balance table of PERF.md, recomputed live (used by
+    ``bench.py --pod``).  For an all-pairs plan the shard counts sum to
+    ``plan.n_pairs`` exactly."""
+    counts = tile_pair_counts(plan)
+    n = plan.n_tiles
+    per_shard = cdiv(n, n_shards)
+    out = np.zeros(n_shards, dtype=np.int64)
+    for d in range(n_shards):
+        src = d + np.arange(per_shard) * n_shards
+        out[d] = counts[src[src < n]].sum()
+    return out
+
+
 def stripe(plan: TilePlan, n_shards: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Stripe tiles across shards: shard d owns tiles d, d+n, d+2n, ...
 

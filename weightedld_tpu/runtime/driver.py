@@ -519,17 +519,20 @@ class LdSession:
                 # 1,559 M pairs/s at S=16k going from 5 batches to 1), so
                 # fit the whole per-shard plan in one batch when memory
                 # allows.  Budget: the [K, T, T] stat outputs (~14 B/pair)
-                # exist up to THREE deep (double-buffered dispatch + one
-                # batch held by stream's deferred extraction since round 3)
-                # — 1.5 GiB each bounds the stat peak at ~4.5 GiB on a
-                # 16 GiB v5e (the 2 GiB-each budget predates the third live
-                # copy; headline perf is batch-count-insensitive here, the
-                # batches pipeline).  With no r2 threshold every surviving
-                # pair becomes a record, so additionally cap the per-batch
-                # gather-compact buffers (~20 B/record, capacity bucketed
-                # up to 2x) at ~1 GiB.
+                # exist up to THREE deep since round 3 (double-buffered
+                # dispatch + one batch held by stream's deferred
+                # extraction) — ~2 GiB each, a ~6 GiB stat peak plus ~1 GiB
+                # compaction on a 16 GiB v5e.  Headroom confirmed
+                # empirically: the round-3/4 headline benches ran exactly
+                # this three-deep worst case (T=512, k=585) without OOM,
+                # and shrinking the budget to 1.5 GiB measured 2.7% SLOWER
+                # (7.85 vs 8.07 G pairs/s — k=438's extra batches), so the
+                # 2 GiB figure is kept deliberately.  With no r2 threshold
+                # every surviving pair becomes a record, so additionally
+                # cap the per-batch gather-compact buffers (~20 B/record,
+                # capacity bucketed up to 2x) at ~1 GiB.
                 t2 = cfg.tile * cfg.tile
-                mem_cap = max(1, (3 << 29) // (t2 * 14))
+                mem_cap = max(1, (1 << 31) // (t2 * 14))
                 if cfg.r2_threshold is None:
                     mem_cap = min(mem_cap, max(1, (1 << 30) // (t2 * 40)))
                 k = min(max(cdiv(self.plan.n_tiles, n_dev), 1), mem_cap)
@@ -1265,15 +1268,23 @@ class LdSession:
         return (ti_p[:, sl].reshape(-1), tj_p[:, sl].reshape(-1),
                 em_p[:, sl].reshape(-1))
 
-    def matrices(self) -> dict[str, np.ndarray]:
+    def matrices(self, dtype=np.float32) -> dict[str, np.ndarray]:
         """Assemble full square LD matrices (a capability beyond the
         reference, for heatmaps / downstream matrix consumers).
 
-        Returns ``{"d", "d_prime", "r2": [S, S] float32 (NaN where the pair
-        was skipped or below the diagonal), "keep": [S, S] bool}``.  Host
-        memory is O(S^2); the tile computation itself streams exactly like
-        :meth:`stream` (the r2 threshold is ignored — matrices are
+        Returns ``{"d", "d_prime", "r2": [S, S] ``dtype`` (NaN where the
+        pair was skipped or below the diagonal), "keep": [S, S] bool}``.
+        Host memory is O(S^2); the tile computation itself streams exactly
+        like :meth:`stream` (the r2 threshold is ignored — matrices are
         complete).
+
+        ``dtype``: ``float32`` (default — the engine's exact stats),
+        ``float16``, or ``bfloat16``.  The reduced-precision exports
+        downcast ON DEVICE before the device->host copies, HALVING the
+        API's transport bytes (the S>=8k regime is transport-bandwidth-
+        bound — PERF.md); values round to within 2^-11 (f16) / 2^-8
+        (bf16) relative, far above the 4-dp text-output floor but plenty
+        for heatmaps and thresholding.
 
         The O(pairs) host traffic is latency-engineered like the record
         path: each batch's four stat tensors start their device->host
@@ -1281,10 +1292,16 @@ class LdSession:
         host-retained plan (no bi/bj fetches), and assembly runs one batch
         BEHIND compute, so by materialization time the bytes have landed
         and no fetch blocks on a tunnel roundtrip."""
+        dt = np.dtype(dtype)
+        allowed = (np.dtype(np.float32), np.dtype(np.float16),
+                   np.dtype(jnp.bfloat16))
+        if dt not in allowed:
+            raise ValueError(
+                f"dtype must be float32, float16, or bfloat16, got {dtype!r}")
         s = self.n_sites
         t = self.cfg.tile
         out = {
-            k: np.full((s, s), np.nan, dtype=np.float32)
+            k: np.full((s, s), np.nan, dtype=dt)
             for k in ("d", "d_prime", "r2")
         }
         keep_m = np.zeros((s, s), dtype=bool)
@@ -1311,6 +1328,10 @@ class LdSession:
             (_tcnt, d_t, dp_t, r2_t, _mask, _bi, _bj, keep_t, _mom) = (
                 dispatched
             )
+            if dt != np.float32:
+                # Device-side downcast before the async copies: the export
+                # precision is the caller's contract, so ship half the bytes.
+                d_t, dp_t, r2_t = (x.astype(dt) for x in (d_t, dp_t, r2_t))
             tensors = (d_t, dp_t, r2_t, keep_t)
             if jax.process_count() == 1:  # multi-process: _fetch gathers
                 for x in tensors:
