@@ -196,6 +196,78 @@ def test_matrices_match_dense(rng):
         )
 
 
+def test_round_fixed_exact_parity():
+    """The compressed-wire quantizer must equal CPython's round(x, d)
+    byte-for-byte after formatting — adversarial sweep over exact decimal
+    half-ties, near-ties at 1e-7/1e-9, tiny negatives (the -0.0 output
+    class), and randoms, at every supported scale."""
+    from weightedld_tpu.core.ld_tiled import round_fixed_exact
+
+    rng = np.random.default_rng(0)
+    for d in (0, 1, 2, 3, 4):
+        scale = 10 ** d
+        qs = rng.integers(-32000, 32000, size=8000)
+        vals = [
+            (qs + 0.5) / scale,
+            (qs - 0.5) / scale,
+            qs / scale + rng.normal(size=8000) * 1e-7,
+            qs / scale + rng.normal(size=8000) * 1e-9,
+            rng.normal(size=8000) * 0.3,
+            np.array([0.0, -0.0, 1e-9, -1e-9, -4.9e-5, 4.9e-5, -5.1e-5,
+                      0.95, -0.95, 0.00005, -0.00005, -0.055, -0.0005,
+                      0.00065]),
+        ]
+        x = np.concatenate(vals).astype(np.float32)
+        x = x[np.abs(x) * scale < 32000]
+        q = np.asarray(round_fixed_exact(jnp.asarray(x), scale,
+                                         neg_zero_sentinel=True))
+        dec = np.where(q == -(1 << 15), np.float32(-0.0),
+                       (q.astype(np.int64) / scale).astype(np.float32))
+        bad = [i for i in range(len(x))
+               if repr(round(float(dec[i]), d)) != repr(round(float(x[i]),
+                                                             d))]
+        assert not bad, (d, x[bad[0]], dec[bad[0]])
+
+
+def test_stream_decimals_wire_byte_exact(rng):
+    """stream(decimals=4)'s compressed 12-byte wire must produce
+    BYTE-IDENTICAL TSV output to the default f32 records — across the
+    8-shard mesh, capacity learning (first scan unfused, later scans
+    fused), and repeated scans."""
+    import io
+
+    from weightedld_tpu.io.writer import write_pairs
+    from weightedld_tpu.runtime.driver import LdSession
+
+    aln = random_alignment(rng, 40, 200)
+    w = (rng.random(40) * 0.9 + 0.1).astype(np.float32)
+    sess = LdSession(aln, w, np.arange(200),
+                     DriverConfig(tile=16, tiles_per_shard_batch=2))
+
+    def tsv(**kw):
+        buf = io.StringIO()
+        n = 0
+        for _, rec in sess.stream(**kw):
+            write_pairs(rec, buf, header=False)
+            n += len(rec)
+        return buf.getvalue(), n
+
+    base, n0 = tsv()
+    for _ in range(2):  # fused path engages once capacity is learned
+        got, n = tsv(decimals=4)
+        assert n == n0 and got == base
+    want3 = io.StringIO()
+    for _, rec in sess.stream():
+        write_pairs(rec, want3, header=False, ndigits=3)
+    # 3-decimal wire vs 3-digit formatting of exact records.
+    buf3 = io.StringIO()
+    for _, rec in sess.stream(decimals=3):
+        write_pairs(rec, buf3, header=False, ndigits=3)
+    assert buf3.getvalue() == want3.getvalue()
+    with pytest.raises(ValueError, match="decimals"):
+        next(iter(sess.stream(decimals=7)))
+
+
 def test_tile_pair_counts_and_shard_balance():
     """bench.py --pod's live load-balance accounting: per-tile true pair
     counts match brute force, and per-shard sums mirror stripe() exactly

@@ -872,6 +872,7 @@ def main(argv=None) -> int:
                 for _, rec in stream_ld_records(
                     res.alignment, res.weights, res.site_map, dcfg, mesh=mesh,
                     on_progress=on_progress,
+                    decimals=args.ndigits if 0 <= args.ndigits <= 4 else None,
                 ):
                     if emit:
                         write_pairs(rec, sys.stdout, ndigits=args.ndigits,

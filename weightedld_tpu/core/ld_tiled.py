@@ -79,7 +79,62 @@ def tile_stats_batch(
 _SLOT_BYTES_CAP = 1 << 28
 
 
-@partial(jax.jit, static_argnames=("tile", "capacity"))
+def round_fixed_exact(x: jnp.ndarray, scale: int,
+                      neg_zero_sentinel: bool = False) -> jnp.ndarray:
+    """Correctly-rounded ``round_half_even(x * scale)`` of the REAL product,
+    in pure f32 — int32 result.
+
+    ``scale = 10^d`` (d <= 4) is exactly representable, and the f64
+    promotion of an f32 ``x`` times ``10^d`` is EXACT (24 + 14 mantissa
+    bits < 53), so CPython's ``round(float(x), d)`` — correctly-rounded
+    decimal rounding of that f64, ties half-even — picks the integer
+    nearest the real number ``x * scale``.  This function computes the
+    same integer without f64 (TPUs run f32): a Dekker two-product
+    recovers the exact f32-multiply residual ``e``, the residual-corrected
+    remainder decides the boundary cases, and exact .5 remainders tie to
+    even.  Misclassification is impossible: near any half-integer
+    boundary (|y| >= 0.49) the true product lies on a grid of spacing
+    >= scale * 2^-24 * |x| >> the f32 comparison noise, so it is either
+    exactly ON the boundary or far from it.  The transported fixed-point
+    value therefore formats byte-identically to the f32 path's
+    ``repr(round(x, d))``.
+
+    ``neg_zero_sentinel``: return -32768 for q == 0 with a negative ``x``
+    (e.g. D = -3e-5 at d=4) so the decoder can restore ``-0.0`` — Python
+    prints ``-0.0`` for those — without colliding with real quanta
+    (|q| <= 32767 by the caller's range guarantee |x| * scale < 2^15-1).
+    Off for never-negative stats (r2), whose 16 bits decode unsigned."""
+    s = jnp.float32(scale)
+    y = x * s
+    split = jnp.float32((1 << 12) + 1)  # Dekker 12-bit split constant
+    cx = x * split
+    xh = cx - (cx - x)
+    xl = x - xh
+    cs = s * split
+    sh = cs - (cs - s)
+    sl = s - sh
+    e = ((xh * sh - y) + xh * sl + xl * sh) + xl * sl  # y + e == x*s exactly
+    q0 = jnp.round(y)
+    frac = y - q0             # exact: y and q0 are both multiples of ulp(q0)
+    # True remainder R = frac + e must be compared against +-0.5, but that
+    # ADDITION can round exactly ONTO 0.5 and fake a tie (e.g. f32(-0.055)
+    # at scale 100: y lands exactly on -5.5, e = +3e-8, and -0.5 + e
+    # rounds back to -0.5).  Compare exactly instead: R > 0.5 <=>
+    # (frac - 0.5) > -e, with frac -+ 0.5 exact whenever |frac| is near
+    # 0.5 (both operands are multiples of ulp >= 2^-25 there).
+    a_hi = frac - 0.5
+    a_lo = frac + 0.5
+    qi = q0.astype(jnp.int32)
+    odd = (qi & 1) == 1
+    inc = (a_hi > -e) | ((a_hi == -e) & odd)
+    dec = (a_lo < -e) | ((a_lo == -e) & odd)
+    q = qi + inc.astype(jnp.int32) - dec.astype(jnp.int32)
+    if neg_zero_sentinel:
+        q = jnp.where((q == 0) & jnp.signbit(x), jnp.int32(-(1 << 15)), q)
+    return q
+
+
+@partial(jax.jit, static_argnames=("tile", "capacity", "wire_scale"))
 def compact_tile_stats(
     stats: PairStats,
     tile_i: jnp.ndarray,
@@ -88,19 +143,35 @@ def compact_tile_stats(
     *,
     tile: int,
     capacity: int,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    wire_scale: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | tuple[jnp.ndarray,
+                                                          jnp.ndarray]:
     """Device-side record compaction (the PairStore idea, ``lib.rs:523-576``,
     under XLA static shapes).
 
     Flattens a batch of tiles, filters ``keep & (r2 > threshold)``, and packs
     surviving records into a fixed-capacity buffer.
 
-    Returns:
+    Returns (``wire_scale=None``):
         count: scalar int32 — true number of surviving records (may exceed
             ``capacity``; caller must detect overflow and retry bigger).
         sites: ``[capacity, 2]`` int32 global site indices (i, j).
         values: ``[capacity, 3]`` float32 (D, D', r2).
         Slots past ``count`` hold garbage; caller trims.
+
+    ``wire_scale = 10^d`` (d <= 4) selects the COMPRESSED 12-byte wire
+    format for d-decimal text output — 40% fewer transport bytes than the
+    20-byte sites+f32 block, byte-identical formatted output (the
+    quantizer is :func:`round_fixed_exact`, exactly Python's
+    ``round(x, d)``; D' rides as raw f32 bits because its zero-denominator
+    fallback values are unbounded/NaN).  Returns ``(count,
+    packed [capacity, 3] int32)``:
+
+    * word 0: ``tile_in_batch << 18 | i_local << 9 | j_local`` — requires
+      ``tile <= 512`` and ``len(tile_i) <= 2^14`` (caller-gated).
+    * word 1: low 16 bits D quantum (int16; -32768 encodes ``-0.0``),
+      high 16 bits r2 quantum (uint16 — r2 >= +0 always).
+    * word 2: D' f32 bit pattern.
     """
     t = tile
     # Strict > threshold (Rust lib.rs:661); pass -inf for "emit everything"
@@ -143,8 +214,8 @@ def compact_tile_stats(
         col = jnp.clip(col, 0, t - 1)
 
         kt = rr // t                                     # tile in batch
-        gi = tile_i[kt] * t + rr % t
-        gj = tile_j[kt] * t + col
+        i_loc = rr % t
+        j_loc = col
         src = rr * t + col
     else:
         flat = mask.reshape(-1)
@@ -153,16 +224,28 @@ def compact_tile_stats(
         src = src.astype(jnp.int32)
         kt = src // (t * t)
         within = src % (t * t)
-        gi = tile_i[kt] * t + within // t
-        gj = tile_j[kt] * t + within % t
+        i_loc = within // t
+        j_loc = within % t
 
     take = lambda x: x.reshape(-1)[src]
+    live = slot < count                  # zero dead slots: determinism
+    if wire_scale is not None:
+        w0 = (kt << 18) | (i_loc << 9) | j_loc
+        qd = round_fixed_exact(take(stats.d).astype(jnp.float32),
+                               wire_scale, neg_zero_sentinel=True)
+        qr = round_fixed_exact(take(stats.r2).astype(jnp.float32),
+                               wire_scale)
+        w1 = (qd & 0xFFFF) | (qr << 16)
+        w2 = jax.lax.bitcast_convert_type(
+            take(stats.d_prime).astype(jnp.float32), jnp.int32)
+        packed = jnp.stack([w0, w1, w2], axis=1)
+        return count, jnp.where(live[:, None], packed, 0)
+    gi = tile_i[kt] * t + i_loc
+    gj = tile_j[kt] * t + j_loc
     sites = jnp.stack([gi, gj], axis=1)
     values = jnp.stack(
         [take(stats.d), take(stats.d_prime), take(stats.r2)], axis=1
     ).astype(jnp.float32)
-    # Zero-out slots beyond count so output is deterministic.
-    live = slot < count
     sites = jnp.where(live[:, None], sites, -1)
     values = jnp.where(live[:, None], values, 0.0)
     return count, sites, values

@@ -1070,6 +1070,237 @@ def pallas_tile_stats_majmin(
     return PairStats(d=d, d_prime=dp, r2=r2, keep=keep.astype(bool))
 
 
+@partial(jax.jit, static_argnames=("tile",))
+def build_majmin_planes(codes_sm: jnp.ndarray, auxc: jnp.ndarray, *,
+                        tile: int) -> jnp.ndarray:
+    """Precompute the factorized kernel's maj/dmin indicator planes in its
+    tile-contiguous layout (the majmin analog of :func:`build_planes_tiled`).
+
+    ``[S_pad, N_pad]`` int8 codes + ``[S_pad, 3]`` aux -> ``[2*S_pad,
+    N_pad]`` int8 where rows ``[g*2T + i]`` hold ``codes[g*T+i] ==
+    major(site)`` and rows ``[g*2T + T + i]`` the dominant-minor
+    indicator — the (2T, Nc) X/Y matrix of any site tile is one
+    contiguous block.  2x the code memory; built once per session on
+    device."""
+    s_pad, n_pad = codes_sm.shape
+    grid = s_pad // tile
+    c32 = codes_sm.astype(jnp.int32)
+    cat = jnp.stack([
+        (c32 == auxc[:, 0:1]).astype(jnp.int8),
+        (c32 == auxc[:, 1:2]).astype(jnp.int8),
+    ], axis=1)                                    # [S_pad, 2, N_pad]
+    return cat.reshape(grid, tile, 2, n_pad).transpose(0, 2, 1, 3).reshape(
+        grid * 2 * tile, n_pad)
+
+
+@partial(jax.jit, static_argnames=("nlev",))
+def build_majmin_xq(planes: jnp.ndarray, weights_row: jnp.ndarray,
+                    nlev: int) -> tuple:
+    """Pre-scale the maj/dmin planes by the int8 cascade's quantized
+    weight rows: ``xq_i = planes * q_i`` (int8 — one-hot times int8 q
+    fits), one ``[2*S_pad, N_pad]`` array per level.  With these in HBM
+    the int8x3 kernel's per-grid-step work is pure MXU dots."""
+    p32 = planes.astype(jnp.int32)
+    return tuple(
+        (p32 * weights_row[i:i + 1, :].astype(jnp.int32)).astype(jnp.int8)
+        for i in range(nlev)
+    )
+
+
+def _ld_kernel_mm_pre(tile: int, n_sites: int, exact_weights: bool,
+                      wquant: str, unit_weights: bool, single_chunk: bool,
+                      nlev: int,
+                      ti_ref, tj_ref, em_ref,
+                      *refs):
+    """Preplaned twin of :func:`_ld_kernel_mm`: the maj/dmin indicator
+    planes (and, for the int8 cascades, the weight-scaled xq planes) are
+    HBM inputs instead of per-step VPU builds — each grid step is the MXU
+    pass(es) plus the finalize algebra only.  Measured rationale: at
+    N<=1k the factorized kernel's per-step fixed VPU costs (compare /
+    concat / xq build) do not amortize over one short sequence chunk
+    (PERF.md round-3 MFU table, 46-50%% of roofline)."""
+    # refs: nlev x xq (int8 cascades) OR 1 x planes (unit/bf16 paths),
+    # then yplanes, w, auxa, auxr, d, dp, r2, keep, acc.
+    n_a = nlev if (wquant in ("int8", "int8x3") and not exact_weights
+                   and not unit_weights) else 1
+    a_refs = refs[:n_a]
+    (yb_ref, w_ref, auxa_ref, auxr_ref,
+     d_ref, dp_ref, r2_ref, keep_ref, acc_ref) = refs[n_a:]
+    t = tile
+    k = pl.program_id(0)
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    em = em_ref[k]
+
+    @pl.when((em == 0) & (c == n_chunks - 1))
+    def _skip_keep():
+        keep_ref[:, :] = jnp.zeros_like(keep_ref)
+
+    @pl.when(em != 0)
+    def _compute():
+        f32 = jnp.float32
+        bf16 = jnp.bfloat16
+
+        if not single_chunk:
+            @pl.when(c == 0)
+            def _():
+                acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+        def dot8(x, y):
+            return jax.lax.dot_general(
+                x, y, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        def dot16(x, y):
+            return jax.lax.dot_general(
+                x, y, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+        ycat = yb_ref[:, :]                          # (2T, Nc) int8
+        if unit_weights:
+            cells = dot8(a_refs[0][:, :], ycat).astype(f32)
+        elif wquant in ("int8", "int8x3") and not exact_weights:
+            cells = None
+            for i in range(nlev):
+                term = w_ref[nlev + i, 0] * dot8(a_refs[i][:, :],
+                                                 ycat).astype(f32)
+                cells = term if cells is None else cells + term
+        else:
+            xcat = a_refs[0][:, :]
+            w = w_ref[0:1, :]
+            w_hi = w.astype(bf16)
+            xs = xcat.astype(bf16)
+            yu = ycat.astype(bf16)
+            if wquant == "lo_int8" and not exact_weights:
+                q8 = w_ref[1:2, :].astype(jnp.int32)
+                xq = (xcat.astype(jnp.int32) * q8).astype(jnp.int8)
+                cells = (dot16(xs * w_hi, yu)
+                         + w_ref[2, 0] * dot8(xq, ycat).astype(f32))
+            elif not exact_weights:
+                w_lo = (w - w_hi.astype(f32)).astype(bf16)
+                cells = dot16(xs * w_hi, yu) + dot16(xs * w_lo, yu)
+            else:
+                cells = dot16(xs * w_hi, yu)
+
+        if single_chunk:
+            acc_ref[:, :] = cells
+        else:
+            acc_ref[:, :] += cells
+
+        ti = ti_ref[k]
+        tj = tj_ref[k]
+        em_ = em_ref[k]
+
+        @pl.when(c == n_chunks - 1)
+        def _finalize():
+            rc = min(128, t)
+            dist_b = auxr_ref[2:3, :] > 1           # (1, T)
+            for lo in range(0, t, rc):
+                hi = lo + rc
+                n_mm = acc_ref[lo:hi, 0:t]
+                n_md = acc_ref[lo:hi, t:2 * t]
+                n_dm = acc_ref[t + lo:t + hi, 0:t]
+                n_dd = acc_ref[t + lo:t + hi, t:2 * t]
+                keep = (auxa_ref[lo:hi, 2:3] > 1) & dist_b
+                d, d_prime, r2, keep = _pair_algebra(n_mm, n_md, n_dm, n_dd,
+                                                     keep)
+                gi = (ti * t + lo
+                      + jax.lax.broadcasted_iota(jnp.int32, (rc, t), 0))
+                gj = tj * t + jax.lax.broadcasted_iota(jnp.int32, (rc, t), 1)
+                keep = keep & (gi < gj) & (gj < n_sites) & (em_ != 0)
+                d_ref[0, lo:hi, :] = d
+                dp_ref[0, lo:hi, :] = d_prime
+                r2_ref[0, lo:hi, :] = r2
+                keep_ref[0, lo:hi, :] = keep.astype(jnp.int8)
+
+
+@partial(jax.jit, static_argnames=("tile", "n_sites", "seq_chunk",
+                                   "exact_weights", "unit_weights",
+                                   "wquant", "interpret"))
+def pallas_tile_stats_majmin_pre(
+    planes: jnp.ndarray,       # [2*S_pad, N_pad] int8 (build_majmin_planes)
+    xq: tuple,                 # nlev x [2*S_pad, N_pad] int8
+                               # (build_majmin_xq) for int8/int8x3, else ()
+    weights_row: jnp.ndarray,
+    auxc: jnp.ndarray,
+    auxr: jnp.ndarray,
+    tile_i: jnp.ndarray,
+    tile_j: jnp.ndarray,
+    emit: jnp.ndarray,
+    *,
+    tile: int,
+    n_sites: int,
+    seq_chunk: int = DEFAULT_SEQ_CHUNK,
+    exact_weights: bool = False,
+    unit_weights: bool = False,
+    wquant: str = "",
+    interpret: bool = False,
+) -> PairStats:
+    """Preplaned variant of :func:`pallas_tile_stats_majmin` — identical
+    contract and bit-identical outputs (the dots consume the same int8
+    operand VALUES; only where they are built differs).  Costs 2x code
+    memory for the planes (plus 2x per cascade level), so the session
+    gates it to small-N shapes where the per-step build is the measured
+    limiter."""
+    k = tile_i.shape[0]
+    n_pad = planes.shape[1]
+    t = tile
+    assert n_pad % seq_chunk == 0
+    n_chunks = n_pad // seq_chunk
+
+    w_rows = weights_row.shape[0]
+    nlev = {"int8": 2, "int8x3": 3}.get(wquant, 0)
+    int8_path = (nlev > 0 and not exact_weights and not unit_weights)
+    if int8_path:
+        assert len(xq) == nlev
+        a_arrays = tuple(xq)
+    else:
+        a_arrays = (planes,)
+    out_block = pl.BlockSpec((1, t, t), lambda g, c, ti, tj, em: (g, 0, 0))
+    single_chunk = n_chunks == 1
+    kernel = partial(_ld_kernel_mm_pre, t, n_sites, exact_weights, wquant,
+                     unit_weights, single_chunk, nlev)
+    a_spec = pl.BlockSpec((2 * t, seq_chunk),
+                          lambda g, c, ti, tj, em: (ti[g], c))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(k, n_chunks),
+        in_specs=(
+            [a_spec] * len(a_arrays)
+            + [
+                pl.BlockSpec((2 * t, seq_chunk),
+                             lambda g, c, ti, tj, em: (tj[g], c)),
+                pl.BlockSpec((w_rows, seq_chunk),
+                             lambda g, c, ti, tj, em: (0, c)),
+                pl.BlockSpec((t, 3), lambda g, c, ti, tj, em: (ti[g], 0)),
+                pl.BlockSpec((3, t), lambda g, c, ti, tj, em: (0, tj[g])),
+            ]
+        ),
+        out_specs=[out_block, out_block, out_block, out_block],
+        scratch_shapes=[pltpu.VMEM((2 * t, 2 * t), jnp.float32)],
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((k, t, t), jnp.float32),
+        jax.ShapeDtypeStruct((k, t, t), jnp.float32),
+        jax.ShapeDtypeStruct((k, t, t), jnp.float32),
+        jax.ShapeDtypeStruct((k, t, t), jnp.int8),
+    ]
+
+    params = None
+    if not interpret and vmem_capable():
+        cp = getattr(pltpu, "CompilerParams", None) or pltpu.TPUCompilerParams
+        params = cp(vmem_limit_bytes=64 * 1024 * 1024)
+    d, dp, r2, keep = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=params,
+    )(tile_i, tile_j, emit, *a_arrays, planes, weights_row, auxc, auxr)
+
+    return PairStats(d=d, d_prime=dp, r2=r2, keep=keep.astype(bool))
+
+
 _MARGIN_INF = np.int64(1) << 62
 
 

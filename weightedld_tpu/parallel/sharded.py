@@ -54,6 +54,7 @@ def make_sharded_stats_runner(
     max_bp_distance: int | None = None,
     interpret: bool = False,
     emit_capacity: int | None = None,
+    wire_scale: int | None = None,
 ):
     """Stats-only sharded pass: evaluate one batch of tiles, apply the r2
     threshold, and return per-tile record counts plus the masked stat
@@ -76,12 +77,17 @@ def make_sharded_stats_runner(
     work).  The per-shard record count can exceed the capacity — the
     caller detects overflow from the [K] counts and re-dispatches an exact
     gather (the driver's speculative-capacity protocol).
+
+    ``wire_scale`` (with ``emit_capacity``): pack the records in the
+    compressed 12-byte fixed-point wire format for ``10^-d``-precision
+    text output instead of the 20-byte sites+f32 block — see
+    ``compact_tile_stats``; the packed output is then ``[cap, 3]``.
     """
     key = (
         "stats", tuple(d.id for d in mesh.devices.flat), tile, n_sites,
         k_per_batch, engine, planes, seq_chunk, exact_weights, unit_weights,
         wquant, majmin, max_site_distance, max_bp_distance, interpret,
-        emit_capacity,
+        emit_capacity, wire_scale,
     )
     cached = _RUNNER_CACHE.get(key)
     if cached is not None:
@@ -179,7 +185,16 @@ def make_sharded_stats_runner(
 
             stp = PairStats(d=st.d, d_prime=st.d_prime, r2=st.r2, keep=mask)
 
+            n_wire = 3 if wire_scale is not None else 5
+
             def _do_compact(_):
+                if wire_scale is not None:
+                    _cnt, packed = compact_tile_stats(
+                        stp, tile_i, tile_j, jnp.float32(-jnp.inf),
+                        tile=tile, capacity=emit_capacity,
+                        wire_scale=wire_scale,
+                    )
+                    return packed
                 _cnt, sites, values = compact_tile_stats(
                     stp, tile_i, tile_j, jnp.float32(-jnp.inf),
                     tile=tile, capacity=emit_capacity,
@@ -191,11 +206,11 @@ def make_sharded_stats_runner(
                 )
 
             def _no_records(_):
-                return jnp.zeros((emit_capacity, 5), jnp.int32)
+                return jnp.zeros((emit_capacity, n_wire), jnp.int32)
 
             packed = jax.lax.cond(
                 mom_counts[1] > 0, _do_compact, _no_records, None,
-            )[None]                                       # [1, cap, 5]
+            )[None]                                       # [1, cap, n_wire]
             outs = outs + (packed,)
         return outs
 

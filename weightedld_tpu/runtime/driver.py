@@ -810,16 +810,41 @@ class LdSession:
         (self._sm_dev,) = replicate(self.mesh, sm_pad)
         return self._sm_dev
 
-    def _fused_runner(self, phase: int, cap: int):
+    def _fused_runner(self, phase: int, cap: int, wire_scale=None):
         """Stats runner variant that ALSO slot-compacts each shard's
         records inside the same program (``emit_capacity``) — built lazily
         per power-of-4 capacity bucket and cached by the runner registry,
-        so streaming pays one dispatch per batch instead of two."""
+        so streaming pays one dispatch per batch instead of two.
+        ``wire_scale`` selects the compressed 12-byte record wire (see
+        :meth:`stream`)."""
         flag, kw = self._fused_common[min(phase, len(self._fused_common) - 1)]
         return make_sharded_stats_runner(
-            self.mesh, majmin=flag, emit_capacity=cap, **kw)
+            self.mesh, majmin=flag, emit_capacity=cap,
+            wire_scale=wire_scale, **kw)
 
-    def _dispatch(self, b: int, r2_threshold=_UNSET, emit_capacity=None):
+    def _wire_scale_for(self, decimals: int | None) -> int | None:
+        """Resolve a ``decimals`` request to the packed-wire scale, or None
+        when the compressed format cannot apply (tile-local indices need
+        T <= 512 and a <= 2^14 tile batch — both true for every auto
+        configuration; falling back to the f32 wire is OUTPUT-NEUTRAL
+        because the quantizer equals the writer's round())."""
+        if decimals is None:
+            return None
+        if not 0 <= int(decimals) <= 4:
+            raise ValueError(
+                f"decimals must be in 0..4 (text-output precision), got "
+                f"{decimals!r}")
+        if self.cfg.tile > 512:
+            return None
+        ks = [self.cfg.tiles_per_shard_batch]
+        if self._k2:
+            ks.append(self._k2)
+        if max(ks) > (1 << 14):
+            return None
+        return 10 ** int(decimals)
+
+    def _dispatch(self, b: int, r2_threshold=_UNSET, emit_capacity=None,
+                  wire_scale=None):
         """Enqueue one batch (async — nothing is fetched).
 
         ``r2_threshold`` overrides the session default for this dispatch
@@ -841,7 +866,7 @@ class LdSession:
             ti, tj, em = self._plan2_dev
             b = b - self._n_batches_p0
         if emit_capacity:
-            runner = self._fused_runner(phase, emit_capacity)
+            runner = self._fused_runner(phase, emit_capacity, wire_scale)
         return runner(
             self.codes_dev, self.weights_dev,
             ti, tj, em, b, thr,
@@ -880,13 +905,18 @@ class LdSession:
             pass
         return "global", spec_cap, spec_packed
 
-    def _extract_records(self, dispatched, spec) -> LdRecords:
+    def _extract_records(self, dispatched, spec, b=None,
+                         wire_scale=None) -> LdRecords:
         """Blocking extraction half (stream() runs it one batch behind
         compute): materialize the [K] count — its copy started at
         dispatch, so no roundtrip is exposed — learn the speculative
         capacity, and accept the fused/speculative record block or
         re-dispatch an exact gather on overflow (the caller keeps the
-        batch's stat tensors alive until here)."""
+        batch's stat tensors alive until here).  ``b``/``wire_scale``
+        decode the compressed 12-byte wire (tile-local coordinates need
+        the batch's host plan slice); the overflow path stays on the
+        exact f32 gather, which is output-neutral (the wire quantizer
+        equals the writer's round())."""
         kind, cap, packed = spec
         # Per-shard record counts ride the fused [n_dev, 4] moments output
         # (column 1 = thresholded pair count — the exact record
@@ -918,7 +948,10 @@ class LdSession:
         if total == 0:
             return self._records_from_flat(np.empty((0, 5), np.int32))
         if kind == "shards" and max_shard <= cap:
-            ph = _fetch(packed).reshape(self.n_dev, cap, 5)
+            w = int(packed.shape[-1])
+            ph = _fetch(packed).reshape(self.n_dev, cap, w)
+            if w == 3:
+                return self._records_from_wire3(ph, per_shard, b, wire_scale)
             flat = np.concatenate(
                 [ph[d, :int(c)] for d, c in enumerate(per_shard)], axis=0)
             return self._records_from_flat(flat)
@@ -944,9 +977,45 @@ class LdSession:
     def _records_from_flat(self, packed_h) -> LdRecords:
         """``[n, 5]`` int32 host rows (sites + bitcast D/D'/r2) ->
         :class:`LdRecords` in the caller's coordinates."""
-        total = len(packed_h)
-        all_sites = packed_h[:, :2]
-        all_vals = packed_h[:, 2:].view(np.float32)
+        return self._records_from_arrays(
+            packed_h[:, :2], packed_h[:, 2:].view(np.float32))
+
+    def _records_from_wire3(self, ph, per_shard, b, scale) -> LdRecords:
+        """Decode the compressed 12-byte wire: ``[n_dev, cap, 3]`` int32
+        blocks -> :class:`LdRecords`.  Word 0 carries tile-local
+        coordinates resolved against the batch's host-retained plan slice
+        (shard-major, like the device programs' tile_i slices); word 1 the
+        D/r2 fixed-point quanta (``round_fixed_exact`` — the decoded
+        ``q / scale`` formats byte-identically to the f32 path); word 2
+        the raw D' bits."""
+        t = self.cfg.tile
+        ti_h, tj_h, _em = self._batch_tiles_host(b)
+        k_p = len(ti_h) // self.n_dev
+        sites_l, vals_l = [], []
+        for dev, c in enumerate(per_shard):
+            blk = ph[dev, : int(c)]
+            w0 = blk[:, 0].astype(np.uint32)
+            kt = (w0 >> 18).astype(np.int64) + dev * k_p
+            gi = ti_h[kt].astype(np.int64) * t + ((w0 >> 9) & 511)
+            gj = tj_h[kt].astype(np.int64) * t + (w0 & 511)
+            qd = (((blk[:, 1] & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int64)
+            qr = (blk[:, 1].astype(np.uint32) >> 16).astype(np.int64)
+            d = np.where(qd == -(1 << 15), np.float32(-0.0),
+                         (qd / scale).astype(np.float32))
+            r2 = (qr / scale).astype(np.float32)
+            dp = np.ascontiguousarray(blk[:, 2]).view(np.float32)
+            sites_l.append(np.stack([gi, gj], axis=1).astype(np.int32))
+            vals_l.append(np.stack([d, dp, r2], axis=1).astype(np.float32))
+        if not sites_l:
+            sites_l = [np.empty((0, 2), np.int32)]
+            vals_l = [np.empty((0, 3), np.float32)]
+        return self._records_from_arrays(
+            np.concatenate(sites_l, axis=0), np.concatenate(vals_l, axis=0))
+
+    def _records_from_arrays(self, all_sites, all_vals) -> LdRecords:
+        """``(sites [n, 2] int32, values [n, 3] f32)`` -> LdRecords in the
+        caller's coordinates (unsafe-site-packing permutation folded)."""
+        total = len(all_sites)
 
         if self._site_perm is not None and total:
             # Packed internal order: internal i < j no longer implies
@@ -992,7 +1061,7 @@ class LdSession:
                 return
 
     def _pipelined(self, start_batch: int = 0, r2_threshold=_UNSET,
-                   fused: bool = False):
+                   fused: bool = False, wire_scale=None):
         """Yield (batch_index, dispatched) with batch b+1 already enqueued
         on-device while b's results travel to the host — the single
         double-buffering loop behind summarize/stream/matrices.
@@ -1006,11 +1075,11 @@ class LdSession:
         pending = None
         for b in range(start_batch, self.n_batches):
             if pending is None:
-                pending = self._dispatch(b, r2_threshold, cap())
+                pending = self._dispatch(b, r2_threshold, cap(), wire_scale)
                 self._prime(pending)
             nxt = None
             if b + 1 < self.n_batches:
-                nxt = self._dispatch(b + 1, r2_threshold, cap())
+                nxt = self._dispatch(b + 1, r2_threshold, cap(), wire_scale)
                 self._prime(nxt)
             yield b, pending
             pending = nxt
@@ -1373,10 +1442,21 @@ class LdSession:
         start_batch: int = 0,
         on_progress: Callable[[Progress], None] | None = None,
         r2_threshold=_UNSET,
+        decimals: int | None = None,
     ) -> Iterator[tuple[int, LdRecords]]:
         """Stream compacted records batch by batch.  ``r2_threshold``
         overrides the session default for this scan only (runtime scalar —
         no recompilation).
+
+        ``decimals`` (0..4): the caller consumes the records as
+        ``decimals``-digit text (the TSV writers) — records then travel in
+        a compressed 12-byte fixed-point wire format (40% fewer transport
+        bytes than sites + f32 stats; D' rides as raw f32 bits).  The
+        device quantizer is exactly Python's ``round(x, decimals)``
+        (``round_fixed_exact``), so the formatted output is
+        BYTE-IDENTICAL to the default — the yielded record values are the
+        rounded decimals instead of raw f32.  ``None`` (default) keeps
+        exact f32 values — the analysis-API contract.
 
         Extraction is FULLY deferred one batch behind compute: batch b's
         speculative gather-compact is enqueued (and its host copy started)
@@ -1418,17 +1498,19 @@ class LdSession:
         # one-batch-deep stage on top (pending holds the batch's dispatched
         # stat tensors — up to three batches of [K, T, T] outputs are alive
         # at once, covered by the tiles_per_shard_batch HBM budget).
+        wire = self._wire_scale_for(decimals)
+
         def emit(pending):
             nonlocal records_emitted, tiles_done
             pb, dispatched, spec = pending
-            records = self._extract_records(dispatched, spec)
+            records = self._extract_records(dispatched, spec, pb, wire)
             records_emitted += len(records)
             tiles_done += int(self._emit_per_batch[pb])
             progress(pb)
             return pb, records
 
         for b, dispatched in self._pipelined(start_batch, r2_threshold,
-                                             fused=True):
+                                             fused=True, wire_scale=wire):
             spec = self._start_extract_spec(dispatched)
             if pending is not None:
                 yield emit(pending)
@@ -1445,13 +1527,15 @@ def stream_ld_records(
     mesh=None,
     start_batch: int = 0,
     on_progress: Callable[[Progress], None] | None = None,
+    decimals: int | None = None,
 ) -> Iterator[tuple[int, LdRecords]]:
     """Yield ``(batch_idx, records)`` for every tile batch of the triangle.
 
     One-shot convenience wrapper over :class:`LdSession`.
     """
     session = LdSession(alignment, weights, site_map, cfg, mesh)
-    yield from session.stream(start_batch=start_batch, on_progress=on_progress)
+    yield from session.stream(start_batch=start_batch,
+                              on_progress=on_progress, decimals=decimals)
 
 
 def collect_ld_records(
@@ -1643,6 +1727,9 @@ def run_to_tsv(
     with fh, timer.stage("scan+write"):
         for b, rec in session.stream(
             start_batch=start_batch, on_progress=on_progress,
+            # Text output at <= 4 decimals rides the compressed record
+            # wire (byte-identical output — stream() docstring).
+            decimals=ndigits if 0 <= ndigits <= 4 else None,
         ):
             # Records are replicated across processes (gathered on every
             # host), so n_written agrees everywhere even though only the
