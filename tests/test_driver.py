@@ -196,6 +196,51 @@ def test_matrices_match_dense(rng):
         )
 
 
+def test_compact_slot_path_matches_sort(rng):
+    """The popcount slot compaction (T >= 32) must reproduce the sort
+    fallback's records exactly — same sites, values, and (tile, row, col)
+    order — across densities, tiles, and the packed wire."""
+    import weightedld_tpu.core.ld_tiled as lt
+    from weightedld_tpu.core.paircore import PairStats
+
+    for t, k, dens in ((64, 7, 0.3), (32, 5, 0.9), (64, 3, 0.0),
+                       (128, 4, 0.01), (16, 6, 0.5), (16, 9, 0.04)):
+        d = rng.normal(size=(k, t, t)).astype(np.float32)
+        dp = rng.normal(size=(k, t, t)).astype(np.float32)
+        r2 = rng.random((k, t, t)).astype(np.float32)
+        keep = rng.random((k, t, t)) < dens
+        ti = rng.integers(0, 50, k).astype(np.int32)
+        tj = (ti + rng.integers(0, 5, k)).astype(np.int32)
+        st = PairStats(d=jnp.asarray(d), d_prime=jnp.asarray(dp),
+                       r2=jnp.asarray(r2), keep=jnp.asarray(keep))
+        cap = int(keep.sum()) + 7
+        args = (st, jnp.asarray(ti), jnp.asarray(tj), jnp.float32(0.2))
+        cnt_a, s_a, v_a = lt.compact_tile_stats(*args, tile=t, capacity=cap)
+        old = lt._SLOT_BYTES_CAP
+        lt._SLOT_BYTES_CAP = 0          # force the sort fallback
+        try:
+            # capacity + 1: a distinct jit signature, so the static
+            # module constant is re-read rather than cache-hit.
+            cnt_b, s_b, v_b = lt.compact_tile_stats(*args, tile=t,
+                                                    capacity=cap + 1)
+        finally:
+            lt._SLOT_BYTES_CAP = old
+        n = int(cnt_a)
+        assert int(cnt_b) == n
+        np.testing.assert_array_equal(np.asarray(s_a)[:n],
+                                      np.asarray(s_b)[:n])
+        np.testing.assert_array_equal(np.asarray(v_a)[:n],
+                                      np.asarray(v_b)[:n])
+        _cnt, p_c = lt.compact_tile_stats(*args, tile=t, capacity=cap,
+                                          wire_scale=10000)
+        w0 = np.asarray(p_c)[:n, 0].astype(np.uint32)
+        kt = (w0 >> 18).astype(int)
+        gi = ti[kt] * t + ((w0 >> 9) & 511)
+        gj = tj[kt] * t + (w0 & 511)
+        np.testing.assert_array_equal(np.stack([gi, gj], 1),
+                                      np.asarray(s_a)[:n])
+
+
 def test_round_fixed_exact_parity():
     """The compressed-wire quantizer must equal CPython's round(x, d)
     byte-for-byte after formatting — adversarial sweep over exact decimal
@@ -346,6 +391,14 @@ def test_matrix_output_cli(tmp_path, rng):
     # Golden pair (0,1) from SURVEY A.1.
     assert z["keep"][0, 1]
     assert round(float(z["r2"][0, 1]), 4) == 0.2236
+    # Reduced-precision export: half the bytes, same structure.
+    out16 = tmp_path / "m16.npz"
+    assert cli_main(["--file", str(src), "--matrix-output", str(out16),
+                     "--matrix-dtype", "float16", "--tile", "16"]) == 0
+    z16 = np.load(out16)
+    assert z16["r2"].dtype == np.float16
+    np.testing.assert_array_equal(z16["keep"], z["keep"])
+    assert abs(float(z16["r2"][0, 1]) - float(z["r2"][0, 1])) < 2 ** -10
 
 
 def test_per_scan_threshold_override(rng):

@@ -117,6 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "[S,S] float32 with NaN off-pairs, keep mask, site_map) "
                    "to this .npz instead of per-pair records; O(S^2) host "
                    "memory, so bounded to S <= 32768")
+    p.add_argument("--matrix-dtype", choices=("float32", "float16"),
+                   default="float32",
+                   help="matrix export precision: float16 halves the "
+                   "device->host transport and file size (values within "
+                   "2^-11 relative of float32; the API also offers "
+                   "bfloat16, which .npz cannot round-trip) "
+                   "[default float32]")
     p.add_argument("--save-prepared", type=Path, default=None,
                    help="save encoded alignment/masks/weights to an .npz "
                    "cache after ingest")
@@ -591,7 +598,7 @@ def main(argv=None) -> int:
         with timer.stage("upload"):
             session = _build_session(args, res, mesh)
         with timer.stage("scan"):
-            mats = session.matrices()
+            mats = session.matrices(dtype=np.dtype(args.matrix_dtype))
         if emit:
             with timer.stage("write"):
                 np.savez_compressed(args.matrix_output,

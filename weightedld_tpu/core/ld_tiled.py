@@ -182,38 +182,75 @@ def compact_tile_stats(
     # Compaction WITHOUT jnp.nonzero when capacity is moderate:
     # nonzero(size=) lowers to a sort over the full K*T^2 domain on TPU
     # (measured 1.29 s for a 2048-tile batch — the record-extraction
-    # bottleneck of high-yield streams).  Instead: one cheap pass computes
-    # per-ROW survivor counts, and only the ``capacity`` OUTPUT SLOTS do
-    # real work — each slot binary-searches its source row in the
-    # exclusive row-offset table, gathers that row's mask, and finds its
-    # survivor's column via a [capacity, T] prefix.  Measured 13x faster
-    # (1.29 s -> ~0.1 s) with bit-identical records in the same
-    # (tile, row, col) order.
+    # bottleneck of high-yield streams).  Instead: the mask rows are
+    # BIT-PACKED into [K*T, T/16] 16-bit groups BY AN MXU DOT (row @
+    # powers-of-two pattern matrix — bf16 products are exact powers of
+    # two, the f32 accumulator holds sums < 2^16 exactly; a VPU
+    # reshape/shift pack measured SLOWER than the whole thing, the
+    # 32-wide minor axis fights the 8x128 vreg layout), and only the
+    # ``capacity`` OUTPUT SLOTS do real work — each slot binary-searches
+    # its source row in the exclusive row-offset table, gathers that
+    # row's T/16 mask GROUPS (16x fewer gathered bytes than the previous
+    # [cap, T] row gather — which with its cumsum cost ~60 ms of the
+    # 74k-records adversarial scan, round-4 probe), and selects its
+    # survivor's bit by popcount prefix + an in-group 4-step binary
+    # search.  Record order stays (tile, row, col) — identical to the
+    # original prefix-sum formulation.
     #
-    # The [capacity, T] intermediates make the slot-driven path O(cap*T)
-    # memory, which LOSES to the O(K*T^2) sort once capacity approaches
-    # the domain size (a no-threshold stream buckets capacity up to ~2x
-    # the batch's pair count, i.e. cap*T ~ 512x the mask bytes — tens of
-    # GB).  Static hybrid: slots while the intermediates stay under
-    # ~256 MiB AND under the domain's own footprint; the sort otherwise
-    # (there, extraction is inherently O(domain) anyway).
-    slot_bytes = capacity * t * 4
-    use_slots = slot_bytes <= max(_SLOT_BYTES_CAP, 4 * mask.size)
+    # The [capacity, T/16] intermediates keep the slot path O(cap*T/16)
+    # memory; the sort fallback remains for capacities approaching the
+    # domain size (a no-threshold stream buckets capacity up to ~2x the
+    # batch's pair count — extraction is inherently O(domain) there).
+    slot_bytes = capacity * (t // 16) * 4
+    use_slots = (t % 16 == 0
+                 and slot_bytes <= max(_SLOT_BYTES_CAP, 4 * mask.size))
     slot = jnp.arange(capacity, dtype=jnp.int32)
     if use_slots:
-        rows = mask.reshape(-1, t)                       # [K*T, T]
-        row_counts = rows.sum(axis=1, dtype=jnp.int32)   # [K*T]
-        offs = jnp.cumsum(row_counts) - row_counts       # exclusive
+        ng = t // 16
+        rows8 = mask.reshape(-1, t).astype(jnp.bfloat16)     # [K*T, T]
+        cc = jnp.arange(t, dtype=jnp.int32)
+        pat = jnp.where(
+            (cc[:, None] // 16) == jnp.arange(ng, dtype=jnp.int32)[None, :],
+            jnp.exp2((cc % 16).astype(jnp.float32))[:, None], 0.0,
+        ).astype(jnp.bfloat16)                               # [T, T/16]
+        groups = jax.lax.dot_general(
+            rows8, pat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)                                  # [K*T, T/16]
+        ones = jnp.ones((t, 1), jnp.bfloat16)
+        row_counts = jax.lax.dot_general(
+            rows8, ones, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[:, 0].astype(jnp.int32)                            # [K*T]
+        offs = jnp.cumsum(row_counts) - row_counts           # exclusive
         count = row_counts.sum().astype(jnp.int32)
 
         rr = jnp.searchsorted(offs, slot, side="right").astype(jnp.int32) - 1
-        rr = jnp.clip(rr, 0, rows.shape[0] - 1)
-        rank = slot - offs[rr]                           # rank in row
-        pref = jnp.cumsum(rows[rr].astype(jnp.int32), axis=1)  # [cap, T]
-        col = jnp.sum((pref <= rank[:, None]).astype(jnp.int32), axis=1)
-        col = jnp.clip(col, 0, t - 1)
+        rr = jnp.clip(rr, 0, groups.shape[0] - 1)
+        rank = slot - offs[rr]                               # rank in row
+        groups_r = groups[rr]                                # [cap, T/16]
+        pp = jnp.cumsum(
+            jax.lax.population_count(groups_r).astype(jnp.int32), axis=1)
+        g_i = jnp.sum((pp <= rank[:, None]).astype(jnp.int32), axis=1)
+        g_i = jnp.clip(g_i, 0, ng - 1)
+        prev = jnp.where(
+            g_i > 0,
+            jnp.take_along_axis(pp, jnp.maximum(g_i - 1, 0)[:, None],
+                                axis=1)[:, 0],
+            0,
+        )
+        grp = jnp.take_along_axis(groups_r, g_i[:, None], axis=1)[:, 0]
+        r_in = rank - prev                                   # rank in group
+        # 4-step binary search for the (r_in+1)-th set bit: q = largest
+        # prefix length with popcount(grp & low_mask(q)) <= r_in.
+        q = jnp.zeros_like(r_in)
+        for step in (8, 4, 2, 1):
+            low = (jnp.int32(1) << (q + step)) - 1           # q+step <= 15
+            p = jax.lax.population_count(grp & low).astype(jnp.int32)
+            q = jnp.where(p <= r_in, q + step, q)
+        col = jnp.clip(g_i * 16 + q, 0, t - 1)
 
-        kt = rr // t                                     # tile in batch
+        kt = rr // t                                         # tile in batch
         i_loc = rr % t
         j_loc = col
         src = rr * t + col

@@ -478,6 +478,8 @@ class LdSession:
         self._maf_cache = None
         self._spec_cap = 0  # learned speculative-compaction capacity
         self._cap_hist = []  # last 2 per-shard buckets (shrink window)
+        self._batch_caps = {}  # batch index -> last-seen per-shard max
+        self._caps_thr = _UNSET  # threshold the per-batch memory is for
 
         # Hybrid tile-pair partition: when UNKNOWNs break the GLOBAL
         # factorized-kernel safety test (majmin_safe_with_unknown), most
@@ -934,6 +936,8 @@ class LdSession:
         # scan of the resident session with O(capacity * T) compaction and
         # a [capacity, 5] transfer per batch (measured 171 -> 239 ms on a
         # ZERO-record scan after a 74k-record scan had ratcheted to 16384).
+        if b is not None:
+            self._batch_caps[b] = max_shard  # exact per-batch memory
         bucket = _next_bucket(max(1, max_shard))
         if bucket <= _SPEC_CAP_MAX:
             self._cap_hist = (self._cap_hist + [bucket])[-2:]
@@ -1067,22 +1071,54 @@ class LdSession:
         double-buffering loop behind summarize/stream/matrices.
 
         ``fused=True`` (streaming): dispatch the stats+records program at
-        the CURRENT learned capacity — read at each dispatch, so learning
+        the batch's learned capacity — read at each dispatch, so learning
         from batch b's count takes effect from batch b+2's dispatch on."""
-        def cap():
-            return (self._spec_cap or None) if fused else None
+        def cap(b):
+            return self._batch_capacity(b) if fused else None
 
         pending = None
         for b in range(start_batch, self.n_batches):
             if pending is None:
-                pending = self._dispatch(b, r2_threshold, cap(), wire_scale)
+                pending = self._dispatch(b, r2_threshold, cap(b), wire_scale)
                 self._prime(pending)
             nxt = None
             if b + 1 < self.n_batches:
-                nxt = self._dispatch(b + 1, r2_threshold, cap(), wire_scale)
+                nxt = self._dispatch(b + 1, r2_threshold, cap(b + 1),
+                                     wire_scale)
                 self._prime(nxt)
             yield b, pending
             pending = nxt
+
+    def _batch_capacity(self, b: int) -> int | None:
+        """Speculative per-shard compaction capacity for batch ``b``.
+
+        Record counts are DETERMINISTIC per (input, threshold), so once a
+        batch has run, its own last-seen per-shard max (+12.5% headroom,
+        rounded onto a coarse grid — power-of-4 below 2048, 2048
+        multiples above, bounding compiled program shapes) is the right
+        capacity for every re-scan of the resident session — the global
+        power-of-4 bucket wasted up to 4x of BOTH the O(cap*T/16) slot
+        sweep and the [cap, w] tunnel transfer (the 74k-records
+        adversarial case learned 16384 for ~9-12k-record batches,
+        round-4 probe).  Unknown batches fall back to the session-global
+        two-batch window; a threshold change invalidates the memory
+        (stream() handles that).  Overflow stays safe either way: the
+        exact re-gather protocol runs whenever a true count exceeds the
+        speculation."""
+        known = self._batch_caps.get(b)
+        if known is None:
+            return self._spec_cap or None
+        if known == 0:
+            # Zero-record batch: keep the fused program (one dispatch) at
+            # the minimum capacity — the compaction cond skips, and the
+            # [256, w] zero block costs ~nothing to ship.
+            return 256
+        padded = known + (known >> 3)
+        cap = (_next_bucket(padded) if padded < 2048
+               else -(-padded // 2048) * 2048)
+        if cap > _SPEC_CAP_MAX:
+            return self._spec_cap or None
+        return cap
 
     def _pipelined_reduce(self, per_batch, r2_threshold=_UNSET):
         """Yield ``(b, np.ndarray)`` for ``per_batch(b, dispatched)`` (a
@@ -1499,6 +1535,13 @@ class LdSession:
         # stat tensors — up to three batches of [K, T, T] outputs are alive
         # at once, covered by the tiles_per_shard_batch HBM budget).
         wire = self._wire_scale_for(decimals)
+        # Per-batch capacity memory is only valid for the threshold it was
+        # learned under (record counts are threshold-dependent).
+        thr_now = (self.cfg.r2_threshold if r2_threshold is _UNSET
+                   else r2_threshold)
+        if self._caps_thr is _UNSET or self._caps_thr != thr_now:
+            self._batch_caps = {}
+            self._caps_thr = thr_now
 
         def emit(pending):
             nonlocal records_emitted, tiles_done
