@@ -196,6 +196,35 @@ def test_matrices_match_dense(rng):
         )
 
 
+def test_preplaned_factorized_session_matches(rng):
+    """preplaned='on' (HBM maj/dmin + xq planes) must yield the same
+    records as the per-step-build factorized kernel, across the int8x3
+    default and unit weights, through the full session."""
+    from weightedld_tpu.runtime.driver import LdSession
+
+    aln = rng.choice([0, 1, 2, 3], size=(20, 70)).astype(np.int8)
+    sm = np.arange(70)
+    for w in ((rng.random(20) * 0.9 + 0.1).astype(np.float32),
+              np.ones(20, np.float32)):
+        base_cfg = DriverConfig(tile=16, seq_chunk=8, engine="pallas",
+                                preplaned="off")
+        pre_cfg = DriverConfig(tile=16, seq_chunk=8, engine="pallas",
+                               preplaned="on")
+        s_off = LdSession(aln, w, sm, base_cfg)
+        s_on = LdSession(aln, w, sm, pre_cfg)
+        assert s_off._preplaned is False and s_on._preplaned is True
+        assert s_off._majmin and s_on._majmin
+        a = {}
+        for _, r in s_off.stream():
+            a.update({(int(x), int(y)): (float(d), float(r2))
+                      for x, y, d, r2 in zip(r.pos_a, r.pos_b, r.d, r.r2)})
+        b = {}
+        for _, r in s_on.stream():
+            b.update({(int(x), int(y)): (float(d), float(r2))
+                      for x, y, d, r2 in zip(r.pos_a, r.pos_b, r.d, r.r2)})
+        assert a == b and len(a) > 0
+
+
 def test_compact_slot_path_matches_sort(rng):
     """The popcount slot compaction (T >= 32) must reproduce the sort
     fallback's records exactly — same sites, values, and (tile, row, col)

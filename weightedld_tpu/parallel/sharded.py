@@ -50,6 +50,7 @@ def make_sharded_stats_runner(
     unit_weights: bool = False,
     wquant: str = "",
     majmin: bool = False,
+    preplaned: bool = False,
     max_site_distance: int | None = None,
     max_bp_distance: int | None = None,
     interpret: bool = False,
@@ -86,8 +87,8 @@ def make_sharded_stats_runner(
     key = (
         "stats", tuple(d.id for d in mesh.devices.flat), tile, n_sites,
         k_per_batch, engine, planes, seq_chunk, exact_weights, unit_weights,
-        wquant, majmin, max_site_distance, max_bp_distance, interpret,
-        emit_capacity, wire_scale,
+        wquant, majmin, preplaned, max_site_distance, max_bp_distance,
+        interpret, emit_capacity, wire_scale,
     )
     cached = _RUNNER_CACHE.get(key)
     if cached is not None:
@@ -96,13 +97,31 @@ def make_sharded_stats_runner(
     n_dev = mesh.devices.size
     k = k_per_batch
 
-    def local_fn(codes, weights, auxc, auxr, sm_pad, ti_all, tj_all, em_all,
-                 batch, r2_threshold):
+    def local_fn(codes, weights, mm_planes, mm_xq, auxc, auxr, sm_pad,
+                 ti_all, tj_all, em_all, batch, r2_threshold):
         sl = (batch * k,)
         tile_i = jax.lax.dynamic_slice(ti_all, sl, (k,))
         tile_j = jax.lax.dynamic_slice(tj_all, sl, (k,))
         emit = jax.lax.dynamic_slice(em_all, sl, (k,))
-        if engine == "pallas" and majmin:
+        if engine == "pallas" and majmin and preplaned:
+            # Preplaned factorized kernel: maj/dmin indicator planes (and
+            # the cascade's xq planes) precomputed in HBM — per-step MXU
+            # passes only (pallas_tile_stats_majmin_pre; measured +5-9%
+            # kernel-level at mid-N, PERF.md round 4).
+            from ..ops.pallas_ld import pallas_tile_stats_majmin_pre
+
+            nlev = {"int8": 2, "int8x3": 3}.get(wquant, 0)
+            int8_path = (nlev > 0 and not exact_weights
+                         and not unit_weights)
+            xq_t = (tuple(mm_xq[i] for i in range(nlev))
+                    if int8_path else ())
+            st = pallas_tile_stats_majmin_pre(
+                mm_planes, xq_t, weights, auxc, auxr, tile_i, tile_j,
+                emit, tile=tile, n_sites=n_sites, seq_chunk=seq_chunk,
+                exact_weights=exact_weights, unit_weights=unit_weights,
+                wquant=wquant, interpret=interpret,
+            )
+        elif engine == "pallas" and majmin:
             # No-UNKNOWN inputs: the factorized major/dmin kernel (one
             # (2T x 2T) contraction block per weight pass — see
             # pallas_tile_stats_majmin).
@@ -218,22 +237,27 @@ def make_sharded_stats_runner(
     fn = jax.jit(jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(),
                   P(AXIS), P(AXIS), P(AXIS), P(), P()),
         out_specs=(P(AXIS),) * n_out,
         check_vma=False,
     ))
 
-    # Replicated placeholders for the aux/site-map operands when unused
-    # (the local_fn never touches them; a fixed tiny array keeps the call
-    # signature — and the compiled program — uniform across modes).
-    dummy_aux, dummy_sm = replicate(
-        mesh, np.zeros((1, 1), np.int32), np.zeros(1, np.int32))
+    # Replicated placeholders for the aux/site-map/plane operands when
+    # unused (the local_fn never touches them; a fixed tiny array keeps
+    # the call signature — and the compiled program — uniform across
+    # modes).
+    dummy_aux, dummy_sm, dummy_pl, dummy_xq = replicate(
+        mesh, np.zeros((1, 1), np.int32), np.zeros(1, np.int32),
+        np.zeros((1, 1), np.int8), np.zeros((1, 1, 1), np.int8))
 
     def runner(codes, weights, ti_all, tj_all, em_all, batch, r2_threshold,
-               auxc=None, auxr=None, sm_pad=None):
+               auxc=None, auxr=None, sm_pad=None, mm_planes=None,
+               mm_xq=None):
         return fn(
             codes, weights,
+            dummy_pl if mm_planes is None else mm_planes,
+            dummy_xq if mm_xq is None else mm_xq,
             dummy_aux if auxc is None else auxc,
             dummy_aux if auxr is None else auxr,
             dummy_sm if sm_pad is None else sm_pad,

@@ -109,6 +109,14 @@ class DriverConfig:
                                     # exactness is proven, "general" forces
                                     # the per-pair kernel everywhere
                                     # (baseline/diagnostic escape hatch).
+    preplaned: str = "auto"         # factorized-kernel plane preplanning:
+                                    # "auto" precomputes the maj/dmin
+                                    # indicator (+ int8-cascade xq) planes
+                                    # in HBM for PURE factorized sessions
+                                    # when N_pad >= 1024 and the planes fit
+                                    # 1 GiB (deletes the per-grid-step VPU
+                                    # build; +5-9% kernel-level at mid-N,
+                                    # PERF.md round 4) | "on" | "off".
 
 
 def _resolve_engine(engine: str, platform: str | None = None) -> str:
@@ -601,6 +609,26 @@ class LdSession:
             else:
                 wquant = cfg.weight_quant
             hybrid = self._hybrid_safe is not None
+            # Preplaned factorized kernel (PERF.md round 4): precompute the
+            # maj/dmin indicator planes (+ the cascade's xq planes) in HBM
+            # so each grid step is MXU passes + finalize only.  Pure
+            # factorized sessions only (the hybrid partition permutes no
+            # plane layout of its own), gated by plane memory.
+            if cfg.preplaned not in ("auto", "on", "off"):
+                raise ValueError(
+                    f"preplaned must be auto|on|off, got {cfg.preplaned!r}")
+            n_pad_pp = cdiv(self.n_seqs, cfg.seq_chunk) * cfg.seq_chunk
+            s_pad_pp = cdiv(self.n_sites, cfg.tile) * cfg.tile
+            nlev_pp = 0
+            if wquant in ("int8", "int8x3") and not exact and not unit:
+                nlev_pp = 2 if wquant == "int8" else 3
+            plane_bytes = (1 + nlev_pp) * 2 * s_pad_pp * n_pad_pp
+            pp = majmin and not hybrid and (
+                cfg.preplaned == "on"
+                or (cfg.preplaned == "auto" and n_pad_pp >= 1024
+                    and plane_bytes <= (1 << 30)))
+            self._preplaned = pp
+            self._preplaned_nlev = nlev_pp if pp else 0
             common = dict(
                 tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k,
                 engine="pallas", planes=planes, seq_chunk=cfg.seq_chunk,
@@ -610,6 +638,7 @@ class LdSession:
                 max_site_distance=cfg.max_site_distance,
                 max_bp_distance=cfg.max_bp_distance,
                 interpret=interpret,
+                preplaned=pp,
             )
             self.runner = make_sharded_stats_runner(
                 self.mesh, majmin=majmin or hybrid, **common
@@ -665,6 +694,8 @@ class LdSession:
             self._auxc_dev = self._auxr_dev = None
             self._runner2 = None
             self._k2 = None
+            self._preplaned = False
+            self._preplaned_nlev = 0
             if weights is None:
                 from ..core.henikoff import henikoff_weights
 
@@ -688,6 +719,18 @@ class LdSession:
             self.codes_dev, self.weights_dev = replicate(
                 self.mesh, codes_host, weights_host
             )
+        self._mm_planes_dev = self._mm_xq_dev = None
+        if self._preplaned:
+            from ..ops.pallas_ld import build_majmin_planes, build_majmin_xq
+
+            planes_dev = build_majmin_planes(
+                self.codes_dev, self._auxc_dev, tile=cfg.tile)
+            (self._mm_planes_dev,) = replicate(self.mesh, planes_dev)
+            if self._preplaned_nlev:
+                xq_dev = jnp.stack(build_majmin_xq(
+                    self._mm_planes_dev, self.weights_dev,
+                    self._preplaned_nlev))
+                (self._mm_xq_dev,) = replicate(self.mesh, xq_dev)
 
         # Stripe tiles over shards, pad every shard to a whole number of
         # batches, and upload the whole plan once (sharded over the mesh
@@ -875,6 +918,8 @@ class LdSession:
             auxc=self._auxc_dev, auxr=self._auxr_dev,
             sm_pad=(self._sm_dev
                     if self.cfg.max_bp_distance is not None else None),
+            mm_planes=self._mm_planes_dev if phase == 0 else None,
+            mm_xq=self._mm_xq_dev if phase == 0 else None,
         )
 
     def _start_extract_spec(self, dispatched):
