@@ -196,6 +196,76 @@ def test_matrices_match_dense(rng):
         )
 
 
+def test_wire_overflow_falls_back_byte_exact(rng):
+    """A capacity overflow mid-scan (learned caps poisoned low) must fall
+    back to the exact gather and still produce byte-identical TSV under
+    decimals=4 (the overflow path ships exact f32, whose 4-dp rounding
+    equals the wire quantizer by construction)."""
+    import io
+
+    from weightedld_tpu.io.writer import write_pairs
+    from weightedld_tpu.runtime.driver import LdSession
+
+    aln = random_alignment(rng, 30, 120)
+    w = np.ones(30, np.float32)
+    sess = LdSession(aln, w, np.arange(120),
+                     DriverConfig(tile=16, tiles_per_shard_batch=2))
+
+    def tsv(**kw):
+        buf = io.StringIO()
+        for _, rec in sess.stream(**kw):
+            write_pairs(rec, buf, header=False)
+        return buf.getvalue()
+
+    base = tsv()
+    got = tsv(decimals=4)
+    # Poison the capacity memory: every batch claims ~zero records, so
+    # fused programs run at minimum capacity and overflow on every
+    # record-bearing batch.
+    sess._batch_caps = {b: 0 for b in range(sess.n_batches)}
+    sess._caps_thr = sess.cfg.r2_threshold
+    assert tsv(decimals=4) == base == got
+
+
+def test_batch_caps_invalidated_on_threshold_change(rng):
+    from weightedld_tpu.runtime.driver import LdSession
+
+    aln = random_alignment(rng, 24, 80)
+    sess = LdSession(aln, np.ones(24, np.float32), np.arange(80),
+                     DriverConfig(tile=16, tiles_per_shard_batch=2))
+    n_all = sum(len(r) for _, r in sess.stream(r2_threshold=None))
+    caps_all = dict(sess._batch_caps)
+    assert caps_all and max(caps_all.values()) > 0
+    n_high = sum(len(r) for _, r in sess.stream(r2_threshold=0.9))
+    assert n_high < n_all  # memory re-learned for the new threshold
+    assert sess._caps_thr == 0.9
+    # Re-scan at the stricter threshold uses the smaller memory; records
+    # must equal a fresh session's.
+    n_high2 = sum(len(r) for _, r in sess.stream(r2_threshold=0.9))
+    assert n_high2 == n_high
+
+
+def test_gzip_member_writer_roundtrip(tmp_path):
+    import gzip
+
+    from weightedld_tpu.io.writer import GzipMemberWriter
+
+    p = tmp_path / "m.gz"
+    with GzipMemberWriter(p) as fh:
+        fh.write("hello\n")
+        fh.flush()
+        off1 = fh.tell()
+        fh.flush()            # empty segment writes no member
+        assert fh.tell() == off1
+        fh.write("world\n")
+    assert gzip.open(p, "rt").read() == "hello\nworld\n"
+    # Truncating at a member boundary and appending reproduces the bytes.
+    full = p.read_bytes()
+    with GzipMemberWriter(p, append_at=off1) as fh:
+        fh.write("world\n")
+    assert p.read_bytes() == full
+
+
 def test_preplaned_factorized_session_matches(rng):
     """preplaned='on' (HBM maj/dmin + xq planes) must yield the same
     records as the per-step-build factorized kernel, across the int8x3
