@@ -63,7 +63,7 @@ def bench_tpu() -> tuple[float, int, int, bool]:
         return _bench_tpu_once()
 
 
-def _bench_tpu_once() -> tuple[float, int]:
+def _bench_tpu_once() -> tuple[float, int, int, bool]:
     import jax
 
     from weightedld_tpu.core.henikoff import henikoff_weights

@@ -55,7 +55,7 @@ class _DeterministicGzipText(io.TextIOWrapper):
 class GzipMemberWriter:
     """Checkpoint-compatible gzip TSV writer: the text written between
     ``flush()`` calls becomes ONE independent deterministic gzip member
-    (no mtime, no filename), and concatenated members form a single valid
+    (mtime 0, no filename), and concatenated members form a single valid
     gzip stream (RFC 1952 multi-member — ``gzip.open`` and zcat decode
     them seamlessly).  A resume can therefore truncate the file at any
     recorded member boundary (``tell()`` right after ``flush()``) — the
@@ -63,9 +63,17 @@ class GzipMemberWriter:
     stream cannot offer (``run_to_tsv`` uses this for ``--checkpoint``
     with a ``.gz`` pair output).
 
-    Empty segments write no member, so the byte stream depends only on
-    the records themselves (a zero-record batch adds nothing) and a
-    resumed run byte-equals an uninterrupted one."""
+    Text streams through an incremental ``zlib`` compressor as it is
+    written (host memory stays O(write chunk), not O(segment) — a
+    no-threshold checkpoint segment can carry millions of records), and
+    the member header is deferred until a segment's first byte: empty
+    segments write no member, so the byte stream depends only on the
+    records themselves and a resumed run byte-equals an uninterrupted
+    one."""
+
+    # RFC 1952 header: magic, deflate, no flags, mtime 0, XFL=2 (max
+    # compression, matching gzip.compress at level 9), OS=255 (unknown).
+    _HEADER = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x02\xff"
 
     def __init__(self, path, append_at: int | None = None):
         if append_at is None:
@@ -74,18 +82,36 @@ class GzipMemberWriter:
             self._f = open(path, "r+b")
             self._f.truncate(append_at)
             self._f.seek(append_at)
-        self._buf = io.StringIO()
+        self._comp = None  # per-member compressor (None = no open member)
+        self._crc = 0
+        self._size = 0
 
     def write(self, s: str) -> int:
-        return self._buf.write(s)
+        import zlib
+
+        data = s.encode("utf-8")
+        if not data:
+            return 0
+        if self._comp is None:
+            self._comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+            self._crc = 0
+            self._size = 0
+            self._f.write(self._HEADER)
+        self._crc = zlib.crc32(data, self._crc)
+        self._size += len(data)
+        out = self._comp.compress(data)
+        if out:
+            self._f.write(out)
+        return len(s)
 
     def flush(self) -> None:
-        import gzip
+        import struct
 
-        data = self._buf.getvalue()
-        if data:
-            self._f.write(gzip.compress(data.encode("utf-8"), mtime=0))
-            self._buf = io.StringIO()
+        if self._comp is not None:
+            self._f.write(self._comp.flush())
+            self._f.write(struct.pack("<II", self._crc,
+                                      self._size & 0xFFFFFFFF))
+            self._comp = None
         self._f.flush()
 
     def tell(self) -> int:

@@ -1248,6 +1248,12 @@ def pallas_tile_stats_majmin_pre(
     n_chunks = n_pad // seq_chunk
 
     w_rows = weights_row.shape[0]
+    expect_rows = 1
+    if not unit_weights and not exact_weights:
+        expect_rows = {"": 1, "lo_int8": 3, "int8": 4, "int8x3": 6}[wquant]
+    assert w_rows == expect_rows, (
+        "weights layout does not match the wquant mode"
+    )
     nlev = {"int8": 2, "int8x3": 3}.get(wquant, 0)
     int8_path = (nlev > 0 and not exact_weights and not unit_weights)
     if int8_path:

@@ -1003,9 +1003,10 @@ class LdSession:
                 return self._records_from_wire3(ph, per_shard, b, wire_scale)
             flat = np.concatenate(
                 [ph[d, :int(c)] for d, c in enumerate(per_shard)], axis=0)
-            return self._records_from_flat(flat)
+            return self._quantize(self._records_from_flat(flat), wire_scale)
         if kind == "global" and total <= cap:
-            return self._finish_extract(total, packed)
+            return self._quantize(self._finish_extract(total, packed),
+                                  wire_scale)
         # Overflow (or un-learned first batch): exact global gather from
         # the still-alive stat tensors — the one path that pays a fetch.
         (_t, d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev) = dispatched[:7]
@@ -1014,7 +1015,24 @@ class LdSession:
             d_t, dp_t, r2_t, mask_t, bi_dev, bj_dev,
             tile=self.cfg.tile, capacity=_next_bucket(total), mesh=gc_mesh,
         )
-        return self._finish_extract(total, gp)
+        return self._quantize(self._finish_extract(total, gp), wire_scale)
+
+    @staticmethod
+    def _quantize(rec: LdRecords, wire_scale) -> LdRecords:
+        """Apply the wire's value contract to records that arrived via an
+        exact-f32 fallback path (capacity overflow, un-learned first
+        batch): a ``stream(decimals=d)`` consumer must see the SAME
+        rounded values no matter which transport a batch took.  The f64
+        product is exact (24 + <=14 mantissa bits) and ``np.round`` is
+        half-even, so this equals both the device quantizer and CPython's
+        ``round(x, d)`` bit-for-bit (including -0.0 for tiny negatives);
+        D' rides exact in both transports."""
+        if wire_scale is None or not len(rec):
+            return rec
+        q = lambda x: (np.round(x.astype(np.float64) * wire_scale)
+                       / wire_scale).astype(np.float32)
+        return LdRecords(pos_a=rec.pos_a, pos_b=rec.pos_b,
+                         d=q(rec.d), d_prime=rec.d_prime, r2=q(rec.r2))
 
     def _finish_extract(self, total, packed) -> LdRecords:
         """Materialize one batch's GLOBALLY compacted records (a single
@@ -1055,9 +1073,6 @@ class LdSession:
             dp = np.ascontiguousarray(blk[:, 2]).view(np.float32)
             sites_l.append(np.stack([gi, gj], axis=1).astype(np.int32))
             vals_l.append(np.stack([d, dp, r2], axis=1).astype(np.float32))
-        if not sites_l:
-            sites_l = [np.empty((0, 2), np.int32)]
-            vals_l = [np.empty((0, 3), np.float32)]
         return self._records_from_arrays(
             np.concatenate(sites_l, axis=0), np.concatenate(vals_l, axis=0))
 
@@ -1159,8 +1174,19 @@ class LdSession:
             # [256, w] zero block costs ~nothing to ship.
             return 256
         padded = known + (known >> 3)
-        cap = (_next_bucket(padded) if padded < 2048
-               else -(-padded // 2048) * 2048)
+        if padded < 2048:
+            cap = _next_bucket(padded)
+        else:
+            # Quarter-octave grid {1, 1.25, 1.5, 1.75} x 2^k: <= 25%
+            # overshoot (vs up to 4x for the global power-of-4 bucket)
+            # while the number of DISTINCT compiled fused-program shapes
+            # stays bounded at ~4 per power of two — a flat 2048-multiple
+            # grid could demand thousands of compiles from a diverse-
+            # count stream, and each shape is a fresh remote compile
+            # through the tunnel.
+            k_exp = max(padded.bit_length() - 1, 11)
+            base = 1 << k_exp
+            cap = base + (-(-(padded - base) // (base >> 2))) * (base >> 2)
         if cap > _SPEC_CAP_MAX:
             return self._spec_cap or None
         return cap
