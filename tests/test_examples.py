@@ -34,7 +34,7 @@ def test_every_example_is_covered():
     names = {p.name for p in EXAMPLES}
     assert names == {
         "basic_fasta.py", "serving_session.py", "analytics_workflow.py",
-        "per_chromosome.py", "pod_scan.py",
+        "per_chromosome.py", "pod_scan.py", "matrix_export.py",
     }, "new example? add a smoke test row"
 
 
