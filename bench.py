@@ -270,6 +270,11 @@ def _bench_pod_run(n: int) -> int:
     virtual = not on_tpu
     n_seqs = N_SEQS if on_tpu else 200
     n_sites = S_TPU if on_tpu else 4096
+    # Test hook: the CI smoke test shrinks the problem so the harness
+    # itself (relaunch, meshes, balance accounting, JSON shape) is
+    # exercised in seconds.
+    n_seqs = int(os.environ.get("WLD_POD_BENCH_N", n_seqs))
+    n_sites = int(os.environ.get("WLD_POD_BENCH_S", n_sites))
     rng = np.random.default_rng(42)
     aln = synthetic_alignment(rng, n_seqs, n_sites)
     weights = np.asarray(henikoff_weights(jnp.asarray(aln)))

@@ -1,0 +1,42 @@
+"""Smoke coverage for the benchmark harness itself — bench.py is a
+first-class deliverable (the driver runs it every round; ``--pod`` is THE
+command for a real slice), so its relaunch / mesh / balance-accounting /
+JSON plumbing must not rot between hardware runs."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_bench_pod_virtual_mesh_smoke():
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        # Parent sees 1 CPU device -> exercises the virtual-mesh relaunch.
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "WLD_POD_BENCH_N": "24",
+        "WLD_POD_BENCH_S": "512",
+    })
+    for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+              "JAX_PROCESS_ID"):
+        env.pop(k, None)
+    res = subprocess.run(
+        [sys.executable, "-u", str(REPO / "bench.py"), "--pod", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, timeout=300,
+    )
+    assert res.returncode == 0, res.stdout[-3000:]
+    payload = json.loads(res.stdout.strip().splitlines()[-1])
+    assert payload["metric"] == "pod_scaling_pairs_per_s"
+    assert payload["n_devices"] == 2 and payload["virtual_mesh"] is True
+    rows = payload["rows"]
+    assert [r["shards"] for r in rows] == [1, 2]
+    for r in rows:
+        assert r["pairs_per_s"] > 0
+        assert 0.9 <= r["balance_efficiency"] <= 1.0
+        assert r["pairs_spread_pct"] < 10.0
