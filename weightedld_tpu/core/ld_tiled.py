@@ -264,7 +264,22 @@ def compact_tile_stats(
         i_loc = within // t
         j_loc = within % t
 
-    take = lambda x: x.reshape(-1)[src]
+    if use_slots:
+        # Element gathers (flat[src]) lower to the slow scalar-gather
+        # path on TPU (~ms of fixed cost per gather over the 600 MB stat
+        # operands — the measured per-batch floor of record-bearing
+        # scans).  Gather whole ROWS instead (contiguous DMA) and select
+        # the column with a vectorized one-hot sum over the [cap, T]
+        # block; where() zeroes non-selected lanes BEFORE the sum, so a
+        # NaN/inf elsewhere in the row cannot leak in.
+        jl = j_loc[:, None]
+        lane = jnp.arange(t, dtype=jnp.int32)[None, :]
+
+        def take(x):
+            rows = x.reshape(-1, t)[rr]                      # [cap, T]
+            return jnp.where(lane == jl, rows, 0).sum(axis=1)
+    else:
+        take = lambda x: x.reshape(-1)[src]
     live = slot < count                  # zero dead slots: determinism
     if wire_scale is not None:
         w0 = (kt << 18) | (i_loc << 9) | j_loc
