@@ -315,10 +315,20 @@ def make_topk_runner(mesh: Mesh, *, tile: int, k_out: int):
         rem = idx % t2
         gi = tile_i[kt] * t + rem // t
         gj = tile_j[kt] * t + rem % t
-        gflat = kt * t2 + rem                            # into [K*T^2]
-        values = jnp.stack(
-            [d.reshape(-1)[gflat], dp.reshape(-1)[gflat], vals], axis=1
-        )
+        # Row DMA gather + vectorized one-hot column select: element
+        # gathers (flat[idx]) lower to TPU's slow scalar-gather path
+        # (~ms fixed cost per gather over the large stat operands —
+        # the round-4 compaction finding); where() zeroes non-selected
+        # lanes before the sum so row NaN/inf cannot leak.
+        grow = kt * t + rem // t                         # row in [K*T]
+        gcol = (rem % t)[:, None]
+        lane = jnp.arange(t, dtype=jnp.int32)[None, :]
+
+        def sel(x):
+            rows = x.reshape(-1, t)[grow]                # [kk, T]
+            return jnp.where(lane == gcol, rows, 0).sum(axis=1)
+
+        values = jnp.stack([sel(d), sel(dp), vals], axis=1)
         packed = jnp.concatenate(
             [jnp.stack([gi, gj], axis=1),
              jax.lax.bitcast_convert_type(values, jnp.int32)],
