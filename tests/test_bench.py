@@ -40,3 +40,49 @@ def test_bench_pod_virtual_mesh_smoke():
         assert r["pairs_per_s"] > 0
         assert 0.9 <= r["balance_efficiency"] <= 1.0
         assert r["pairs_spread_pct"] < 10.0
+
+
+def test_bench_default_interleaved_smoke():
+    """The default bench must emit the round-5 comparable JSON: floor /
+    loaded / heavy blocks each carrying a min/median/max spread and a
+    same-round probe ratio (the chip-phase-cancelling comparator)."""
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "WLD_BENCH_S": "256",
+        "WLD_BENCH_REPS": "2",
+    })
+    res = subprocess.run(
+        [sys.executable, "-u", str(REPO / "bench.py")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, timeout=540,
+    )
+    assert res.returncode == 0, res.stdout[-3000:]
+    payload = json.loads(res.stdout.strip().splitlines()[-1])
+    assert payload["metric"] == "weighted_ld_site_pairs_per_s_per_chip"
+    assert payload["value"] > 0
+    assert payload["value"] == payload["floor"]["pairs_per_s"]["max"]
+    for block in ("floor", "loaded", "heavy"):
+        spread_key = ("pairs_per_s" if block != "heavy"
+                      else "stream_pairs_per_s")
+        for key in (spread_key, "probe_ratio"):
+            st = payload[block][key]
+            assert st["min"] <= st["median"] <= st["max"], (block, key)
+            assert st["n"] == 2
+    assert payload["loaded"]["records_per_scan"] > 0
+    assert payload["heavy"]["records_per_scan"] > 0
+    assert payload["heavy"]["stream_vs_summarize_ratio"]["median"] > 0
+    assert payload["probe"]["pairs_per_s"]["min"] > 0
+
+
+def test_bench_pod_rejects_non_numeric_argument():
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""})
+    res = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--pod", "all"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, timeout=120,
+    )
+    assert res.returncode == 2
+    assert "expected a device count" in res.stdout

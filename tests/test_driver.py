@@ -157,6 +157,44 @@ def test_tsv_checkpoint_resume(rng, tmp_path):
     assert part.read_text() == full.read_text()
 
 
+def test_checkpoint_refuses_any_single_byte_input_change(rng, tmp_path):
+    """The fingerprint digests the FULL code matrix: flipping one cell in a
+    row the old every-64th-row sampling would have skipped (row 1 at
+    n_seqs=128 -> sample step 2) must refuse the resume."""
+    aln = random_alignment(rng, n_seqs=128, n_sites=32)
+    w = np.ones(128, dtype=np.float32)
+    sm = np.arange(32)
+    cfg = DriverConfig(tile=16, tiles_per_shard_batch=1)
+    part = tmp_path / "part.tsv"
+
+    class Stop(Exception):
+        pass
+
+    calls = {"n": 0}
+    orig = None
+    import weightedld_tpu.runtime.driver as drv
+
+    def limited_stream(*args, **kwargs):
+        for item in orig(*args, **kwargs):
+            yield item
+            calls["n"] += 1
+            if not kwargs.get("start_batch"):
+                raise Stop
+
+    orig, drv.LdSession.stream = drv.LdSession.stream, limited_stream
+    try:
+        with pytest.raises(Stop):
+            run_to_tsv(aln, w, sm, part, cfg)
+    finally:
+        drv.LdSession.stream = orig
+    assert part.with_suffix(part.suffix + ".ckpt.json").exists()
+
+    corrupted = aln.copy()
+    corrupted[1, 17] = (corrupted[1, 17] + 1) % 4  # unsampled row under //64
+    with pytest.raises(RuntimeError, match="different run"):
+        run_to_tsv(corrupted, w, sm, part, cfg)
+
+
 def test_windowed_ld(rng):
     # --max-distance: same records as a full scan filtered by |j - i| <= W.
     aln = random_alignment(rng, 30, 100)
@@ -268,18 +306,31 @@ def test_gzip_member_writer_roundtrip(tmp_path):
 
 def test_preplaned_factorized_session_matches(rng):
     """preplaned='on' (HBM maj/dmin + xq planes) must yield the same
-    records as the per-step-build factorized kernel, across the int8x3
-    default and unit weights, through the full session."""
+    records as the per-step-build factorized kernel, through the full
+    session, across EVERY weight-arithmetic branch the preplaned kernel
+    has (they read w_ref rows 1+ with different layouts): the int8x3
+    default, unit weights (no weighted pass), lo_int8, split_bf16, and a
+    bf16-exact weight vector (drops the residual pass entirely)."""
     from weightedld_tpu.runtime.driver import LdSession
 
     aln = rng.choice([0, 1, 2, 3], size=(20, 70)).astype(np.int8)
     sm = np.arange(70)
-    for w in ((rng.random(20) * 0.9 + 0.1).astype(np.float32),
-              np.ones(20, np.float32)):
+    w_f32 = (rng.random(20) * 0.9 + 0.1).astype(np.float32)
+    # bf16-exact, non-unit: f32 -> bf16 -> f32 round-trip is idempotent.
+    w_bf16 = np.asarray(jnp.asarray(w_f32).astype(jnp.bfloat16),
+                        dtype=np.float32)
+    cases = [
+        (w_f32, "none"),            # int8x3 default
+        (np.ones(20, np.float32), "none"),
+        (w_f32, "lo_int8"),
+        (w_f32, "split_bf16"),
+        (w_bf16, "none"),           # exact-bf16 branch
+    ]
+    for w, wq in cases:
         base_cfg = DriverConfig(tile=16, seq_chunk=8, engine="pallas",
-                                preplaned="off")
+                                preplaned="off", weight_quant=wq)
         pre_cfg = DriverConfig(tile=16, seq_chunk=8, engine="pallas",
-                               preplaned="on")
+                               preplaned="on", weight_quant=wq)
         s_off = LdSession(aln, w, sm, base_cfg)
         s_on = LdSession(aln, w, sm, pre_cfg)
         assert s_off._preplaned is False and s_on._preplaned is True
@@ -292,7 +343,7 @@ def test_preplaned_factorized_session_matches(rng):
         for _, r in s_on.stream():
             b.update({(int(x), int(y)): (float(d), float(r2))
                       for x, y, d, r2 in zip(r.pos_a, r.pos_b, r.d, r.r2)})
-        assert a == b and len(a) > 0
+        assert a == b and len(a) > 0, (wq, w is w_bf16)
 
 
 def test_compact_slot_path_matches_sort(rng):

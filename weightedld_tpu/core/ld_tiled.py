@@ -270,14 +270,21 @@ def compact_tile_stats(
         # operands — the measured per-batch floor of record-bearing
         # scans).  Gather whole ROWS instead (contiguous DMA) and select
         # the column with a vectorized one-hot sum over the [cap, T]
-        # block; where() zeroes non-selected lanes BEFORE the sum, so a
-        # NaN/inf elsewhere in the row cannot leak in.
+        # block.  The sum runs on the int32 BIT PATTERNS, not the floats:
+        # a float masked-sum would turn an exactly -0.0 stat into +0.0
+        # (-0.0 + 0.0 == +0.0), silently bypassing the wire's
+        # neg_zero_sentinel; summing one nonzero int32 word against
+        # zeros reproduces the selected element bit-for-bit (and a
+        # NaN/inf elsewhere in the row is zeroed before the sum).
         jl = j_loc[:, None]
         lane = jnp.arange(t, dtype=jnp.int32)[None, :]
 
         def take(x):
             rows = x.reshape(-1, t)[rr]                      # [cap, T]
-            return jnp.where(lane == jl, rows, 0).sum(axis=1)
+            bits = jax.lax.bitcast_convert_type(
+                rows.astype(jnp.float32), jnp.int32)
+            sel = jnp.where(lane == jl, bits, 0).sum(axis=1)
+            return jax.lax.bitcast_convert_type(sel, jnp.float32)
     else:
         take = lambda x: x.reshape(-1)[src]
     live = slot < count                  # zero dead slots: determinism

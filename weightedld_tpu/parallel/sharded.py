@@ -318,15 +318,20 @@ def make_topk_runner(mesh: Mesh, *, tile: int, k_out: int):
         # Row DMA gather + vectorized one-hot column select: element
         # gathers (flat[idx]) lower to TPU's slow scalar-gather path
         # (~ms fixed cost per gather over the large stat operands —
-        # the round-4 compaction finding); where() zeroes non-selected
-        # lanes before the sum so row NaN/inf cannot leak.
+        # the round-4 compaction finding).  The one-hot sum runs on
+        # int32 bit patterns so an exactly -0.0 stat survives the
+        # select (-0.0 + 0.0 would normalize to +0.0 in a float sum)
+        # and row NaN/inf is zeroed before the sum.
         grow = kt * t + rem // t                         # row in [K*T]
         gcol = (rem % t)[:, None]
         lane = jnp.arange(t, dtype=jnp.int32)[None, :]
 
         def sel(x):
             rows = x.reshape(-1, t)[grow]                # [kk, T]
-            return jnp.where(lane == gcol, rows, 0).sum(axis=1)
+            bits = jax.lax.bitcast_convert_type(
+                rows.astype(jnp.float32), jnp.int32)
+            out = jnp.where(lane == gcol, bits, 0).sum(axis=1)
+            return jax.lax.bitcast_convert_type(out, jnp.float32)
 
         values = jnp.stack([sel(d), sel(dp), vals], axis=1)
         packed = jnp.concatenate(

@@ -1760,7 +1760,14 @@ def run_to_tsv(
         session.n_dev, jax.process_count(),
         (session.n_seqs, session.n_sites), ndigits,
     )).encode())
-    h.update(np.ascontiguousarray(aln_arr[:: max(1, aln_arr.shape[0] // 64)]).tobytes())
+    # Full-matrix digest, streamed in ~16 MB row chunks: sha256 runs at
+    # GB/s host-side — negligible next to the upload — and sampling
+    # (the old every-64th-row digest) would let a corrupted/edited row
+    # between samples resume a checkpoint silently against changed data.
+    row_bytes = max(1, int(np.prod(aln_arr.shape[1:])) * aln_arr.itemsize)
+    step = max(1, (1 << 24) // row_bytes)
+    for r0 in range(0, aln_arr.shape[0], step):
+        h.update(np.ascontiguousarray(aln_arr[r0:r0 + step]).tobytes())
     h.update(session.weights.tobytes())  # covers weights=None (on-device)
     h.update(np.asarray(site_map).tobytes())
     fingerprint = h.hexdigest()
