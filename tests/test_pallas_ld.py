@@ -672,10 +672,11 @@ def test_unsafe_site_packing_scattered_unknowns(rng):
                                rtol=2e-5, atol=1e-6)
 
 
-def test_packing_skipped_for_windowed_plans(rng):
-    # Band plans index the triangle in genomic order; packing must stay
-    # off so the window semantics (and the non-decreasing site_map
-    # contract) hold.
+def test_packing_under_windowed_plans_is_order_preserving(rng):
+    # Round 5: windowed plans no longer disable packing — they use the
+    # ORDER-PRESERVING class-split permutation (clean sites in input
+    # order, then dirty sites in input order), so the interval plan's
+    # clean band stays no wider than the unpermuted band.
     from weightedld_tpu.runtime.driver import DriverConfig, LdSession
 
     aln = rng.choice([0, 0, 1, 1, 1], size=(32, 64)).astype(np.int8)
@@ -684,4 +685,102 @@ def test_packing_skipped_for_windowed_plans(rng):
     w = np.ones(32, np.float32)
     ses = LdSession(aln, w, np.arange(64), DriverConfig(
         tile=16, engine="pallas", seq_chunk=32, max_site_distance=20))
-    assert ses._site_perm is None
+    assert ses._windowed_packed and ses._site_perm is not None
+    clean = [s for s in range(64) if s not in (10, 40)]
+    np.testing.assert_array_equal(ses._site_perm, clean + [10, 40])
+
+
+def test_windowed_unsafe_site_packing_parity(rng):
+    """Round-5: unsafe-site packing under WINDOWED plans.  The class-split
+    permutation + interval plan + |distance| lookup masks must reproduce
+    the forced-general windowed run exactly (same record set, same
+    summarize population, same decay curve) for a site-index window, a bp
+    window, and their composition."""
+    from weightedld_tpu.runtime.driver import (
+        DriverConfig, LdSession, collect_ld_records,
+    )
+
+    n_seqs, n_sites = 64, 160
+    aln = rng.choice([0, 0, 1, 1, 1], size=(n_seqs, n_sites)).astype(np.int8)
+    dirty_sites = rng.choice(n_sites, size=14, replace=False)
+    for s in dirty_sites:
+        aln[rng.integers(n_seqs), s] = 5
+    w = (rng.random(n_seqs) + 0.05).astype(np.float32)
+    sm = np.arange(n_sites) * 3 + 7
+
+    def rec_map(records_iter):
+        got = {}
+        for rec in records_iter:
+            for a, b, d, dp, r2 in zip(rec.pos_a, rec.pos_b, rec.d,
+                                       rec.d_prime, rec.r2):
+                got[(int(a), int(b))] = (d, dp, r2)
+        return got
+
+    for win_kw in ({"max_site_distance": 60},
+                   {"max_bp_distance": 150},
+                   {"max_site_distance": 70, "max_bp_distance": 180}):
+        cfg = DriverConfig(tile=16, engine="pallas", seq_chunk=64,
+                           r2_threshold=None, **win_kw)
+        ses = LdSession(aln, w, sm, cfg)
+        assert ses._windowed_packed and ses._site_perm is not None, win_kw
+        assert ses._hybrid_safe is not None
+        # The clean band dominates the plan: unsafe pairs are bounded by
+        # (dirty tiles + straddler) x grid.
+        n_unsafe = int((~ses._hybrid_safe).sum())
+        assert n_unsafe < len(ses._hybrid_safe), win_kw
+
+        base_cfg = DriverConfig(tile=16, engine="pallas", seq_chunk=64,
+                                kernel="general", r2_threshold=None,
+                                **win_kw)
+        base_ses = LdSession(aln, w, sm, base_cfg)
+        assert base_ses._site_perm is None  # forced general: no packing
+
+        hyb = rec_map(r for _, r in ses.stream())
+        base = rec_map(r for _, r in base_ses.stream())
+        assert set(hyb) == set(base), win_kw
+        assert len(hyb) > 0
+        for key, vals in base.items():
+            np.testing.assert_allclose(hyb[key], vals, rtol=2e-5,
+                                       atol=1e-6, err_msg=str((win_kw, key)))
+        assert all(a < b for a, b in hyb)
+
+        s_h = ses.summarize(r2_threshold=0.05)
+        s_b = base_ses.summarize(r2_threshold=0.05)
+        assert s_h["n_pairs"] == s_b["n_pairs"], win_kw
+        assert s_h["n_over_threshold"] == s_b["n_over_threshold"], win_kw
+
+        edges = (0, 50, 200, 500)
+        d_h = ses.ld_decay(edges)
+        d_b = base_ses.ld_decay(edges)
+        assert d_h["n_pairs"] == d_b["n_pairs"], win_kw
+        np.testing.assert_allclose(d_h["r2_sum"], d_b["r2_sum"],
+                                   rtol=1e-5, atol=1e-7)
+
+    # Window population sanity vs the dense oracle restricted by hand.
+    cfg = DriverConfig(tile=16, engine="pallas", seq_chunk=64,
+                       r2_threshold=None, max_site_distance=60)
+    ses = LdSession(aln, w, sm, cfg)
+    got = rec_map(r for _, r in ses.stream())
+    full = rec_map([collect_ld_records(
+        aln, w, sm, DriverConfig(tile=16, engine="pallas", seq_chunk=64,
+                                 kernel="general", r2_threshold=None))])
+    expect = {k: v for k, v in full.items()
+              if (k[1] - k[0]) // 3 <= 60}  # positions are 3*idx+7
+    assert set(got) == set(expect)
+
+
+def test_windowed_packing_gate_dense_dirt(rng):
+    """Dense dirt under a narrow window must NOT trigger the windowed
+    packing permutation (the dirty rows would outweigh the band saving)."""
+    from weightedld_tpu.runtime.driver import DriverConfig, LdSession
+
+    n_seqs, n_sites = 48, 128
+    aln = rng.choice([0, 0, 1, 1, 1], size=(n_seqs, n_sites)).astype(np.int8)
+    dirty_sites = rng.choice(n_sites, size=40, replace=False)  # 2*40 > 32
+    for s in dirty_sites:
+        aln[rng.integers(n_seqs), s] = 5
+    w = np.ones(n_seqs, np.float32)
+    ses = LdSession(aln, w, np.arange(n_sites),
+                    DriverConfig(tile=16, engine="pallas", seq_chunk=64,
+                                 max_site_distance=32))
+    assert not ses._windowed_packed and ses._site_perm is None

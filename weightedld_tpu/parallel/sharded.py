@@ -53,6 +53,7 @@ def make_sharded_stats_runner(
     preplaned: bool = False,
     max_site_distance: int | None = None,
     max_bp_distance: int | None = None,
+    windows_by_lookup: bool = False,
     interpret: bool = False,
     emit_capacity: int | None = None,
     wire_scale: int | None = None,
@@ -88,7 +89,7 @@ def make_sharded_stats_runner(
         "stats", tuple(d.id for d in mesh.devices.flat), tile, n_sites,
         k_per_batch, engine, planes, seq_chunk, exact_weights, unit_weights,
         wquant, majmin, preplaned, max_site_distance, max_bp_distance,
-        interpret, emit_capacity, wire_scale,
+        windows_by_lookup, interpret, emit_capacity, wire_scale,
     )
     cached = _RUNNER_CACHE.get(key)
     if cached is not None:
@@ -98,7 +99,7 @@ def make_sharded_stats_runner(
     k = k_per_batch
 
     def local_fn(codes, weights, mm_planes, mm_xq, auxc, auxr, sm_pad,
-                 ti_all, tj_all, em_all, batch, r2_threshold):
+                 orig_pad, ti_all, tj_all, em_all, batch, r2_threshold):
         sl = (batch * k,)
         tile_i = jax.lax.dynamic_slice(ti_all, sl, (k,))
         tile_j = jax.lax.dynamic_slice(tj_all, sl, (k,))
@@ -154,18 +155,32 @@ def make_sharded_stats_runner(
             # into `keep` so record extraction AND summarize() see the same
             # pair population.
             li = jnp.arange(tile, dtype=jnp.int32)
-            gi = tile_i[:, None, None] * tile + li[None, :, None]
-            gj = tile_j[:, None, None] * tile + li[None, None, :]
-            keep = keep & (gj - gi <= max_site_distance)
+            if windows_by_lookup:
+                # Packed (permuted) layout: layout index != kept-site
+                # index, so distance comes from the replicated original-
+                # index lookup, |.| because layout order is class-split.
+                oa = orig_pad[tile_i[:, None] * tile + li[None, :]]
+                ob = orig_pad[tile_j[:, None] * tile + li[None, :]]
+                keep = keep & (
+                    jnp.abs(ob[:, None, :] - oa[:, :, None])
+                    <= max_site_distance)
+            else:
+                gi = tile_i[:, None, None] * tile + li[None, :, None]
+                gj = tile_j[:, None, None] * tile + li[None, None, :]
+                keep = keep & (gj - gi <= max_site_distance)
         if max_bp_distance is not None:
             # Windowed LD in site_map units (bp for VCF — PLINK-style):
             # per-tile position lookup from the replicated padded site map,
-            # same mechanics as the decay runner.
+            # same mechanics as the decay runner.  |.| under the packing
+            # permutation (the permuted map is non-monotonic; validation
+            # ran against the input order).
             li = jnp.arange(tile, dtype=jnp.int32)
             pa = sm_pad[tile_i[:, None] * tile + li[None, :]]   # [K, T]
             pb = sm_pad[tile_j[:, None] * tile + li[None, :]]
-            keep = keep & (
-                pb[:, None, :] - pa[:, :, None] <= max_bp_distance)
+            dist = pb[:, None, :] - pa[:, :, None]
+            if windows_by_lookup:
+                dist = jnp.abs(dist)
+            keep = keep & (dist <= max_bp_distance)
         # Strict > threshold; kept pairs have non-NaN r2 (paircore keep
         # rules skip the reference's crash cases), so thr == -inf emits all.
         mask = keep & (st.r2 > r2_threshold)
@@ -237,7 +252,7 @@ def make_sharded_stats_runner(
     fn = jax.jit(jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P(),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(),
                   P(AXIS), P(AXIS), P(AXIS), P(), P()),
         out_specs=(P(AXIS),) * n_out,
         check_vma=False,
@@ -252,8 +267,8 @@ def make_sharded_stats_runner(
         np.zeros((1, 1), np.int8), np.zeros((1, 1, 1), np.int8))
 
     def runner(codes, weights, ti_all, tj_all, em_all, batch, r2_threshold,
-               auxc=None, auxr=None, sm_pad=None, mm_planes=None,
-               mm_xq=None):
+               auxc=None, auxr=None, sm_pad=None, orig_pad=None,
+               mm_planes=None, mm_xq=None):
         return fn(
             codes, weights,
             dummy_pl if mm_planes is None else mm_planes,
@@ -261,6 +276,7 @@ def make_sharded_stats_runner(
             dummy_aux if auxc is None else auxc,
             dummy_aux if auxr is None else auxr,
             dummy_sm if sm_pad is None else sm_pad,
+            dummy_sm if orig_pad is None else orig_pad,
             ti_all, tj_all, em_all,
             jnp.int32(batch), jnp.float32(r2_threshold),
         )

@@ -96,6 +96,73 @@ def plan_tiles(n_sites: int, tile: int = 128,
     )
 
 
+def _per_tile_minmax(vals: np.ndarray, n_sites: int, tile: int,
+                     grid: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-tile (min, max) of a per-site value array under padding: pad
+    sites get +inf/-inf sentinels so pad-only tiles match no interval."""
+    v = np.asarray(vals, dtype=np.int64)
+    lo = np.full(grid * tile, np.iinfo(np.int64).max // 2, dtype=np.int64)
+    hi = np.full(grid * tile, np.iinfo(np.int64).min // 2, dtype=np.int64)
+    lo[:n_sites] = v
+    hi[:n_sites] = v
+    return (lo.reshape(grid, tile).min(axis=1),
+            hi.reshape(grid, tile).max(axis=1))
+
+
+def plan_tiles_permuted(n_sites: int, tile: int,
+                        max_site_distance: int | None = None,
+                        max_bp_distance: int | None = None,
+                        orig_idx=None, site_map=None) -> TilePlan:
+    """Windowed tile plan for a PERMUTED site layout (unsafe-site packing
+    under windowed LD — driver round 5).
+
+    :func:`plan_tiles`'s band pruning assumes layout order == genomic
+    order (nearest pair of tile (i, j) sits at the facing corners).  After
+    a packing permutation that no longer holds, but tile-level pruning
+    still does: a tile pair can only contain an in-window pair if the two
+    tiles' ORIGINAL-position intervals come within the window.  This
+    builds the plan from per-tile [min, max] intervals of ``orig_idx``
+    (site-index windows) and/or ``site_map`` (bp windows) — a superset of
+    the needed pairs (the engine's exact per-pair lookup mask trims the
+    rest), and exactly the band plan when the permutation is identity.
+
+    With the class-split packing permutation (clean sites in original
+    order, then dirty sites in original order) the clean block's intervals
+    are contiguous and ascending, so clean x clean tile pairs reproduce a
+    band at most as wide as the unpermuted one; dirty tiles (scattered
+    positions -> wide intervals) pair with every block they genuinely
+    window against."""
+    if n_sites < 2:
+        raise ValueError("need at least 2 sites")
+    s_pad = cdiv(n_sites, tile) * tile
+    grid = s_pad // tile
+    ti, tj = np.triu_indices(grid)
+    near = np.ones(len(ti), dtype=bool)
+    if max_site_distance is not None:
+        if orig_idx is None:
+            raise ValueError("site-index window on a permuted layout "
+                             "needs orig_idx")
+        lo, hi = _per_tile_minmax(orig_idx, n_sites, tile, grid)
+        near &= ((lo[tj] - hi[ti] <= max_site_distance)
+                 & (lo[ti] - hi[tj] <= max_site_distance))
+    if max_bp_distance is not None:
+        sm = np.asarray(site_map)
+        if sm.shape[0] != n_sites:
+            raise ValueError("site_map length must equal n_sites")
+        lo, hi = _per_tile_minmax(sm, n_sites, tile, grid)
+        near &= ((lo[tj] - hi[ti] <= max_bp_distance)
+                 & (lo[ti] - hi[tj] <= max_bp_distance))
+    ti, tj = ti[near], tj[near]
+    return TilePlan(
+        n_sites=n_sites,
+        tile=tile,
+        s_pad=s_pad,
+        grid=grid,
+        tile_i=ti.astype(np.int32),
+        tile_j=tj.astype(np.int32),
+    )
+
+
 def tile_pair_counts(plan: TilePlan) -> np.ndarray:
     """True (in-triangle, padding-excluded) pair count of every tile.
 

@@ -277,6 +277,34 @@ class Progress:
         return self.pairs_done / self.elapsed_s if self.elapsed_s > 0 else 0.0
 
 
+def _windowed_packing_pays(bad: np.ndarray, cfg, sm_arr: np.ndarray,
+                           n_sites: int) -> bool:
+    """Cost gate for the windowed class-split packing permutation.
+
+    Packing moves the D dirty sites into trailing tiles whose position
+    intervals span ~everything, so each dirty tile pairs against ~every
+    block (full-width rows at the general-kernel rate) while the clean
+    band (~W wide) turns factorized.  With the general kernel ~2.5x the
+    factorized cost, the trade pays roughly when the dirty rows' extra
+    width stays under the band's: require ``2 * D <= W_eff`` (W_eff = the
+    window in sites; for bp windows, the mean site count per window).
+    Dense dirt under a narrow window keeps the unpermuted hybrid path."""
+    n_dirty = int(bad.sum())
+    w_eff = n_sites
+    if cfg.max_site_distance is not None:
+        w_eff = min(w_eff, int(cfg.max_site_distance))
+    if cfg.max_bp_distance is not None:
+        if sm_arr.size and bool((np.diff(sm_arr) < 0).any()):
+            # bp windows require a non-decreasing input map anyway
+            # (_ensure_sm_dev refuses later); don't permute first.
+            return False
+        spans = (np.searchsorted(sm_arr, sm_arr + int(cfg.max_bp_distance),
+                                 side="right")
+                 - np.arange(n_sites) - 1)
+        w_eff = min(w_eff, int(spans.mean()))
+    return 2 * n_dirty <= w_eff
+
+
 class LdSession:
     """Device-resident all-pairs LD session.
 
@@ -386,24 +414,47 @@ class LdSession:
         # Clean sites are ordered by DESCENDING stability margin so weak-
         # margin sites concentrate in few tiles (scattered, one weak site
         # per tile drags every tile's min-margin down); dirty sites by
-        # ascending u for the same reason.  Windowed plans depend on
-        # genomic order and are left unpermuted.
+        # ascending u for the same reason.
+        #
+        # WINDOWED plans (round 5): genomic order is load-bearing for the
+        # band plan and the in-tile distance masks, but both generalize —
+        # the plan via per-tile original-position intervals
+        # (plan_tiles_permuted) and the masks via |distance| lookups
+        # against the replicated original-index / site-map arrays
+        # (windows_by_lookup).  The windowed permutation is the ORDER-
+        # PRESERVING class split (clean sites in input order, then dirty
+        # sites in input order): the clean block keeps contiguous
+        # ascending positions, so clean x clean tiles reproduce a band no
+        # wider than the unpermuted one and run factorized (their margins
+        # are trivially safe, u == 0), while the (few) dirty tiles pair
+        # against every block their members genuinely window.  Gated by
+        # _windowed_packing_pays: dense dirt under a narrow window would
+        # cost more in full-width dirty rows than the factorized clean
+        # band saves.
         self._site_perm = None
         self._sm_orig_nondecr = None
-        if (not majmin and site_counts is not None and sm is None
-                and cfg.max_site_distance is None
-                and cfg.max_bp_distance is None):
+        self._windowed_packed = False
+        if not majmin and site_counts is not None and sm is None:
             from ..ops.pallas_ld import majmin_site_margins
 
+            windowed = (cfg.max_site_distance is not None
+                        or cfg.max_bp_distance is not None)
             marg_s, u_s = majmin_site_margins(site_counts, self.n_seqs)
             bad = u_s > 0
-            if bad.any() and not bad.all():
+            ok = bool(bad.any()) and not bool(bad.all())
+            if ok and windowed:
+                ok = _windowed_packing_pays(
+                    bad, cfg, np.asarray(site_map), self.n_sites)
+            if ok:
                 clean = np.flatnonzero(~bad)
                 dirty = np.flatnonzero(bad)
-                perm = np.concatenate([
-                    clean[np.argsort(-marg_s[clean], kind="stable")],
-                    dirty[np.argsort(u_s[dirty], kind="stable")],
-                ])
+                if windowed:
+                    perm = np.concatenate([clean, dirty])
+                else:
+                    perm = np.concatenate([
+                        clean[np.argsort(-marg_s[clean], kind="stable")],
+                        dirty[np.argsort(u_s[dirty], kind="stable")],
+                    ])
                 if not np.array_equal(perm, np.arange(self.n_sites)):
                     sm_arr = np.asarray(site_map)
                     self._sm_orig_nondecr = \
@@ -412,6 +463,7 @@ class LdSession:
                     site_map = sm_arr[perm]
                     site_counts = site_counts[perm]
                     self._site_perm = perm
+                    self._windowed_packed = windowed
         # The resolved tile/batch size are properties of (alignment,
         # platform, config), not of the caller's config object: work on a
         # copy so one DriverConfig can be reused across sessions with
@@ -473,9 +525,18 @@ class LdSession:
             # Validate the site map BEFORE any plan/upload work and put the
             # padded copy on device for the in-tile bp mask.
             self._ensure_sm_dev("--max-distance-bp")
-        self.plan = plan_tiles(self.n_sites, cfg.tile, cfg.max_site_distance,
-                               max_bp_distance=cfg.max_bp_distance,
-                               site_map=self.site_map)
+        if self._windowed_packed:
+            from ..parallel.triangle import plan_tiles_permuted
+
+            self.plan = plan_tiles_permuted(
+                self.n_sites, cfg.tile, cfg.max_site_distance,
+                max_bp_distance=cfg.max_bp_distance,
+                orig_idx=self._site_perm, site_map=self.site_map)
+        else:
+            self.plan = plan_tiles(self.n_sites, cfg.tile,
+                                   cfg.max_site_distance,
+                                   max_bp_distance=cfg.max_bp_distance,
+                                   site_map=self.site_map)
         # Host reference (no copy) for analyses needing per-site stats
         # (prune's minor-allele frequencies); released after the first MAF
         # computation so a chromosome-scale session does not pin the host
@@ -637,6 +698,7 @@ class LdSession:
                 wquant=wquant,
                 max_site_distance=cfg.max_site_distance,
                 max_bp_distance=cfg.max_bp_distance,
+                windows_by_lookup=self._windowed_packed,
                 interpret=interpret,
                 preplaned=pp,
             )
@@ -666,6 +728,14 @@ class LdSession:
             else:
                 self._runner2 = None
             self._auxc_dev = self._auxr_dev = None
+            self._orig_dev = None
+            if self._windowed_packed and cfg.max_site_distance is not None:
+                # Replicated original-index lookup for the permuted
+                # site-index window mask (trailing pad rides the gj <
+                # n_sites validity mask, so its fill value is irrelevant).
+                op = np.zeros(self.plan.s_pad, dtype=np.int32)
+                op[: self.n_sites] = self._site_perm
+                (self._orig_dev,) = replicate(self.mesh, op)
             if majmin or hybrid:
                 from ..ops.pallas_ld import majmin_site_aux
 
@@ -692,6 +762,7 @@ class LdSession:
                 weights_host = pad_weights(w_arr, cfg.seq_chunk)
         else:
             self._auxc_dev = self._auxr_dev = None
+            self._orig_dev = None
             self._runner2 = None
             self._k2 = None
             self._preplaned = False
@@ -918,6 +989,7 @@ class LdSession:
             auxc=self._auxc_dev, auxr=self._auxr_dev,
             sm_pad=(self._sm_dev
                     if self.cfg.max_bp_distance is not None else None),
+            orig_pad=self._orig_dev,
             mm_planes=self._mm_planes_dev if phase == 0 else None,
             mm_xq=self._mm_xq_dev if phase == 0 else None,
         )
