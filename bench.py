@@ -435,6 +435,141 @@ def _bench_pod_run(n: int) -> int:
     return 0
 
 
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def bench_pod_worker() -> int:
+    """One process of the ``--processes`` measurement: join the Gloo group
+    (when a coordinator is configured), run the fixed summarize workload
+    over the GLOBAL mesh, and let process 0 print the wall-clock rate."""
+    from weightedld_tpu.parallel.multihost import initialize_distributed
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        initialize_distributed()  # env-driven manual bring-up (Gloo group)
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from weightedld_tpu.core.henikoff import henikoff_weights
+    from weightedld_tpu.runtime.driver import DriverConfig, LdSession
+
+    n_seqs = int(os.environ.get("WLD_POD_BENCH_N", 200))
+    n_sites = int(os.environ.get("WLD_POD_BENCH_S", 4096))
+    reps = int(os.environ.get("WLD_POD_BENCH_REPS", 3))
+    rng = np.random.default_rng(42)
+    aln = synthetic_alignment(rng, n_seqs, n_sites)
+    weights = np.asarray(henikoff_weights(jnp.asarray(aln)))
+    mesh = Mesh(np.asarray(jax.devices()), ("tiles",))
+    session = LdSession(aln, weights, np.arange(n_sites),
+                        DriverConfig(r2_threshold=R2_THRESHOLD), mesh=mesh)
+    session.summarize()  # warm-up/compile
+    n_pairs = n_sites * (n_sites - 1) // 2
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.monotonic()
+        for _ in range(3):
+            session.summarize()
+        best = max(best, 3 * n_pairs / (time.monotonic() - t0))
+    if jax.process_index() == 0:
+        print(json.dumps({
+            "pairs_per_s": round(best),
+            "n_devices": jax.device_count(),
+            "n_processes": jax.process_count(),
+        }))
+    return 0
+
+
+def bench_pod_processes(n_devices: int, n_procs: int) -> int:
+    """Measured (not by-construction) multi-PROCESS scaling overhead.
+
+    Runs the SAME fixed workload over the same total device count twice —
+    once as 1 process with ``n_devices`` local devices, once as
+    ``n_procs`` real ``jax.distributed`` processes (localhost Gloo group,
+    ``n_devices / n_procs`` devices each) — and reports the wall-clock
+    rate ratio.  Because per-device work and compute capacity are
+    identical in both configurations, the ratio isolates exactly what the
+    virtual-mesh plan-balance number cannot see: cross-process collective
+    cost and multi-driver dispatch skew.  On CPU devices this measures
+    the runtime machinery (Gloo); on a real multi-host slice the same
+    command measures ICI/DCN collectives."""
+    if n_procs < 2:
+        print("bench.py --processes: need at least 2 processes",
+              file=sys.stderr)
+        return 2
+    if n_devices % n_procs:
+        print(f"bench.py --processes: device count {n_devices} not "
+              f"divisible by process count {n_procs}", file=sys.stderr)
+        return 2
+    results = {}
+    for procs in (1, n_procs):
+        dev_per = n_devices // procs
+        port = _free_port()
+        ps = []
+        for pid in range(procs):
+            env = dict(os.environ)
+            flags = " ".join(
+                f for f in env.get("XLA_FLAGS", "").split()
+                if "xla_force_host_platform_device_count" not in f)
+            env.update({
+                "JAX_PLATFORMS": "cpu",
+                "PALLAS_AXON_POOL_IPS": "",  # keep the TPU tunnel untouched
+                "XLA_FLAGS": (f"{flags} --xla_force_host_platform_"
+                              f"device_count={dev_per}").strip(),
+            })
+            for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                      "JAX_PROCESS_ID"):
+                env.pop(k, None)
+            if procs > 1:
+                env.update({
+                    "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+                    "JAX_NUM_PROCESSES": str(procs),
+                    "JAX_PROCESS_ID": str(pid),
+                })
+            ps.append(subprocess.Popen(
+                [sys.executable, "-u", __file__, "--pod-worker"],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env))
+        outs = []
+        for p in ps:
+            try:
+                outs.append(p.communicate(timeout=1200)[0])
+            except subprocess.TimeoutExpired:
+                for q in ps:
+                    q.kill()
+                raise
+        for p, out in zip(ps, outs):
+            if p.returncode != 0:
+                print(f"[pod-proc] worker failed (rc={p.returncode}):\n"
+                      + out[-3000:], file=sys.stderr)
+                return 1
+        payload_lines = [ln for out in outs for ln in out.splitlines()
+                         if ln.startswith("{")]
+        results[procs] = json.loads(payload_lines[-1])
+        print(f"[pod-proc] {procs} process(es) x {dev_per} device(s): "
+              f"{results[procs]['pairs_per_s']:,} pairs/s", file=sys.stderr)
+    eff = results[n_procs]["pairs_per_s"] / results[1]["pairs_per_s"]
+    print(json.dumps({
+        "metric": "pod_process_scaling_pairs_per_s",
+        "n_devices": n_devices,
+        "n_processes": n_procs,
+        "rows": [
+            {"processes": 1, **results[1]},
+            {"processes": n_procs, **results[n_procs]},
+        ],
+        "process_efficiency": round(eff, 4),
+        "efficiency_basis": (
+            "measured wall-clock: N real jax.distributed processes vs 1 "
+            "process over the SAME total device count — isolates "
+            "cross-process collective + dispatch overhead"),
+    }))
+    return 0
+
+
 def bench_heavy() -> int:
     """Reproduce the PERF.md heavy-output adversarial case with one
     command: N=250 x S=49,152 with 6,600 5-site correlated groups
@@ -559,16 +694,28 @@ def main() -> int:
         return bench_sweep()
     if "--heavy" in sys.argv:
         return bench_heavy()
-    if "--pod" in sys.argv:
-        idx = sys.argv.index("--pod")
-        arg = sys.argv[idx + 1] if idx + 1 < len(sys.argv) else None
-        if arg is not None and arg.startswith("-"):
-            arg = None  # another flag, not a device count
-        if arg is not None and not arg.isdigit():
-            print(f"bench.py --pod: expected a device count, got {arg!r} "
-                  "(usage: bench.py --pod [N])", file=sys.stderr)
-            return 2
-        return bench_pod(int(arg) if arg else None)
+    if "--pod-worker" in sys.argv:
+        return bench_pod_worker()
+    if "--pod" in sys.argv or "--processes" in sys.argv:
+        def int_arg(flag, default):
+            if flag not in sys.argv:
+                return default
+            idx = sys.argv.index(flag)
+            arg = sys.argv[idx + 1] if idx + 1 < len(sys.argv) else None
+            if arg is not None and arg.startswith("-"):
+                arg = None  # another flag, not a count
+            if arg is not None and not arg.isdigit():
+                print(f"bench.py {flag}: expected a count, got {arg!r} "
+                      "(usage: bench.py --pod [N] [--processes P])",
+                      file=sys.stderr)
+                raise SystemExit(2)
+            return int(arg) if arg else default
+
+        n = int_arg("--pod", None)
+        if "--processes" in sys.argv:
+            p = int_arg("--processes", 2)
+            return bench_pod_processes(n or p, p)
+        return bench_pod(n)
     res = bench_tpu_interleaved()
     cpu = bench_cpu_baseline()
     floor_best = res["floor"]["pairs_per_s"]["max"]

@@ -85,4 +85,36 @@ def test_bench_pod_rejects_non_numeric_argument():
         env=env, timeout=120,
     )
     assert res.returncode == 2
-    assert "expected a device count" in res.stdout
+    assert "expected a count" in res.stdout
+
+
+def test_bench_pod_processes_smoke():
+    """--processes launches a real 2-process Gloo group and reports a
+    measured (not by-construction) 1-vs-2-process efficiency over the
+    same total device count."""
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "WLD_POD_BENCH_N": "24",
+        "WLD_POD_BENCH_S": "512",
+        "WLD_POD_BENCH_REPS": "1",
+    })
+    for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+              "JAX_PROCESS_ID"):
+        env.pop(k, None)
+    res = subprocess.run(
+        [sys.executable, "-u", str(REPO / "bench.py"),
+         "--pod", "2", "--processes", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, timeout=600,
+    )
+    assert res.returncode == 0, res.stdout[-3000:]
+    payload = json.loads(res.stdout.strip().splitlines()[-1])
+    assert payload["metric"] == "pod_process_scaling_pairs_per_s"
+    rows = payload["rows"]
+    assert [r["processes"] for r in rows] == [1, 2]
+    assert rows[0]["n_devices"] == rows[1]["n_devices"] == 2
+    assert rows[1]["n_processes"] == 2
+    assert payload["process_efficiency"] > 0
+    assert "measured wall-clock" in payload["efficiency_basis"]
