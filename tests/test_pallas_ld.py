@@ -756,10 +756,26 @@ def test_windowed_unsafe_site_packing_parity(rng):
         np.testing.assert_allclose(d_h["r2_sum"], d_b["r2_sum"],
                                    rtol=1e-5, atol=1e-7)
 
-    # Window population sanity vs the dense oracle restricted by hand.
+    # top_pairs and matrices under the windowed packing permutation.
     cfg = DriverConfig(tile=16, engine="pallas", seq_chunk=64,
                        r2_threshold=None, max_site_distance=60)
     ses = LdSession(aln, w, sm, cfg)
+    base_ses = LdSession(aln, w, sm, DriverConfig(
+        tile=16, engine="pallas", seq_chunk=64, kernel="general",
+        r2_threshold=None, max_site_distance=60))
+    top = ses.top_pairs(9)
+    top_b = base_ses.top_pairs(9)
+    assert all(int(a) < int(b) for a, b in zip(top.pos_a, top.pos_b))
+    np.testing.assert_allclose(np.sort(top.r2), np.sort(top_b.r2),
+                               rtol=2e-5, atol=1e-6)
+    m = ses.matrices()
+    m_b = base_ses.matrices()
+    np.testing.assert_array_equal(m["keep"], m_b["keep"])
+    np.testing.assert_allclose(
+        np.nan_to_num(m["r2"], nan=-1.0),
+        np.nan_to_num(m_b["r2"], nan=-1.0), rtol=2e-5, atol=1e-6)
+
+    # Window population sanity vs the dense oracle restricted by hand.
     got = rec_map(r for _, r in ses.stream())
     full = rec_map([collect_ld_records(
         aln, w, sm, DriverConfig(tile=16, engine="pallas", seq_chunk=64,
