@@ -250,6 +250,7 @@ def _bench_tpu_interleaved_once() -> dict:
     # first scan and re-specializes the fused program, so the second
     # pass absorbs that recompile before the clock starts.
     floor_sess.summarize()
+    loaded_sess.summarize()
     heavy_sess.summarize()
     for _ in range(2):
         for _ in floor_sess.stream():
@@ -259,12 +260,19 @@ def _bench_tpu_interleaved_once() -> dict:
         for _ in heavy_sess.stream(decimals=4):
             pass
 
-    S = {k: [] for k in ("probe", "floor", "loaded", "hv_summ", "hv_stream")}
+    S = {k: [] for k in ("probe", "floor", "loaded", "ld_summ",
+                         "hv_summ", "hv_stream")}
     floor_recs = loaded_recs = hv_recs = 0
     for rep in range(reps):
         S["probe"].append(_summ_sample(floor_sess, n_pairs, scans))
         r, floor_recs = _stream_sample(floor_sess, n_pairs, scans)
         S["floor"].append(r)
+        # Loaded summarize IMMEDIATELY before the loaded stream: the
+        # own-summarize ratio is context-free (same session, same input,
+        # adjacent in time) where the probe ratio also carries
+        # cross-session allocator/phase effects (measured up to ~15%
+        # between process contexts — PERF.md round 5).
+        S["ld_summ"].append(_summ_sample(loaded_sess, n_pairs, scans))
         r, loaded_recs = _stream_sample(loaded_sess, n_pairs, scans)
         S["loaded"].append(r)
         S["hv_summ"].append(_summ_sample(heavy_sess, n_pairs, scans))
@@ -272,11 +280,13 @@ def _bench_tpu_interleaved_once() -> dict:
         S["hv_stream"].append(r)
         print(f"[bench] round {rep + 1}/{reps}: "
               f"probe {S['probe'][-1]:.3g}  floor {S['floor'][-1]:.3g}  "
-              f"loaded {S['loaded'][-1]:.3g}  "
+              f"loaded {S['loaded'][-1]:.3g} "
+              f"({S['loaded'][-1] / S['ld_summ'][-1]:.3f}x own summ)  "
               f"heavy {S['hv_stream'][-1] / S['hv_summ'][-1]:.3f}x",
               file=sys.stderr)
 
     ratio = lambda k: [a / b for a, b in zip(S[k], S["probe"])]
+    loaded_own = [st / su for st, su in zip(S["loaded"], S["ld_summ"])]
     heavy_ratio = [st / su for st, su in zip(S["hv_stream"], S["hv_summ"])]
     return {
         "on_tpu": on_tpu,
@@ -296,6 +306,8 @@ def _bench_tpu_interleaved_once() -> dict:
         "loaded": {
             "pairs_per_s": _stats(S["loaded"]),
             "probe_ratio": _stats(ratio("loaded"), digits=3),
+            "stream_vs_own_summarize": _stats(loaded_own, digits=3),
+            "summarize_pairs_per_s": _stats(S["ld_summ"]),
             "records_per_scan": loaded_recs,
             "n_corr_groups": n_groups,
         },

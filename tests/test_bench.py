@@ -71,6 +71,8 @@ def test_bench_default_interleaved_smoke():
             assert st["min"] <= st["median"] <= st["max"], (block, key)
             assert st["n"] == 2
     assert payload["loaded"]["records_per_scan"] > 0
+    own = payload["loaded"]["stream_vs_own_summarize"]
+    assert own["min"] <= own["median"] <= own["max"] and own["n"] == 2
     assert payload["heavy"]["records_per_scan"] > 0
     assert payload["heavy"]["stream_vs_summarize_ratio"]["median"] > 0
     assert payload["probe"]["pairs_per_s"]["min"] > 0
