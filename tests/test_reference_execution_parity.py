@@ -526,3 +526,62 @@ def test_vcf_info_pipe_crashes_reference_we_parse(ref, tmp_path):
     aln, sm = read_vcf(f)
     assert aln.shape == (28, 2) and sm.tolist() == [7, 9]
     assert set(np.unique(aln)) <= {0, 1}
+
+
+@pytest.mark.parametrize("seed,n_seqs,n_sites,window", [
+    (501, 40, 36, 12), (502, 28, 44, 16), (503, 60, 30, 10),
+])
+def test_windowed_packed_session_matches_reference(ref, seed, n_seqs,
+                                                   n_sites, window):
+    """Round-5 windowed unsafe-site packing vs the EXECUTED reference:
+    the packed windowed session's records must equal the reference's full
+    all-pairs output restricted to kept-index distance <= window (the
+    window semantics), with the usual count-tie exclusion."""
+    from weightedld_tpu.core.henikoff import henikoff_weights
+    from weightedld_tpu.core.sites import compute_variable_sites_host
+    from weightedld_tpu.runtime.driver import DriverConfig, LdSession
+
+    rng = np.random.default_rng(seed)
+    aln = random_alignment(rng, n_seqs, n_sites, p_gap=0.05, p_unknown=0.0)
+    # Sparse scattered dirt: few enough sites that the packing gate
+    # (2 * n_dirty <= window) passes.
+    for s in rng.choice(n_sites, size=3, replace=False):
+        aln[rng.integers(n_seqs), s] = 5
+
+    hk_r, ld_r = ref.compute_variable_sites(aln, 0.8, 0.02)
+    trimmed = aln[:, ld_r]
+    if trimmed.shape[1] < 4:
+        pytest.skip("degenerate draw: <4 LD sites")
+    w_r = ref.henikoff_weighting(trimmed)
+    site_map = np.where(ld_r)[0]
+    expected_full = _ref_ld_rows(ref, trimmed, w_r, site_map)
+    pos_to_col = {int(p): i for i, p in enumerate(site_map)}
+    expected = {k: v for k, v in expected_full.items()
+                if pos_to_col[k[1]] - pos_to_col[k[0]] <= window}
+
+    ses = LdSession(trimmed, np.asarray(w_r, np.float32), site_map,
+                    DriverConfig(tile=8, seq_chunk=16, engine="pallas",
+                                 r2_threshold=None,
+                                 max_site_distance=window))
+    dirty_kept = int(((trimmed == 5).any(axis=0)).sum())
+    if dirty_kept:
+        assert ses._windowed_packed, "packing did not engage"
+    got = {}
+    for _, rec in ses.stream():
+        for a, b, d, dp, r2 in zip(rec.pos_a, rec.pos_b, rec.d,
+                                   rec.d_prime, rec.r2):
+            got[(int(a), int(b))] = (float(d), float(dp), float(r2))
+
+    tie = {key for key in set(got) | set(expected)
+           if _pair_has_count_tie(trimmed[:, pos_to_col[key[0]]],
+                                  trimmed[:, pos_to_col[key[1]]])}
+    assert set(got) - tie == set(expected) - tie
+    for key, (d, dp, r2) in expected.items():
+        if key in tie:
+            continue
+        gd, gdp, gr2 = got[key]
+        np.testing.assert_allclose(gd, d, atol=2e-4, err_msg=f"D {key}")
+        if np.isfinite(dp) and np.isfinite(gdp):
+            np.testing.assert_allclose(gdp, dp, atol=5e-4,
+                                       err_msg=f"D' {key}")
+        np.testing.assert_allclose(gr2, r2, atol=5e-4, err_msg=f"r2 {key}")
