@@ -579,3 +579,106 @@ def test_progress_bar_cli_smoke(tmp_path, capsys):
     captured = capsys.readouterr()
     assert rc == 0
     assert "100.0%" in captured.err and "eta" in captured.err
+
+
+# ---------------------------------------------------------------------------
+# --region / --keep-samples / --exclude-samples (round-5 capabilities).
+
+
+def _t7_sliced(tmp_path, lo, hi):
+    """Write a copy of the t7 fixture holding only records with
+    lo <= POS <= hi (plus a trailing newline so no record is quirk-dropped)."""
+    from .fixtures import T7_PATH
+
+    out = tmp_path / "slice.vcf"
+    lines = []
+    in_data = False
+    for ln in open(T7_PATH):
+        body = ln.rstrip("\n")
+        if not in_data:
+            lines.append(body)
+            if "#CHROM" in body:
+                in_data = True
+            continue
+        if not body.strip():
+            continue
+        pos = int(body.split("\t", 2)[1])
+        if lo <= pos <= hi:
+            lines.append(body)
+    out.write_text("\n".join(lines) + "\n")
+    return out
+
+
+def test_region_equals_presliced_file(tmp_path, capsys):
+    from .fixtures import T7_PATH
+
+    lo, hi = 44890100, 44890180
+    rc = main(["--file", T7_PATH, "--region", f"19:{lo}-{hi}"])
+    assert rc == 0
+    region_out = capsys.readouterr().out
+    sliced = _t7_sliced(tmp_path, lo, hi)
+    assert main(["--file", str(sliced)]) == 0
+    assert capsys.readouterr().out == region_out
+    assert len(region_out.strip().splitlines()) == 4  # header + C(3,2) pairs
+    # Bare-chromosome region == --chrom.
+    assert main(["--file", T7_PATH, "--region", "19"]) == 0
+    bare = capsys.readouterr().out
+    assert main(["--file", T7_PATH, "--chrom", "19"]) == 0
+    assert capsys.readouterr().out == bare
+
+
+def test_region_cli_validation(tmp_path, capsys):
+    from .fixtures import T7_PATH
+
+    # Mutually exclusive with --chrom.
+    assert main(["--file", T7_PATH, "--chrom", "19",
+                 "--region", "19:1-2"]) == 2
+    assert "mutually exclusive" in capsys.readouterr().err
+    # VCF-only.
+    fa = tmp_path / "x.fasta"
+    fa.write_text(">a\nACGT\n>b\nACGA\n>c\nTCGA\n")
+    assert main(["--file", str(fa), "--region", "chr1:1-2"]) == 2
+    assert "--region only applies to VCF" in capsys.readouterr().err
+    # Empty region -> clean error, not a crash.
+    assert main(["--file", T7_PATH, "--region", "19:1-2"]) == 2
+    assert "POS range 1-2" in capsys.readouterr().err
+
+
+def test_keep_exclude_samples_cli(tmp_path, capsys):
+    path = tmp_path / "e.fasta"
+    write_fasta(path, ["ATAA", "TAAA", "TAAA", "TAAA", "T-AA",
+                       "TTAA", "TTAA", "TTAA", "TTAA", "TTAY"])
+    # Excluding via @FILE == keeping the complement via a comma list.
+    listfile = tmp_path / "drop.txt"
+    listfile.write_text("# comment line\nseq0\n\nseq9\n")
+    assert main(["--file", str(path), "--exclude-samples",
+                 f"@{listfile}"]) == 0
+    excl_out = capsys.readouterr().out
+    keep = ",".join(f"seq{i}" for i in range(1, 9))
+    assert main(["--file", str(path), "--keep-samples", keep]) == 0
+    assert capsys.readouterr().out == excl_out
+    # Unknown names are an error (typo safety).
+    assert main(["--file", str(path), "--keep-samples", "seq1,sqe2"]) == 2
+    assert "unknown sample name" in capsys.readouterr().err
+    # Empty spec is an error.
+    assert main(["--file", str(path), "--keep-samples", ",,"]) == 2
+    assert "empty sample list" in capsys.readouterr().err
+    # Subsetting changes the analysis (weights differ from the full run).
+    assert main(["--file", str(path)]) == 0
+    assert capsys.readouterr().out != excl_out
+
+
+def test_stream_ingest_region_parity(tmp_path, capsys):
+    from .fixtures import T7_PATH
+
+    lo, hi = 44890100, 44890200
+    assert main(["--file", T7_PATH, "--region", f"19:{lo}-{hi}",
+                 "--engine", "tiled"]) == 0
+    row_major = capsys.readouterr().out
+    assert main(["--file", T7_PATH, "--region", f"19:{lo}-{hi}",
+                 "--engine", "tiled", "--stream-ingest"]) == 0
+    assert capsys.readouterr().out == row_major
+    # Sample subsetting needs the row-major reader.
+    assert main(["--file", T7_PATH, "--keep-samples", "HG00096",
+                 "--stream-ingest", "--engine", "tiled"]) == 2
+    assert "row-major reader" in capsys.readouterr().err

@@ -66,3 +66,112 @@ def test_end_to_end_t7_vcf():
     assert set(got) == set(exp)
     for k in exp:
         np.testing.assert_allclose(got[k], exp[k], atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Sample subsetting + region (capabilities beyond the reference): the subset
+# pipeline must equal running the full pipeline machinery on a pre-sliced
+# alignment (subsetting happens BEFORE masking and weighting).
+
+
+def test_fasta_keep_exclude_equals_row_slice(tmp_path):
+    from weightedld_tpu.core.henikoff import henikoff_weights_host
+    from weightedld_tpu.core.sites import compute_variable_sites_host
+    from weightedld_tpu.io.fasta import read_fasta_with_names
+    from weightedld_tpu.pipeline import prepare
+
+    path = tmp_path / "e.fasta"
+    write_fasta(path, ["ATAA", "TAAA", "TAAA", "TAAA", "T-AA",
+                       "TTAA", "TTAA", "TTAA", "TTAA", "TTAY"])
+    al, names = read_fasta_with_names(path)
+    assert names == [f"seq{i}" for i in range(10)]
+
+    res = prepare(path, WldConfig(keep_samples=tuple(names[2:9]),
+                                  exclude_samples=(names[3],)))
+    rows = [2, 4, 5, 6, 7, 8]
+    sub = al[rows]
+    hk, ld = compute_variable_sites_host(sub, 0.8, 0.02, 1.0)
+    np.testing.assert_array_equal(res.alignment, sub[:, ld])
+    np.testing.assert_allclose(res.weights, henikoff_weights_host(sub[:, ld]))
+
+
+def test_vcf_keep_samples_row_mapping():
+    from weightedld_tpu.io.vcf import read_vcf, vcf_sample_names
+    from weightedld_tpu.pipeline import prepare
+
+    full, _ = read_vcf(T7_PATH)
+    names = vcf_sample_names(T7_PATH)
+    res = prepare(T7_PATH, WldConfig(keep_samples=tuple(names[:5])))
+    # Alignment row k belongs to sample (n_haps-1-k)//2 (rot90 order):
+    # the first 5 samples are the LAST 10 rows.
+    n = full.shape[0]
+    rows = [k for k in range(n) if (n - 1 - k) // 2 < 5]
+    assert res.alignment.shape[0] == 10
+    np.testing.assert_array_equal(res.alignment, full[rows])
+
+
+def test_subset_errors():
+    from weightedld_tpu.pipeline import prepare
+
+    with pytest.raises(ValueError, match="unknown sample name"):
+        prepare(T7_PATH, WldConfig(keep_samples=("NOPE1", "HG00096")))
+    with pytest.raises(ValueError, match="fewer than 2"):
+        prepare(T7_PATH, WldConfig(keep_samples=("HG00096",),
+                                   exclude_samples=("HG00096",)))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        prepare(T7_PATH, WldConfig(chrom="19", region="19:1-2"))
+
+
+def test_region_fasta_rejected(tmp_path):
+    from weightedld_tpu.pipeline import prepare, site_stats
+
+    path = tmp_path / "e.fasta"
+    write_fasta(path, ["ATAA", "TAAA", "TTAA", "TTAA"])
+    with pytest.raises(ValueError, match="region only applies to VCF"):
+        prepare(path, WldConfig(region="chr1:1-2"))
+    with pytest.raises(ValueError, match="region only applies to VCF"):
+        site_stats(path, WldConfig(region="chr1:1-2"))
+
+
+def test_region_pipeline_and_site_stats():
+    from weightedld_tpu.io.vcf import read_vcf
+    from weightedld_tpu.pipeline import prepare, site_stats
+
+    lo, hi = 44890100, 44890180
+    full, sm = read_vcf(T7_PATH)
+    sel = (sm >= lo) & (sm <= hi)
+    res = prepare(T7_PATH, WldConfig(region=f"19:{lo}-{hi}"))
+    assert res.site_map.tolist() == sm[sel].tolist()
+    np.testing.assert_array_equal(res.alignment, full[:, sel])
+    # Weights recomputed on the region slice (not sliced from full weights).
+    from weightedld_tpu.core.henikoff import henikoff_weights_host
+
+    np.testing.assert_allclose(res.weights,
+                               henikoff_weights_host(full[:, sel]))
+    stats = site_stats(T7_PATH, WldConfig(region=f"19:{lo}-{hi}"))
+    assert stats["site"].tolist() == sm[sel].tolist()
+
+
+def test_site_stats_respects_sample_subset(tmp_path):
+    from weightedld_tpu.pipeline import site_stats
+
+    path = tmp_path / "e.fasta"
+    write_fasta(path, ["AAAA", "AAAA", "ATAA", "ATAA"])
+    full = site_stats(path, WldConfig())
+    sub = site_stats(path, WldConfig(keep_samples=("seq0", "seq1", "seq2")))
+    # Site 1 minor fraction: 2/4 full, 1/3 after dropping one T-carrier.
+    assert full["minor_fraction"][1] == pytest.approx(0.5)
+    assert sub["minor_fraction"][1] == pytest.approx(1 / 3)
+
+
+def test_rust_reader_subsetting(tmp_path):
+    from weightedld_tpu.io.fasta import read_fasta_rust_with_names
+    from weightedld_tpu.pipeline import prepare
+
+    path = tmp_path / "e.fasta"
+    path.write_text(">a\nACGT\n>b\nACGA\n>c\nACGA\n>d\nTCGA\n")
+    al, names = read_fasta_rust_with_names(path)
+    assert names == ["a", "b", "c", "d"]
+    res = prepare(path, WldConfig(fasta_reader="rust",
+                                  exclude_samples=("a",)))
+    assert res.alignment.shape[0] == 3

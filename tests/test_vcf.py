@@ -212,3 +212,78 @@ def test_chrom_flag_cli(tmp_path, capsys):
     fa = tmp_path / "x.fasta"
     fa.write_text(">a\nACGT\n>b\nACGA\n")
     assert main(["--file", str(fa), "--chrom", "chr1"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# Region filtering + sample identity (capabilities beyond the reference).
+
+
+def test_parse_region_forms():
+    from weightedld_tpu.io.vcf import parse_region
+
+    assert parse_region("chr19") == ("chr19", None)
+    assert parse_region("19:100-200") == ("19", (100, 200))
+    assert parse_region("chr1:0-0") == ("chr1", (0, 0))
+    # A range needs a full numeric START-END tail; anything else is a name.
+    assert parse_region("HLA-A*01:01") == ("HLA-A*01:01", None)
+    assert parse_region("19:150") == ("19:150", None)
+    with pytest.raises(VcfError):
+        parse_region(":100-200")
+    with pytest.raises(VcfError):
+        parse_region("19:200-100")
+
+
+def test_read_vcf_pos_range_is_a_column_slice():
+    full, sm = read_vcf(T7_PATH)
+    lo, hi = 44890100, 44890180
+    sub, sm_sub = read_vcf(T7_PATH, pos_range=(lo, hi))
+    sel = (sm >= lo) & (sm <= hi)
+    assert sm_sub.tolist() == sm[sel].tolist()
+    np.testing.assert_array_equal(sub, full[:, sel])
+    # Composes with the chrom filter.
+    both, sm_both = read_vcf(T7_PATH, chrom="19", pos_range=(lo, hi))
+    np.testing.assert_array_equal(both, sub)
+
+
+def test_pos_range_no_records_is_clean_error():
+    with pytest.raises(VcfError, match="POS range 1-2"):
+        read_vcf(T7_PATH, pos_range=(1, 2))
+    from weightedld_tpu.io.vcf import scan_vcf
+
+    with pytest.raises(VcfError, match="POS range 1-2"):
+        scan_vcf(T7_PATH, pos_range=(1, 2))
+
+
+def test_scan_and_site_major_respect_pos_range():
+    from weightedld_tpu.io.vcf import read_vcf_site_major, scan_vcf
+
+    lo, hi = 44890100, 44890180
+    n_haps, sm = scan_vcf(T7_PATH, pos_range=(lo, hi))
+    assert n_haps == 5008 and sm.tolist() == [44890114, 44890164, 44890171]
+    codes, sm2, n2 = read_vcf_site_major(T7_PATH, pos_range=(lo, hi))
+    assert n2 == n_haps and sm2.tolist() == sm.tolist()
+    row_major, _ = read_vcf(T7_PATH, pos_range=(lo, hi))
+    # codes[s, k] == alignment[k, s] (the rot90 reversal is baked into the
+    # site-major column order — read_vcf_site_major docstring).
+    np.testing.assert_array_equal(codes.T, row_major)
+
+
+def test_vcf_sample_names_t7():
+    from weightedld_tpu.io.vcf import vcf_sample_names
+
+    names = vcf_sample_names(T7_PATH)
+    assert len(names) == 2504
+    assert names[0] == "HG00096" and names[-1] == "NA21144"
+
+
+def test_vcf_sample_names_errors(tmp_path):
+    from weightedld_tpu.io.vcf import vcf_sample_names
+
+    f = tmp_path / "nohdr.vcf"
+    f.write_text("##fileformat=VCFv4.1\n")
+    with pytest.raises(VcfError, match="#CHROM"):
+        vcf_sample_names(f)
+    f2 = tmp_path / "nosamp.vcf"
+    f2.write_text("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\n")
+    with pytest.raises(VcfError, match="no sample columns"):
+        vcf_sample_names(f2)

@@ -137,6 +137,22 @@ def build_parser() -> argparse.ArgumentParser:
                    "column) — the reference ignores CHROM, so whole-genome "
                    "VCFs mix chromosomes into one position axis; required "
                    "for per-chromosome --ld-decay/--prune-r2 on such files")
+    p.add_argument("--region", type=str, default=None, metavar="CHR[:LO-HI]",
+                   help="VCF only: keep records of this samtools-style "
+                   "region — a chromosome name, optionally with a 1-based "
+                   "inclusive POS window (e.g. chr19:44890000-44890200). "
+                   "Bare CHR equals --chrom CHR (the two flags are "
+                   "mutually exclusive); composable with --stream-ingest")
+    p.add_argument("--keep-samples", type=str, default=None, metavar="SPEC",
+                   help="restrict the analysis to these sequences/samples "
+                   "BEFORE masking and weighting: a comma-separated list "
+                   "of FASTA record names or VCF header sample names, or "
+                   "@FILE with one name per line (both haplotypes of a "
+                   "kept VCF sample are kept); unknown names are an error")
+    p.add_argument("--exclude-samples", type=str, default=None,
+                   metavar="SPEC",
+                   help="drop these sequences/samples (same SPEC form as "
+                   "--keep-samples; applied after it)")
     p.add_argument("--site-stats", type=Path, default=None,
                    help="write a per-site diagnostic TSV (coverage, major "
                    "code, minor fraction, hk/ld mask verdicts) over ALL "
@@ -215,6 +231,24 @@ def build_parser() -> argparse.ArgumentParser:
                    "--progress)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
+
+
+def _parse_sample_spec(spec: str | None) -> tuple[str, ...] | None:
+    """``--keep-samples``/``--exclude-samples`` SPEC -> name tuple:
+    ``@FILE`` reads one name per line (blank lines and ``#`` comments
+    skipped — the plink keep-file convention), anything else is a
+    comma-separated list."""
+    if spec is None:
+        return None
+    if spec.startswith("@"):
+        with open(spec[1:], encoding="utf-8") as fh:
+            names = [ln.strip() for ln in fh]
+        names = [n for n in names if n and not n.startswith("#")]
+    else:
+        names = [n.strip() for n in spec.split(",") if n.strip()]
+    if not names:
+        raise ValueError(f"empty sample list: {spec!r}")
+    return tuple(names)
 
 
 def _build_session(args, res, mesh, r2_threshold=None):
@@ -317,10 +351,21 @@ def main(argv=None) -> int:
     if args.fasta_reader is None:
         args.fasta_reader = "rust" if args.compat == "rust" else "python"
 
-    if args.chrom is not None and args.file is not None \
-            and not str(args.file).endswith((".vcf", ".vcf.gz")):
-        print("error: --chrom only applies to VCF input (FASTA has no "
-              "chromosome column)", file=sys.stderr)
+    if args.chrom is not None and args.region is not None:
+        print("error: --chrom and --region are mutually exclusive (a "
+              "region names its chromosome)", file=sys.stderr)
+        return 2
+    for flag, val in (("--chrom", args.chrom), ("--region", args.region)):
+        if val is not None and args.file is not None \
+                and not str(args.file).endswith((".vcf", ".vcf.gz")):
+            print(f"error: {flag} only applies to VCF input (FASTA has no "
+                  "chromosome column)", file=sys.stderr)
+            return 2
+    try:
+        keep_samples = _parse_sample_spec(args.keep_samples)
+        exclude_samples = _parse_sample_spec(args.exclude_samples)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
         return 2
     if args.list_chroms:
         # Pre-analysis query: answer and exit before any ingest/compile.
@@ -350,6 +395,9 @@ def main(argv=None) -> int:
         weighting=args.weighting,
         chrom=args.chrom,
         fasta_reader=args.fasta_reader,
+        region=args.region,
+        keep_samples=keep_samples,
+        exclude_samples=exclude_samples,
     )
 
     if args.site_stats is not None:
@@ -377,7 +425,8 @@ def main(argv=None) -> int:
         return 0
 
     prep_keys = ("min_acgt", "min_variability", "unweighted", "max_minor",
-                 "weight_mask", "weighting", "chrom", "fasta_reader")
+                 "weight_mask", "weighting", "chrom", "fasta_reader",
+                 "region", "keep_samples", "exclude_samples")
     t0 = time.monotonic()
     if args.load_prepared:
         from .runtime.cache import load_prepared
@@ -385,12 +434,16 @@ def main(argv=None) -> int:
         res, prep = load_prepared(args.load_prepared)
         # Preparation happened at save time: warn if the flags given now
         # disagree with the cached preparation (they are NOT re-applied).
-        wanted = {k: getattr(cfg, k) for k in prep_keys}
+        # Tuples (sample lists) are stored as JSON arrays -> compare as lists.
+        wanted = {k: (list(v) if isinstance(v := getattr(cfg, k), tuple)
+                      else v) for k in prep_keys}
         # Keys absent from an old cache default to the value the OLD code
         # effectively used, not to the requested value — otherwise e.g.
         # --chrom against a pre-chrom cache silently suppresses the
         # mismatch warning.
-        legacy_defaults = {"chrom": None, "fasta_reader": "python"}
+        legacy_defaults = {"chrom": None, "fasta_reader": "python",
+                           "region": None, "keep_samples": None,
+                           "exclude_samples": None}
         stored = {k: prep.get(k, legacy_defaults.get(k, wanted[k]))
                   for k in prep_keys}
         diffs = {k: (stored[k], wanted[k]) for k in prep_keys
@@ -416,6 +469,11 @@ def main(argv=None) -> int:
             print("error: --stream-ingest supports the default (python) "
                   "weighting only", file=sys.stderr)
             return 2
+        if keep_samples is not None or exclude_samples is not None:
+            print("error: --keep-samples/--exclude-samples need the "
+                  "row-major reader; drop --stream-ingest to subset "
+                  "samples", file=sys.stderr)
+            return 2
         if args.engine in ("dense", "reference"):
             print(f"error: --stream-ingest requires the tiled engine "
                   f"(--engine {args.engine} holds the matrix in sequence-"
@@ -429,11 +487,18 @@ def main(argv=None) -> int:
             # The padding must match the session the records mode builds:
             # same tile/seq_chunk flags (auto resolution is deterministic
             # per platform).
+            chrom = args.chrom
+            pos_range = None
+            if args.region is not None:
+                from .io.vcf import parse_region
+
+                chrom, pos_range = parse_region(args.region)
             with timer.stage("ingest"):
                 sm, site_map = prepare_vcf_streamed(
-                    args.file, chrom=args.chrom,
+                    args.file, chrom=chrom,
                     cfg=DriverConfig(tile=args.tile, seq_chunk=args.seq_chunk,
                                      engine="pallas"),
+                    pos_range=pos_range,
                 )
             with timer.stage("weights"):
                 if args.unweighted:

@@ -114,12 +114,24 @@ def read_fasta_rust(path: str | Path) -> np.ndarray:
     * blank lines are rows too (a lone ``'\\n'`` is a length-1 sequence —
       and therefore usually a ragged abort, exactly like the binary).
     """
+    return read_fasta_rust_with_names(path)[0]
+
+
+def read_fasta_rust_with_names(
+        path: str | Path) -> tuple[np.ndarray, list[str]]:
+    """:func:`read_fasta_rust` plus per-row names.  The Rust reader labels
+    each non-header line with the most recent ``>`` header
+    (``lib.rs:287-304``); lines before any header get an empty name."""
     rows: list[np.ndarray] = []
+    names: list[str] = []
+    name = ""
     with _open_maybe_gzip(path) as fh:
         for raw_line in fh:
             if raw_line.startswith(b">"):
+                name = raw_line[1:].decode("utf-8", "replace").strip()
                 continue
             rows.append(_RUST_LUT[np.frombuffer(raw_line, dtype=np.uint8)])
+            names.append(name)
     if not rows:
         raise ValueError(f"{path}: no sequences found")
     n_sites = len(rows[0])
@@ -130,4 +142,4 @@ def read_fasta_rust(path: str | Path) -> np.ndarray:
                 f"{n_sites} (the Rust reader does not concatenate wrapped "
                 "FASTA lines and keeps line terminators; lib.rs:180)"
             )
-    return np.stack(rows, axis=0)
+    return np.stack(rows, axis=0), names

@@ -46,6 +46,64 @@ class VcfError(ValueError):
     pass
 
 
+def parse_region(spec: str) -> tuple[str, tuple[int, int] | None]:
+    """Parse a samtools/tabix-style region ``CHR`` or ``CHR:START-END`` into
+    ``(chrom, pos_range)`` — ``pos_range`` is a 1-based INCLUSIVE ``(lo, hi)``
+    over the POS column, or None for a whole-chromosome region.
+
+    Capability beyond the reference (which has no region handling at all,
+    ``WeightedLD.py:311-379``); the filter semantics match ``--chrom`` plus a
+    POS window, so ``CHR`` alone is exactly ``--chrom CHR``.  A range needs
+    the full numeric ``START-END`` tail; any other trailing ``:...`` is part
+    of the chromosome name (``HLA-A*01:01`` is a name, not a range) — the
+    LAST ``:`` splits.
+    """
+    chrom, sep, rng = spec.rpartition(":")
+    if not sep:
+        return spec, None
+    lo_s, dash, hi_s = rng.partition("-")
+    try:
+        if not dash:
+            raise ValueError
+        lo, hi = int(lo_s), int(hi_s)
+    except ValueError:
+        # No numeric START-END tail: the whole spec is a chromosome name.
+        return spec, None
+    if not chrom:
+        raise VcfError(f"bad region {spec!r}: empty chromosome name")
+    if lo < 0 or hi < lo:
+        raise VcfError(f"bad region {spec!r}: need 0 <= START <= END")
+    return chrom, (lo, hi)
+
+
+def vcf_sample_names(path: str | Path) -> list[str]:
+    """Sample names from the ``#CHROM`` header line (columns 10+), in file
+    order — the valid arguments for sample subsetting (``--keep-samples`` /
+    ``--exclude-samples``).  Streaming; only the header is read.
+
+    Haplotype mapping: sample ``i`` owns file-order haplotypes ``2i`` and
+    ``2i+1`` (phased diploid split, ``WeightedLD.py:356``); the alignment's
+    ROW order is the reference's ``np.rot90`` reversal (``WeightedLD.py:375``),
+    so alignment row ``k`` belongs to sample ``(n_haps-1-k) // 2``.
+    """
+    import io as _io
+
+    from .fasta import _open_maybe_gzip
+
+    with _open_maybe_gzip(path) as raw:
+        fh = _io.TextIOWrapper(raw, encoding="utf-8", errors="replace",
+                               newline=None)
+        for line in fh:
+            body = line.rstrip("\n")
+            if "#CHROM" in body:
+                cols = body.split("\t")
+                if len(cols) < 10:
+                    raise VcfError(
+                        f"{path}: #CHROM header has no sample columns")
+                return [c.strip() for c in cols[9:] if c.strip()]
+    raise VcfError(f"{path}: no #CHROM header line found")
+
+
 def _parse_allele(tok: str) -> int:
     if tok == "." or tok == "":
         return GAP
@@ -107,7 +165,9 @@ def _fast_parse_gt_block(block: str) -> np.ndarray | None:
 
 
 def read_vcf(path: str | Path,
-             chrom: str | None = None) -> tuple[np.ndarray, np.ndarray]:
+             chrom: str | None = None,
+             pos_range: tuple[int, int] | None = None,
+             ) -> tuple[np.ndarray, np.ndarray]:
     """Read a multi-sample VCF into ``(alignment, site_map)``.
 
     Args:
@@ -116,6 +176,8 @@ def read_vcf(path: str | Path,
             mix chromosomes into one POS axis; per-chromosome analyses —
             ld_decay, prune — need this filter).  The filtered path uses
             the Python reader.
+        pos_range: 1-based inclusive ``(lo, hi)`` POS window (the
+            ``--region CHR:START-END`` filter; see :func:`parse_region`).
 
     Returns:
         alignment: ``[n_haplotypes, n_sites]`` int8 code matrix.
@@ -125,8 +187,8 @@ def read_vcf(path: str | Path,
     built — same semantics and error messages; ``WLD_NATIVE_IO=0`` forces
     the Python path (the parity oracle in tests/test_native_io.py).
     """
-    if chrom is not None:
-        return read_vcf_python(path, chrom=chrom)
+    if chrom is not None or pos_range is not None:
+        return read_vcf_python(path, chrom=chrom, pos_range=pos_range)
     from . import native
 
     if native.available():
@@ -207,8 +269,8 @@ def list_chromosomes(path: str | Path) -> list[str]:
     return out
 
 
-def _decode_record(path, lineno, line, chrom):
-    """Parse one variant line -> ``(pos, row int8)`` or None (chrom
+def _decode_record(path, lineno, line, chrom, pos_range=None):
+    """Parse one variant line -> ``(pos, row int8)`` or None (chrom/region
     filtered).  Shared by the row-list and streaming readers."""
     cols = line.split("\t", 9)
     if len(cols) < 10:
@@ -216,6 +278,8 @@ def _decode_record(path, lineno, line, chrom):
     if chrom is not None and cols[0] != chrom:
         return None
     pos = int(cols[1])
+    if pos_range is not None and not (pos_range[0] <= pos <= pos_range[1]):
+        return None
 
     fast = _fast_parse_gt_block(cols[9])
     if fast is not None:
@@ -244,12 +308,23 @@ def _check_multisample(path, line):
         )
 
 
+def _no_records_msg(path, chrom, pos_range=None):
+    where = f" on chromosome {chrom!r}" if chrom is not None else ""
+    if pos_range is not None:
+        where += f" in POS range {pos_range[0]}-{pos_range[1]}"
+    return f"{path}: no variant records{where}"
+
+
 def scan_vcf(path: str | Path,
-             chrom: str | None = None) -> tuple[int, np.ndarray]:
+             chrom: str | None = None,
+             pos_range: tuple[int, int] | None = None,
+             ) -> tuple[int, np.ndarray]:
     """Streaming pass 1 of the two-pass site-major ingest: ``(n_haplotypes,
     site_map)`` without materializing any genotypes (O(records) memory —
     the POS list only).  The first matching record is decoded once to
-    learn the haplotype count; every record is re-validated in pass 2."""
+    learn the haplotype count; every record is re-validated in pass 2.
+    ``pos_range`` is a 1-based inclusive POS window (see
+    :func:`parse_region`)."""
     positions: list[int] = []
     n_haps = None
     first = True
@@ -262,14 +337,18 @@ def scan_vcf(path: str | Path,
             continue
         if len(cols) < 3:
             raise VcfError(f"{path}:{lineno}: fewer than 10 columns")
-        positions.append(int(cols[1]))
+        pos = int(cols[1])
+        if pos_range is not None \
+                and not (pos_range[0] <= pos <= pos_range[1]):
+            continue
+        positions.append(pos)
         if n_haps is None:
-            rec = _decode_record(path, lineno, line, chrom)
+            rec = _decode_record(path, lineno, line, chrom, pos_range)
             n_haps = len(rec[1])
     if first:
         raise VcfError(f"{path}: no variant records")
     if not positions:
-        raise VcfError(f"{path}: no variant records on chromosome {chrom!r}")
+        raise VcfError(_no_records_msg(path, chrom, pos_range))
     return n_haps, np.asarray(positions, dtype=np.int64)
 
 
@@ -279,6 +358,7 @@ def read_vcf_site_major(
     s_pad: int | None = None,
     n_pad: int | None = None,
     scan: tuple[int, np.ndarray] | None = None,
+    pos_range: tuple[int, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Two-pass streaming ingest straight into the engine's padded
     SITE-MAJOR layout: ``(codes [s_pad, n_pad] int8, site_map, n_haps)``.
@@ -305,7 +385,8 @@ def read_vcf_site_major(
     ``scan`` passes a precomputed :func:`scan_vcf` result (skips pass 1;
     pass 2 still re-validates every record against it).
     """
-    n_haps, site_map = scan if scan is not None else scan_vcf(path, chrom)
+    n_haps, site_map = scan if scan is not None \
+        else scan_vcf(path, chrom, pos_range)
     s = len(site_map)
     s_pad = s if s_pad is None else s_pad
     n_pad = n_haps if n_pad is None else n_pad
@@ -315,7 +396,7 @@ def read_vcf_site_major(
     out = np.full((s_pad, n_pad), UNKNOWN, dtype=ALIGNMENT_DTYPE)
     i = 0
     for lineno, line in _iter_variant_lines(path):
-        rec = _decode_record(path, lineno, line, chrom)
+        rec = _decode_record(path, lineno, line, chrom, pos_range)
         if rec is None:
             continue
         pos, row = rec
@@ -334,7 +415,9 @@ def read_vcf_site_major(
 
 
 def read_vcf_python(path: str | Path,
-                    chrom: str | None = None) -> tuple[np.ndarray, np.ndarray]:
+                    chrom: str | None = None,
+                    pos_range: tuple[int, int] | None = None,
+                    ) -> tuple[np.ndarray, np.ndarray]:
     """Pure-Python fallback/oracle for :func:`read_vcf`."""
     positions: list[int] = []
     site_rows: list[np.ndarray] = []
@@ -345,7 +428,7 @@ def read_vcf_python(path: str | Path,
         if first:
             _check_multisample(path, line)
             first = False
-        rec = _decode_record(path, lineno, line, chrom)
+        rec = _decode_record(path, lineno, line, chrom, pos_range)
         if rec is None:
             continue
         pos, row = rec
@@ -362,7 +445,7 @@ def read_vcf_python(path: str | Path,
     if first:
         raise VcfError(f"{path}: no variant records")
     if not positions:
-        raise VcfError(f"{path}: no variant records on chromosome {chrom!r}")
+        raise VcfError(_no_records_msg(path, chrom, pos_range))
     site_map = np.asarray(positions, dtype=np.int64)
     mat = np.stack(site_rows, axis=0)                 # [n_sites, n_haps]
     # rot90 parity: haplotype rows in reverse order (WeightedLD.py:375).

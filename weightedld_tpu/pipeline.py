@@ -69,6 +69,79 @@ class WldConfig:
                                    # records concatenated, WeightedLD.py:34)
                                    # or "rust" (the Rust binary's line-based
                                    # reader, io/fasta.py:read_fasta_rust)
+    region: str | None = None      # VCF only: "CHR" or "CHR:START-END"
+                                   # (1-based inclusive POS window,
+                                   # io.vcf.parse_region); exclusive with
+                                   # `chrom`
+    keep_samples: tuple[str, ...] | None = None     # restrict the analysis
+                                   # to these sequence/sample names (FASTA
+                                   # record names; VCF #CHROM header sample
+                                   # columns — both haplotypes of a kept
+                                   # sample are kept)
+    exclude_samples: tuple[str, ...] | None = None  # drop these names
+                                   # (applied after keep_samples)
+
+
+def _sample_row_mask(row_names: list[str],
+                     keep: tuple[str, ...] | None,
+                     exclude: tuple[str, ...] | None) -> np.ndarray:
+    """Boolean row mask from keep/exclude name sets, with typo safety:
+    every named sample must exist in the input (plink-style subsetting is
+    silent on unknown names, which hides misspellings; this is not).
+    ``keep`` restricts, then ``exclude`` drops; row ORDER is preserved.
+    Capability beyond the reference (which has no sample handling)."""
+    known = set(row_names)
+    for group, flag in ((keep, "keep_samples"), (exclude, "exclude_samples")):
+        unknown = sorted(set(group or ()) - known)
+        if unknown:
+            raise ValueError(
+                f"{flag}: unknown sample name(s): {', '.join(unknown)}")
+    mask = np.ones(len(row_names), dtype=bool)
+    if keep is not None:
+        ks = set(keep)
+        mask &= np.fromiter((n in ks for n in row_names), dtype=bool,
+                            count=len(row_names))
+    if exclude is not None:
+        es = set(exclude)
+        mask &= np.fromiter((n not in es for n in row_names), dtype=bool,
+                            count=len(row_names))
+    if int(mask.sum()) < 2:
+        raise ValueError(
+            "fewer than 2 sequences remain after sample subsetting")
+    return mask
+
+
+def _vcf_row_names(path: str | Path, n_haps: int) -> list[str]:
+    """Per-ROW sample names for a VCF alignment: row ``k`` belongs to
+    sample ``(n_haps-1-k) // 2`` under the reference's rot90 row order
+    (``WeightedLD.py:375``; diploid phased split ``WeightedLD.py:356``).
+    Haploid files (one haplotype per sample) map row ``k`` to sample
+    ``n_haps-1-k``.  Mixed ploidy has no consistent row->sample mapping
+    and is rejected."""
+    from .io.vcf import vcf_sample_names
+
+    names = vcf_sample_names(path)
+    if n_haps == 2 * len(names):
+        return [names[(n_haps - 1 - k) // 2] for k in range(n_haps)]
+    if n_haps == len(names):
+        return [names[n_haps - 1 - k] for k in range(n_haps)]
+    raise ValueError(
+        f"cannot map {n_haps} haplotype rows to {len(names)} header "
+        "samples (mixed ploidy?); sample subsetting needs uniformly "
+        "diploid or uniformly haploid records"
+    )
+
+
+def _resolve_vcf_filters(cfg: WldConfig):
+    """``(chrom, pos_range)`` from cfg.chrom / cfg.region (exclusive)."""
+    if cfg.region is None:
+        return cfg.chrom, None
+    if cfg.chrom is not None:
+        raise ValueError("chrom and region are mutually exclusive "
+                         "(a region names its chromosome)")
+    from .io.vcf import parse_region
+
+    return parse_region(cfg.region)
 
 
 @dataclass
@@ -86,18 +159,36 @@ def prepare_fasta(path: str | Path, cfg: WldConfig,
     from .runtime.profiling import StageTimer
 
     timer = timer or StageTimer()
+    if cfg.region is not None:
+        raise ValueError("region only applies to VCF input (FASTA has no "
+                         "chromosome/position columns)")
+    subsetting = cfg.keep_samples is not None or cfg.exclude_samples is not None
     with timer.stage("ingest"):
         if cfg.fasta_reader == "rust":
             from .io.fasta import read_fasta_rust
 
-            alignment = read_fasta_rust(path)
+            if subsetting:
+                from .io.fasta import read_fasta_rust_with_names
+
+                alignment, names = read_fasta_rust_with_names(path)
+            else:
+                alignment = read_fasta_rust(path)
         elif cfg.fasta_reader == "python":
-            alignment = read_fasta(path)
+            if subsetting:
+                from .io.fasta import read_fasta_with_names
+
+                alignment, names = read_fasta_with_names(path)
+            else:
+                alignment = read_fasta(path)
         else:
             raise ValueError(
                 f"fasta_reader must be 'python' or 'rust', got "
                 f"{cfg.fasta_reader!r}"
             )
+        if subsetting:
+            mask = _sample_row_mask(names, cfg.keep_samples,
+                                    cfg.exclude_samples)
+            alignment = alignment[mask]
     with timer.stage("mask"):
         # Host f64 masks: bit-exact with the reference at threshold
         # boundaries (see compute_variable_sites_host).
@@ -130,8 +221,14 @@ def prepare_vcf(path: str | Path, cfg: WldConfig,
     from .runtime.profiling import StageTimer
 
     timer = timer or StageTimer()
+    chrom, pos_range = _resolve_vcf_filters(cfg)
     with timer.stage("ingest"):
-        alignment, site_map = read_vcf(path, chrom=cfg.chrom)
+        alignment, site_map = read_vcf(path, chrom=chrom, pos_range=pos_range)
+        if cfg.keep_samples is not None or cfg.exclude_samples is not None:
+            names = _vcf_row_names(path, alignment.shape[0])
+            mask = _sample_row_mask(names, cfg.keep_samples,
+                                    cfg.exclude_samples)
+            alignment = alignment[mask]
     with timer.stage("weights"):
         if cfg.unweighted:
             weights = np.ones(alignment.shape[0], dtype=np.float32)
@@ -191,9 +288,25 @@ def site_stats(path: str | Path, cfg: WldConfig | None = None) -> dict:
 
     cfg = cfg or WldConfig()
     if str(path).endswith((".vcf", ".vcf.gz")):
-        alignment, site_map = read_vcf(path, chrom=cfg.chrom)
+        chrom, pos_range = _resolve_vcf_filters(cfg)
+        alignment, site_map = read_vcf(path, chrom=chrom,
+                                       pos_range=pos_range)
+        if cfg.keep_samples is not None or cfg.exclude_samples is not None:
+            alignment = alignment[_sample_row_mask(
+                _vcf_row_names(path, alignment.shape[0]),
+                cfg.keep_samples, cfg.exclude_samples)]
     else:
-        alignment = read_fasta(path)
+        if cfg.region is not None:
+            raise ValueError("region only applies to VCF input (FASTA has "
+                             "no chromosome/position columns)")
+        if cfg.keep_samples is not None or cfg.exclude_samples is not None:
+            from .io.fasta import read_fasta_with_names
+
+            alignment, names = read_fasta_with_names(path)
+            alignment = alignment[_sample_row_mask(
+                names, cfg.keep_samples, cfg.exclude_samples)]
+        else:
+            alignment = read_fasta(path)
         site_map = np.arange(alignment.shape[1], dtype=np.int64)
     n_seqs = alignment.shape[0]
     counts = site_histogram_host(alignment)              # ONE [S, 5] scan

@@ -53,15 +53,17 @@ def prepare_vcf_streamed(
     chrom: str | None = None,
     cfg: DriverConfig | None = None,
     platform: str | None = None,
+    pos_range: tuple[int, int] | None = None,
 ) -> tuple[SiteMajorCodes, np.ndarray]:
     """Two-pass streaming ingest sized for ``cfg``'s resolved padding:
     ``(SiteMajorCodes, site_map)`` ready for a zero-copy
     :class:`LdSession` built with the same config (engine pinned to
     ``pallas`` — see :func:`_pin_pallas`; :func:`session_from_vcf` does
     both halves consistently).  ``platform`` sizes for the session mesh's
-    platform when it differs from the default backend."""
+    platform when it differs from the default backend.  ``pos_range`` is
+    the ``--region`` POS window (1-based inclusive, ``io.vcf.parse_region``)."""
     cfg = _pin_pallas(cfg)
-    n_haps, site_map = scan_vcf(path, chrom)
+    n_haps, site_map = scan_vcf(path, chrom, pos_range)
     # VCF codes are 0..5 (an ALT5+ allele maps to UNKNOWN for reference
     # parity) — majmin USUALLY applies, so size for the factorized tile
     # band (required_padding docstring); if an ALT5 cell breaks the
@@ -73,7 +75,7 @@ def prepare_vcf_streamed(
         platform=platform)
     codes, site_map, n_haps = read_vcf_site_major(
         path, chrom=chrom, s_pad=s_pad, n_pad=n_pad,
-        scan=(n_haps, site_map),
+        scan=(n_haps, site_map), pos_range=pos_range,
     )
     return SiteMajorCodes(codes=codes, n_seqs=n_haps,
                           n_sites=len(site_map)), site_map
@@ -87,6 +89,7 @@ def session_from_vcf(
     unweighted: bool = False,
     weights: np.ndarray | None = None,
     weight_precision: str = "f64",
+    pos_range: tuple[int, int] | None = None,
 ) -> LdSession:
     """Build a device session from a (possibly gzipped) VCF with bounded
     host memory — the streaming twin of ``prepare_vcf`` + ``LdSession``.
@@ -103,7 +106,8 @@ def session_from_vcf(
     cfg = _pin_pallas(cfg)
     platform = (mesh.devices.flat[0].platform if mesh is not None else None)
     sm, site_map = prepare_vcf_streamed(path, chrom=chrom, cfg=cfg,
-                                        platform=platform)
+                                        platform=platform,
+                                        pos_range=pos_range)
     if unweighted:
         weights = np.ones(sm.n_seqs, dtype=np.float32)
     elif weights is None and weight_precision == "f64":
