@@ -682,3 +682,133 @@ def test_stream_ingest_region_parity(tmp_path, capsys):
     assert main(["--file", T7_PATH, "--keep-samples", "HG00096",
                  "--stream-ingest", "--engine", "tiled"]) == 2
     assert "row-major reader" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# --out-format plink (round-5 capability).
+
+
+def test_plink_format_vcf(tmp_path, capsys):
+    from .fixtures import T7_PATH
+
+    assert main(["--file", T7_PATH, "--out-format", "plink"]) == 0
+    out = capsys.readouterr().out
+    lines = out.strip().splitlines()
+    assert lines[0] == "CHR_A\tBP_A\tSNP_A\tCHR_B\tBP_B\tSNP_B\tR2\tDP\tD"
+    assert len(lines) == 11  # header + the 10 t7 pairs
+    first = lines[1].split("\t")
+    # CHROM and the real rsIDs come from the VCF columns.
+    assert first[:6] == ["19", "44890030", "rs189636588",
+                         "19", "44890114", "rs73934845"]
+    # Stats are the same numbers as the default format, reordered R2/DP/D.
+    assert main(["--file", T7_PATH]) == 0
+    ref = capsys.readouterr().out.strip().splitlines()[1].split("\t")
+    assert first[6:] == [ref[4], ref[3], ref[2]]
+    # Tiled streaming emits identical bytes (same tile order as tsv mode).
+    assert main(["--file", T7_PATH, "--out-format", "plink",
+                 "--engine", "tiled"]) == 0
+    assert capsys.readouterr().out == out
+
+
+def test_plink_format_fasta_and_file_output(tmp_path, capsys):
+    path = tmp_path / "e.fasta"
+    write_fasta(path, ["ATAA", "TAAA", "TAAA", "TAAA", "T-AA",
+                       "TTAA", "TTAA", "TTAA", "TTAA", "TTAY"])
+    assert main(["--file", str(path), "--out-format", "plink"]) == 0
+    out = capsys.readouterr().out
+    assert out.strip().splitlines()[1].split("\t")[:6] == \
+        ["0", "0", "site0", "0", "1", "site1"]
+    # File output via run_to_tsv (tiled, unsorted) matches stdout rows.
+    dst = tmp_path / "pairs.ld"
+    assert main(["--file", str(path), "--out-format", "plink",
+                 "--engine", "tiled", "--pair-output", str(dst)]) == 0
+    capsys.readouterr()
+    assert dst.read_text() == out
+
+
+def test_plink_format_in_checkpoint_fingerprint(tmp_path):
+    """A resume cannot silently mix tsv and plink rows in one file: the
+    output format participates in run_to_tsv's checkpoint fingerprint
+    (every other fingerprint input held identical)."""
+    import numpy as np
+
+    from weightedld_tpu.io.writer import PairAnnot
+    from weightedld_tpu.runtime.driver import DriverConfig, run_to_tsv
+
+    rng = np.random.default_rng(0)
+    aln = (rng.integers(0, 2, size=(24, 32)) * 3).astype(np.int8)
+    w = np.ones(24, np.float32)
+    sm = np.arange(32, dtype=np.int64)
+    cfg = DriverConfig(tile=16, tiles_per_shard_batch=1)
+    part = tmp_path / "pairs.tsv"
+
+    class Stop(Exception):
+        pass
+
+    import weightedld_tpu.runtime.driver as drv
+
+    orig = drv.LdSession.stream
+
+    def limited_stream(*args, **kwargs):
+        for item in orig(*args, **kwargs):
+            yield item
+            if not kwargs.get("start_batch"):
+                raise Stop
+
+    drv.LdSession.stream = limited_stream
+    try:
+        with pytest.raises(Stop):
+            run_to_tsv(aln, w, sm, part, cfg)
+    finally:
+        drv.LdSession.stream = orig
+    assert part.with_suffix(part.suffix + ".ckpt.json").exists()
+
+    annot = PairAnnot({int(p): "0" for p in sm},
+                      {int(p): f"site{p}" for p in sm})
+    with pytest.raises(RuntimeError, match="different run"):
+        run_to_tsv(aln, w, sm, part, cfg, annot=annot)
+    # Resuming in the ORIGINAL format still works and finishes the file.
+    run_to_tsv(aln, w, sm, part, cfg)
+    assert part.read_text().startswith("posa\tposb\t")
+    # A fresh plink run writes the plink header and rows.
+    dst = tmp_path / "pairs.ld"
+    run_to_tsv(aln, w, sm, dst, cfg, annot=annot)
+    body = dst.read_text()
+    assert body.startswith("CHR_A\tBP_A\tSNP_A\t")
+    assert "\tsite0\t" in body
+
+
+def test_plink_duplicate_pos_conflict(tmp_path, capsys):
+    header = ("##fileformat=VCFv4.1\n"
+              "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+              + "\t".join(f"s{i}" for i in range(14)))
+    gts = "\t".join(["0|1"] * 7 + ["1|0"] * 7)
+    rows = [f"chr1\t100\trsA\tA\tT\t.\t.\t.\tGT\t{gts}",
+            f"chr1\t200\trsA2\tA\tT\t.\t.\t.\tGT\t{gts}",
+            f"chr2\t100\trsB\tA\tT\t.\t.\t.\tGT\t{gts}",
+            f"chr2\t200\trsB2\tA\tT\t.\t.\t.\tGT\t{gts}"]
+    f = tmp_path / "dup.vcf"
+    f.write_text(header + "\n" + "\n".join(rows) + "\n")
+    assert main(["--file", str(f), "--out-format", "plink"]) == 2
+    err = capsys.readouterr().err
+    assert "two identities" in err and "--chrom/--region" in err
+    # Per-chromosome runs are fine.
+    assert main(["--file", str(f), "--out-format", "plink",
+                 "--chrom", "chr2"]) == 0
+    out = capsys.readouterr().out
+    assert "chr2\t100\trsB" in out and "rsA" not in out
+
+
+def test_plink_mode_validations(tmp_path, capsys):
+    from .fixtures import T7_PATH
+
+    assert main(["--file", T7_PATH, "--out-format", "plink",
+                 "--stats-only"]) == 2
+    assert "only applies to pair-record" in capsys.readouterr().err
+    assert main(["--load-prepared", str(tmp_path / "x.npz"),
+                 "--out-format", "plink"]) == 2
+    assert "needs --file" in capsys.readouterr().err
+    # --top emits pair records: plink applies.
+    assert main(["--file", T7_PATH, "--out-format", "plink", "--top", "2"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("CHR_A\t") and len(out.strip().splitlines()) == 3

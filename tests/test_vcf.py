@@ -287,3 +287,20 @@ def test_vcf_sample_names_errors(tmp_path):
     f2.write_text("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\n")
     with pytest.raises(VcfError, match="no sample columns"):
         vcf_sample_names(f2)
+
+
+def test_site_annotations_alignment_with_site_map():
+    from weightedld_tpu.io.vcf import read_vcf, site_annotations
+
+    pos, chroms, ids = site_annotations(T7_PATH)
+    _, sm = read_vcf(T7_PATH)
+    assert pos.tolist() == sm.tolist()
+    assert chroms == ["19"] * 5
+    assert ids[0] == "rs189636588" and ids[-1] == "rs73934846"
+    # Filters keep the annotation set aligned with the filtered readers.
+    pos2, _, ids2 = site_annotations(T7_PATH, chrom="19",
+                                     pos_range=(44890100, 44890180))
+    assert pos2.tolist() == [44890114, 44890164, 44890171]
+    assert ids2[0] == "rs73934845"
+    with pytest.raises(VcfError, match="no variant records"):
+        site_annotations(T7_PATH, chrom="nope")

@@ -110,6 +110,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "gzip members so resume stays byte-exact)")
     p.add_argument("--ndigits", type=int, default=4,
                    help="output rounding digits [default 4, as reference]")
+    p.add_argument("--out-format", choices=("tsv", "plink"), default="tsv",
+                   help="pair-record format: 'tsv' = the reference's "
+                   "posa/posb/D/D'/R2 rows; 'plink' = PLINK --r2 dprime "
+                   "columns (CHR_A BP_A SNP_A CHR_B BP_B SNP_B R2 DP, "
+                   "plus a trailing D) with CHROM/ID taken from the VCF "
+                   "(FASTA sites get chromosome 0 and site<idx> ids) — "
+                   "drop-in for tooling that parses plink.ld; needs "
+                   "--file (a prepared cache stores no CHROM/ID columns)")
     p.add_argument("--stats-only", action="store_true",
                    help="print a JSON summary instead of per-pair records")
     p.add_argument("--matrix-output", type=Path, default=None,
@@ -327,6 +335,18 @@ def main(argv=None) -> int:
         print(f"error: {' and '.join(modes)} are mutually exclusive "
               "output modes", file=sys.stderr)
         return 2
+    if args.out_format == "plink":
+        # --top emits pair records (plink applies); every other query mode
+        # emits JSON/TSV of its own shape.
+        non_pair = [m for m in modes if m != "--top"]
+        if non_pair:
+            print(f"error: --out-format plink only applies to pair-record "
+                  f"output, not {non_pair[0]}", file=sys.stderr)
+            return 2
+        if args.load_prepared is not None:
+            print("error: --out-format plink needs --file (a prepared "
+                  "cache stores no CHROM/ID columns)", file=sys.stderr)
+            return 2
     if (args.list_chroms or args.site_stats is not None) \
             and args.save_prepared is not None:
         print("error: --save-prepared has no effect with a pre-analysis "
@@ -538,6 +558,42 @@ def main(argv=None) -> int:
         n, s = res.alignment.shape
     log.info("prepared %d sequences x %d LD sites in %.2fs", n, s,
              time.monotonic() - t0)
+
+    annot = None
+    if args.out_format == "plink":
+        from .io.writer import PairAnnot
+
+        if str(args.file).endswith((".vcf", ".vcf.gz")):
+            from .io.vcf import VcfError, parse_region, site_annotations
+
+            chrom, pos_range = args.chrom, None
+            if args.region is not None:
+                chrom, pos_range = parse_region(args.region)
+            try:
+                pos, chroms, ids = site_annotations(args.file, chrom,
+                                                    pos_range)
+            except (VcfError, OSError) as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            chrom_of: dict[int, str] = {}
+            id_of: dict[int, str] = {}
+            for p, c, i in zip(pos.tolist(), chroms, ids):
+                if p in chrom_of and (chrom_of[p], id_of[p]) != (c, i):
+                    print(f"error: --out-format plink: POS {p} appears "
+                          f"with two identities ({chrom_of[p]}:{id_of[p]} "
+                          f"and {c}:{i}) — whole-genome VCFs mix "
+                          "chromosomes into one position axis; run per "
+                          "chromosome with --chrom/--region",
+                          file=sys.stderr)
+                    return 2
+                chrom_of[p] = c
+                id_of[p] = i
+        else:
+            # FASTA: positions are original column indices.
+            sm = [int(p) for p in np.asarray(res.site_map)]
+            chrom_of = {p: "0" for p in sm}
+            id_of = {p: f"site{p}" for p in sm}
+        annot = PairAnnot(chrom_of, id_of)
 
     if args.max_distance_bp is not None:
         # Validate BEFORE any session upload/compile (the session-level
@@ -836,7 +892,7 @@ def main(argv=None) -> int:
             out = open_text_output(args.pair_output) if args.pair_output \
                 else sys.stdout
             try:
-                write_pairs(rec, out, ndigits=args.ndigits)
+                write_pairs(rec, out, ndigits=args.ndigits, annot=annot)
             finally:
                 if args.pair_output:
                     out.close()
@@ -863,7 +919,8 @@ def main(argv=None) -> int:
         if emit:
             out = open_text_output(args.pair_output) if args.pair_output else sys.stdout
             try:
-                write_pairs(records, out, ndigits=args.ndigits)
+                write_pairs(records, out, ndigits=args.ndigits,
+                            annot=annot)
             finally:
                 if args.pair_output:
                     out.close()
@@ -882,7 +939,8 @@ def main(argv=None) -> int:
                 out = open_text_output(args.pair_output) \
                     if args.pair_output else sys.stdout
                 try:
-                    write_pairs(records, out, ndigits=args.ndigits)
+                    write_pairs(records, out, ndigits=args.ndigits,
+                                annot=annot)
                 finally:
                     if args.pair_output:
                         out.close()
@@ -919,7 +977,8 @@ def main(argv=None) -> int:
                     out = open_text_output(args.pair_output) \
                         if args.pair_output else sys.stdout
                     try:
-                        write_pairs(rec, out, ndigits=args.ndigits)
+                        write_pairs(rec, out, ndigits=args.ndigits,
+                                    annot=annot)
                     finally:
                         if args.pair_output:
                             out.close()
@@ -934,12 +993,14 @@ def main(argv=None) -> int:
                     res.alignment, res.weights, res.site_map, args.pair_output,
                     dcfg, mesh=mesh, checkpoint=args.checkpoint,
                     ndigits=args.ndigits, on_progress=on_progress,
-                    timer=timer,
+                    timer=timer, annot=annot,
                 )
             log.info("wrote %d pairs in %.2fs", nrec, time.monotonic() - t0)
         else:
             if emit:
-                print("posa\tposb\tD\tD'\tR2")
+                from .io.writer import pair_header
+
+                print(pair_header(annot))
             with device_trace(trace_dir), timer.stage("scan+write"):
                 for _, rec in stream_ld_records(
                     res.alignment, res.weights, res.site_map, dcfg, mesh=mesh,
@@ -948,7 +1009,7 @@ def main(argv=None) -> int:
                 ):
                     if emit:
                         write_pairs(rec, sys.stdout, ndigits=args.ndigits,
-                                    header=False)
+                                    header=False, annot=annot)
     if args.verbose:
         log.info("stage report:\n%s", timer.report())
     return 0

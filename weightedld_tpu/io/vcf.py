@@ -269,6 +269,44 @@ def list_chromosomes(path: str | Path) -> list[str]:
     return out
 
 
+def site_annotations(
+    path: str | Path,
+    chrom: str | None = None,
+    pos_range: tuple[int, int] | None = None,
+) -> tuple[np.ndarray, list[str], list[str]]:
+    """Streaming ``(positions, chroms, ids)`` over the SAME record set the
+    readers keep (chrom/region filters, trailing-line quirk included):
+    the VCF CHROM and ID columns per kept record, aligned with the
+    readers' ``site_map`` — the identity source for PLINK-style pair
+    output (``--out-format plink``).  O(records) memory; no genotypes
+    are decoded."""
+    positions: list[int] = []
+    chroms: list[str] = []
+    ids: list[str] = []
+    first = True
+    for lineno, line in _iter_variant_lines(path):
+        if first:
+            _check_multisample(path, line)
+            first = False
+        cols = line.split("\t", 3)
+        if len(cols) < 4:
+            raise VcfError(f"{path}:{lineno}: fewer than 10 columns")
+        if chrom is not None and cols[0] != chrom:
+            continue
+        pos = int(cols[1])
+        if pos_range is not None \
+                and not (pos_range[0] <= pos <= pos_range[1]):
+            continue
+        positions.append(pos)
+        chroms.append(cols[0])
+        ids.append(cols[2] if cols[2] else ".")
+    if first:
+        raise VcfError(f"{path}: no variant records")
+    if not positions:
+        raise VcfError(_no_records_msg(path, chrom, pos_range))
+    return np.asarray(positions, dtype=np.int64), chroms, ids
+
+
 def _decode_record(path, lineno, line, chrom, pos_range=None):
     """Parse one variant line -> ``(pos, row int8)`` or None (chrom/region
     filtered).  Shared by the row-list and streaming readers."""

@@ -11,13 +11,31 @@ from __future__ import annotations
 
 import io
 import sys
-from typing import IO
+from typing import IO, Mapping, NamedTuple
 
 import numpy as np
 
 from ..core.ld_dense import LdRecords
 
 PAIR_HEADER = "posa\tposb\tD\tD'\tR2"
+
+# PLINK --r2 dprime column order (CHR_A BP_A SNP_A CHR_B BP_B SNP_B R2 DP),
+# tab-separated, plus a trailing D column (PLINK has no signed-D output;
+# name-based parsers ignore extras).  Capability beyond the reference.
+PLINK_PAIR_HEADER = "CHR_A\tBP_A\tSNP_A\tCHR_B\tBP_B\tSNP_B\tR2\tDP\tD"
+
+
+class PairAnnot(NamedTuple):
+    """Per-site identity for PLINK-style pair output: position ->
+    chromosome name / SNP id (from the VCF CHROM and ID columns via
+    ``io.vcf.site_annotations``, or synthesized for FASTA input)."""
+
+    chrom_of: Mapping[int, str]
+    id_of: Mapping[int, str]
+
+
+def pair_header(annot: "PairAnnot | None") -> str:
+    return PLINK_PAIR_HEADER if annot is not None else PAIR_HEADER
 
 
 def open_text_output(path):
@@ -141,10 +159,33 @@ def write_pairs(
     out: IO[str] | None = None,
     ndigits: int = 4,
     header: bool = True,
+    annot: PairAnnot | None = None,
 ) -> None:
     out = out if out is not None else sys.stdout
     if header:
-        out.write(PAIR_HEADER + "\n")
+        out.write(pair_header(annot) + "\n")
+    if annot is not None:
+        # PLINK-style rows (CHR/BP/SNP per endpoint).  Positions absent
+        # from the maps (shouldn't happen — the maps come from the same
+        # ingest) degrade to chromosome "0" / id "." rather than crashing.
+        co, io_ = annot.chrom_of, annot.id_of
+        buf: list[str] = []
+        for pa, pb, d, dp, r2 in zip(
+            records.pos_a, records.pos_b, records.d, records.d_prime,
+            records.r2,
+        ):
+            pa, pb = int(pa), int(pb)
+            buf.append(
+                f"{co.get(pa, '0')}\t{pa}\t{io_.get(pa, '.')}\t"
+                f"{co.get(pb, '0')}\t{pb}\t{io_.get(pb, '.')}\t"
+                f"{_fmt(r2, ndigits)}\t{_fmt(dp, ndigits)}\t{_fmt(d, ndigits)}"
+            )
+            if len(buf) >= 4096:
+                out.write("\n".join(buf) + "\n")
+                buf.clear()
+        if buf:
+            out.write("\n".join(buf) + "\n")
+        return
     from . import native
 
     if native.available() and 0 <= ndigits <= 100:

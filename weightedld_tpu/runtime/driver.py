@@ -1760,8 +1760,13 @@ def run_to_tsv(
     ndigits: int = 4,
     on_progress: Callable[[Progress], None] | None = None,
     timer=None,
+    annot=None,
 ) -> int:
     """Stream the triangle to a TSV file with batch-level resume.
+
+    ``annot`` (an :class:`io.writer.PairAnnot`) switches rows and header to
+    the PLINK-style format; it participates in the checkpoint fingerprint,
+    so a resume cannot silently mix the two formats in one file.
 
     Multi-process aware: under a distributed runtime every process drives
     its own shards (the per-batch fetches are collectives, so all
@@ -1787,7 +1792,9 @@ def run_to_tsv(
     """
     import hashlib
 
-    from ..io.writer import PAIR_HEADER, open_text_output, write_pairs
+    from ..io.writer import open_text_output, pair_header, write_pairs
+
+    header_line = pair_header(annot)
 
     out_path = Path(out_path)
     # A checkpointed .gz output is written as INDEPENDENT deterministic
@@ -1831,6 +1838,7 @@ def run_to_tsv(
                             # never mix modes in one resumed TSV
         session.n_dev, jax.process_count(),
         (session.n_seqs, session.n_sites), ndigits,
+        header_line,  # output format: never mix tsv/plink rows in one file
     )).encode())
     # Full-matrix digest, streamed in ~16 MB row chunks: sha256 runs at
     # GB/s host-side — negligible next to the upload — and sampling
@@ -1907,11 +1915,11 @@ def run_to_tsv(
 
         fh = GzipMemberWriter(out_path, append_at=offset)
         if offset is None:
-            fh.write(PAIR_HEADER + "\n")
+            fh.write(header_line + "\n")
             fh.flush()  # header = its own member, so batch-0 resume works
     elif offset is None:
         fh = open_text_output(out_path)
-        fh.write(PAIR_HEADER + "\n")
+        fh.write(header_line + "\n")
     else:
         fh = open(out_path, "r+")
         fh.truncate(offset)
@@ -1927,7 +1935,7 @@ def run_to_tsv(
             # Records are replicated across processes (gathered on every
             # host), so n_written agrees everywhere even though only the
             # writer's bytes land in the real file.
-            write_pairs(rec, fh, ndigits=ndigits, header=False)
+            write_pairs(rec, fh, ndigits=ndigits, header=False, annot=annot)
             n_written += len(rec)
             if checkpoint and writer:
                 fh.flush()
