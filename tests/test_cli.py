@@ -812,3 +812,99 @@ def test_plink_mode_validations(tmp_path, capsys):
     assert main(["--file", T7_PATH, "--out-format", "plink", "--top", "2"]) == 0
     out = capsys.readouterr().out
     assert out.startswith("CHR_A\t") and len(out.strip().splitlines()) == 3
+
+
+# ---------------------------------------------------------------------------
+# --cross-regions (rectangular / inter-region LD, round 5).
+
+
+def test_cross_regions_t7_matches_triangle_rows(capsys):
+    from .fixtures import T7_PATH
+
+    # A = the first two t7 sites, B = the last three: the cross output must
+    # be EXACTLY the 6 corresponding rows of the full-triangle run (A u B
+    # covers all 5 sites, so the combined Henikoff weights coincide).
+    assert main(["--file", T7_PATH]) == 0
+    full = capsys.readouterr().out.strip().splitlines()
+    assert main(["--file", T7_PATH, "--cross-regions",
+                 "19:44890000-44890120", "19:44890150-44890200"]) == 0
+    cross = capsys.readouterr().out.strip().splitlines()
+    a_pos = {"44890030", "44890114"}
+    want = [ln for ln in full[1:]
+            if ln.split("\t")[0] in a_pos
+            and ln.split("\t")[1] not in a_pos]
+    assert cross[0] == full[0]
+    assert cross[1:] == want
+    assert len(cross) == 7
+
+
+def test_cross_regions_multichrom_plink(tmp_path, capsys):
+    header = ("##fileformat=VCFv4.1\n"
+              "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+              + "\t".join(f"s{i}" for i in range(14)))
+    gts = "\t".join(["0|1"] * 7 + ["1|0"] * 7)
+    # chr1 and chr2 SHARE POS values — per-endpoint identity maps must keep
+    # them apart (CHR_A=chr1, CHR_B=chr2 on every row).
+    rows = [f"chr1\t100\trsA1\tA\tT\t.\t.\t.\tGT\t{gts}",
+            f"chr1\t200\trsA2\tA\tT\t.\t.\t.\tGT\t{gts}",
+            f"chr2\t100\trsB1\tA\tT\t.\t.\t.\tGT\t{gts}",
+            f"chr2\t200\trsB2\tA\tT\t.\t.\t.\tGT\t{gts}"]
+    f = tmp_path / "two.vcf"
+    f.write_text(header + "\n" + "\n".join(rows) + "\n")
+    assert main(["--file", str(f), "--cross-regions", "chr1", "chr2",
+                 "--out-format", "plink"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 5  # header + 2x2 rectangle
+    for ln in lines[1:]:
+        c = ln.split("\t")
+        assert c[0] == "chr1" and c[3] == "chr2"
+        assert c[2].startswith("rsA") and c[5].startswith("rsB")
+    # Identical GT columns -> every cross pair at r2 == 1.
+    assert all(ln.split("\t")[6] == "1.0" for ln in lines[1:])
+
+
+def test_cross_regions_validations(tmp_path, capsys):
+    from .fixtures import T7_PATH
+
+    # Overlap refused.
+    assert main(["--file", T7_PATH, "--cross-regions",
+                 "19:1-100", "19:50-200"]) == 2
+    assert "overlap" in capsys.readouterr().err
+    # Same chromosome unbounded overlaps itself.
+    assert main(["--file", T7_PATH, "--cross-regions", "19", "19"]) == 2
+    assert "overlap" in capsys.readouterr().err
+    # Engine dense refused.
+    assert main(["--file", T7_PATH, "--cross-regions",
+                 "19:1-2", "19:3-4", "--engine", "dense"]) == 2
+    assert "tiled engine" in capsys.readouterr().err
+    # Window flags refused.
+    assert main(["--file", T7_PATH, "--cross-regions",
+                 "19:1-2", "19:3-4", "--max-distance", "5"]) == 2
+    assert "exclusive" in capsys.readouterr().err
+    # FASTA refused.
+    fa = tmp_path / "x.fasta"
+    fa.write_text(">a\nACGT\n>b\nACGA\n>c\nTCGA\n")
+    assert main(["--file", str(fa), "--cross-regions", "a:1-2", "b:3-4"]) == 2
+    assert "VCF" in capsys.readouterr().err
+    # Empty region -> clean error.
+    assert main(["--file", T7_PATH, "--cross-regions",
+                 "19:1-2", "19:44890150-44890200"]) == 2
+    assert "no variant records" in capsys.readouterr().err
+
+
+def test_cross_regions_stats_and_top(capsys):
+    from .fixtures import T7_PATH
+
+    args = ["--file", T7_PATH, "--cross-regions",
+            "19:44890000-44890120", "19:44890150-44890200"]
+    assert main(args + ["--stats-only"]) == 0
+    import json as _json
+
+    summ = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summ["n_pairs"] == 6
+    assert main(args + ["--top", "2"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3
+    for ln in out[1:]:
+        pa, pb = (int(x) for x in ln.split("\t")[:2])
+        assert pa <= 44890120 < pb

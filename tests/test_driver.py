@@ -12,6 +12,7 @@ from weightedld_tpu.core.ld_dense import extract_records, ld_all_pairs_dense
 from weightedld_tpu.parallel.triangle import plan_tiles, stripe
 from weightedld_tpu.runtime.driver import (
     DriverConfig,
+    LdSession,
     collect_ld_records,
     run_to_tsv,
 )
@@ -1095,3 +1096,91 @@ def test_resolve_tile_factorized_band():
     # Explicit tile always wins.
     assert resolve_tile(64, "pallas", None, platform="tpu",
                         majmin=True, n_seqs=1000) == 64
+
+
+# ---------------------------------------------------------------------------
+# Rectangular (inter-region) mode: DriverConfig.cross_split (round 5).
+
+
+def test_plan_tiles_cross_split():
+    from weightedld_tpu.parallel.triangle import plan_tiles
+
+    plan = plan_tiles(70, tile=16, cross_split=37)
+    # Tiles must intersect both blocks: row tile covers sites < 37
+    # (ti in {0, 1, 2}), col tile covers sites >= 37 (tj in {2, 3, 4}).
+    assert set(plan.tile_i.tolist()) <= {0, 1, 2}
+    assert set(plan.tile_j.tolist()) <= {2, 3, 4}
+    assert len(plan.tile_i) == 9
+    # Whole-triangle plan for the same shape has 15 tiles.
+    assert plan_tiles(70, tile=16).n_tiles == 15
+    with pytest.raises(ValueError, match="cross_split"):
+        plan_tiles(70, tile=16, cross_split=0)
+    with pytest.raises(ValueError, match="cross_split"):
+        plan_tiles(70, tile=16, cross_split=70)
+
+
+def _rect_oracle(aln, w, sm, split):
+    import jax.numpy as jnp
+
+    from weightedld_tpu.core.ld_dense import extract_records, ld_all_pairs_dense
+
+    stats = ld_all_pairs_dense(jnp.asarray(aln), jnp.asarray(w))
+    full = extract_records(stats, sm, None)
+    pa, pb = np.asarray(full.pos_a), np.asarray(full.pos_b)
+    # sm is strictly increasing in these tests: index the split by position.
+    m = (pa < sm[split]) & (pb >= sm[split])
+    return sorted(zip(pa[m].tolist(), pb[m].tolist(),
+                      np.round(np.asarray(full.r2)[m], 4).tolist()))
+
+
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_cross_split_matches_dense_rectangle(rng, engine):
+    import jax
+
+    from weightedld_tpu.parallel.sharded import default_mesh
+
+    N, S, split = 32, 70, 37
+    aln = random_alignment(rng, N, S, p_gap=0.03, p_unknown=0.02)
+    w = rng.random(N).astype(np.float32) + 0.1
+    sm = np.arange(S, dtype=np.int64) * 7
+    oracle = _rect_oracle(aln, w, sm, split)
+    cfg = DriverConfig(engine=engine, tile=16, seq_chunk=128,
+                       cross_split=split)
+    mesh = default_mesh(jax.devices()[:4]) if engine == "pallas" else None
+    rec = collect_ld_records(aln, w, sm, cfg, mesh=mesh)
+    got = sorted(zip(rec.pos_a.tolist(), rec.pos_b.tolist(),
+                     np.round(rec.r2, 4).tolist()))
+    assert len(got) == len(oracle)
+    for g, o in zip(got, oracle):
+        assert g[:2] == o[:2] and abs(g[2] - o[2]) < 2e-4, (g, o)
+
+
+def test_cross_split_analytics_inherit_rectangle(rng):
+    N, S, split = 30, 64, 20
+    aln = random_alignment(rng, N, S, p_gap=0.02, p_unknown=0.0)
+    w = np.ones(N, np.float32)
+    sm = np.arange(S, dtype=np.int64)
+    cfg = DriverConfig(engine="xla", tile=16, cross_split=split)
+    s = LdSession(aln, w, sm, cfg)
+    oracle = _rect_oracle(aln, w, sm, split)
+    assert s.summarize()["n_pairs"] == len(oracle)
+    tp = s.top_pairs(7)
+    assert all(pa < split <= pb
+               for pa, pb in zip(tp.pos_a.tolist(), tp.pos_b.tolist()))
+    hist = s.r2_histogram((0.0, 0.5, 1.01))
+    assert sum(hist["n_pairs"]) == len(oracle)
+    mats = s.matrices()
+    ij = np.argwhere(np.asarray(mats["keep"]))
+    assert len(ij) == len(oracle)
+    assert (ij[:, 0] < split).all() and (ij[:, 1] >= split).all()
+
+
+def test_cross_split_validations(rng):
+    aln = random_alignment(rng, 10, 20)
+    w = np.ones(10, np.float32)
+    sm = np.arange(20, dtype=np.int64)
+    with pytest.raises(ValueError, match="cross_split must be in"):
+        LdSession(aln, w, sm, DriverConfig(engine="xla", cross_split=20))
+    with pytest.raises(ValueError, match="window flags"):
+        LdSession(aln, w, sm, DriverConfig(engine="xla", cross_split=5,
+                                           max_site_distance=3))

@@ -151,6 +151,16 @@ def build_parser() -> argparse.ArgumentParser:
                    "inclusive POS window (e.g. chr19:44890000-44890200). "
                    "Bare CHR equals --chrom CHR (the two flags are "
                    "mutually exclusive); composable with --stream-ingest")
+    p.add_argument("--cross-regions", type=str, nargs=2, default=None,
+                   metavar=("A", "B"),
+                   help="VCF only: inter-region (rectangular) LD — compute "
+                   "ONLY pairs with one site in region A and one in region "
+                   "B (each a samtools-style CHR[:LO-HI]; disjoint, may be "
+                   "different chromosomes).  Weights are Henikoff over the "
+                   "combined A+B sites; posa comes from A, posb from B.  "
+                   "O(|A|*|B|) work instead of the full triangle; forces "
+                   "the tiled engine; exclusive with --chrom/--region and "
+                   "the window flags")
     p.add_argument("--keep-samples", type=str, default=None, metavar="SPEC",
                    help="restrict the analysis to these sequences/samples "
                    "BEFORE masking and weighting: a comma-separated list "
@@ -279,6 +289,7 @@ def _build_session(args, res, mesh, r2_threshold=None):
             max_site_distance=args.max_distance,
             max_bp_distance=args.max_distance_bp,
             weight_quant=args.weight_quant,
+            cross_split=getattr(args, "_cross_split", None),
         ),
         mesh=mesh,
     )
@@ -375,11 +386,34 @@ def main(argv=None) -> int:
         print("error: --chrom and --region are mutually exclusive (a "
               "region names its chromosome)", file=sys.stderr)
         return 2
-    for flag, val in (("--chrom", args.chrom), ("--region", args.region)):
+    for flag, val in (("--chrom", args.chrom), ("--region", args.region),
+                      ("--cross-regions", args.cross_regions)):
         if val is not None and args.file is not None \
                 and not str(args.file).endswith((".vcf", ".vcf.gz")):
             print(f"error: {flag} only applies to VCF input (FASTA has no "
                   "chromosome column)", file=sys.stderr)
+            return 2
+    if args.cross_regions is not None:
+        conflicts = [f for f, on in (
+            ("--chrom", args.chrom is not None),
+            ("--region", args.region is not None),
+            ("--max-distance", args.max_distance is not None),
+            ("--max-distance-bp", args.max_distance_bp is not None),
+            ("--stream-ingest", args.stream_ingest),
+            ("--save-prepared", args.save_prepared is not None),
+            ("--load-prepared", args.load_prepared is not None),
+        ) if on]
+        if conflicts:
+            print(f"error: --cross-regions is exclusive with "
+                  f"{conflicts[0]}", file=sys.stderr)
+            return 2
+        if args.engine in ("dense", "reference"):
+            print("error: --cross-regions needs the tiled engine "
+                  f"(--engine {args.engine} computes the full triangle)",
+                  file=sys.stderr)
+            return 2
+        if args.file is None:
+            print("error: --cross-regions needs --file", file=sys.stderr)
             return 2
     try:
         keep_samples = _parse_sample_spec(args.keep_samples)
@@ -536,6 +570,17 @@ def main(argv=None) -> int:
             return 2
         res = PipelineResult(alignment=sm, site_map=site_map,
                              weights=weights)
+    elif args.file is not None and args.cross_regions is not None:
+        from .pipeline import prepare_vcf_cross
+
+        try:
+            res, cross_split = prepare_vcf_cross(
+                args.file, cfg, args.cross_regions[0],
+                args.cross_regions[1], timer=timer)
+        except (ValueError, OSError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        args._cross_split = cross_split
     elif args.file is not None:
         try:
             res = prepare(args.file, cfg, timer=timer)
@@ -566,34 +611,47 @@ def main(argv=None) -> int:
         if str(args.file).endswith((".vcf", ".vcf.gz")):
             from .io.vcf import VcfError, parse_region, site_annotations
 
-            chrom, pos_range = args.chrom, None
-            if args.region is not None:
-                chrom, pos_range = parse_region(args.region)
-            try:
+            def _maps(chrom, pos_range):
                 pos, chroms, ids = site_annotations(args.file, chrom,
                                                     pos_range)
+                co: dict[int, str] = {}
+                io_: dict[int, str] = {}
+                for p, c, i in zip(pos.tolist(), chroms, ids):
+                    if p in co and (co[p], io_[p]) != (c, i):
+                        raise VcfError(
+                            f"--out-format plink: POS {p} appears with "
+                            f"two identities ({co[p]}:{io_[p]} and "
+                            f"{c}:{i}) — whole-genome VCFs mix "
+                            "chromosomes into one position axis; run per "
+                            "chromosome with --chrom/--region")
+                    co[p] = c
+                    io_[p] = i
+                return co, io_
+
+            try:
+                if args.cross_regions is not None:
+                    # Per-endpoint maps: block A feeds posa, block B posb
+                    # (the blocks may share POS values across chromosomes).
+                    ca, ra = parse_region(args.cross_regions[0])
+                    cb, rb = parse_region(args.cross_regions[1])
+                    chrom_of, id_of = _maps(ca, ra)
+                    chrom_of_b, id_of_b = _maps(cb, rb)
+                    annot = PairAnnot(chrom_of, id_of, chrom_of_b, id_of_b)
+                else:
+                    chrom, pos_range = args.chrom, None
+                    if args.region is not None:
+                        chrom, pos_range = parse_region(args.region)
+                    chrom_of, id_of = _maps(chrom, pos_range)
             except (VcfError, OSError) as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 2
-            chrom_of: dict[int, str] = {}
-            id_of: dict[int, str] = {}
-            for p, c, i in zip(pos.tolist(), chroms, ids):
-                if p in chrom_of and (chrom_of[p], id_of[p]) != (c, i):
-                    print(f"error: --out-format plink: POS {p} appears "
-                          f"with two identities ({chrom_of[p]}:{id_of[p]} "
-                          f"and {c}:{i}) — whole-genome VCFs mix "
-                          "chromosomes into one position axis; run per "
-                          "chromosome with --chrom/--region",
-                          file=sys.stderr)
-                    return 2
-                chrom_of[p] = c
-                id_of[p] = i
         else:
             # FASTA: positions are original column indices.
             sm = [int(p) for p in np.asarray(res.site_map)]
             chrom_of = {p: "0" for p in sm}
             id_of = {p: f"site{p}" for p in sm}
-        annot = PairAnnot(chrom_of, id_of)
+        if annot is None:
+            annot = PairAnnot(chrom_of, id_of)
 
     if args.max_distance_bp is not None:
         # Validate BEFORE any session upload/compile (the session-level
@@ -680,6 +738,8 @@ def main(argv=None) -> int:
         engine = "dense" if s <= 2048 else "tiled"
     if args.max_distance is not None or args.max_distance_bp is not None:
         engine = "tiled"
+    if args.cross_regions is not None:
+        engine = "tiled"  # the rectangle mask lives in the tiled runners
     if isinstance(res.alignment, _SMC):
         engine = "tiled"  # streamed buffers are laid out for this engine
     if args.weight_quant != "none" and engine != "tiled" \
@@ -962,6 +1022,7 @@ def main(argv=None) -> int:
             max_site_distance=args.max_distance,
             max_bp_distance=args.max_distance_bp,
             weight_quant=args.weight_quant,
+            cross_split=getattr(args, "_cross_split", None),
         )
         if args.sort:
             from .core.ld_dense import LdRecords

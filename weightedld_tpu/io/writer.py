@@ -28,10 +28,17 @@ PLINK_PAIR_HEADER = "CHR_A\tBP_A\tSNP_A\tCHR_B\tBP_B\tSNP_B\tR2\tDP\tD"
 class PairAnnot(NamedTuple):
     """Per-site identity for PLINK-style pair output: position ->
     chromosome name / SNP id (from the VCF CHROM and ID columns via
-    ``io.vcf.site_annotations``, or synthesized for FASTA input)."""
+    ``io.vcf.site_annotations``, or synthesized for FASTA input).
+
+    ``chrom_of_b``/``id_of_b``: separate maps for the pair's SECOND
+    endpoint (``--cross-regions``, where block A and block B may live on
+    different chromosomes and legitimately share POS values); None = use
+    the first-endpoint maps (the all-pairs case)."""
 
     chrom_of: Mapping[int, str]
     id_of: Mapping[int, str]
+    chrom_of_b: Mapping[int, str] | None = None
+    id_of_b: Mapping[int, str] | None = None
 
 
 def pair_header(annot: "PairAnnot | None") -> str:
@@ -169,6 +176,8 @@ def write_pairs(
         # from the maps (shouldn't happen — the maps come from the same
         # ingest) degrade to chromosome "0" / id "." rather than crashing.
         co, io_ = annot.chrom_of, annot.id_of
+        cob = annot.chrom_of_b if annot.chrom_of_b is not None else co
+        iob = annot.id_of_b if annot.id_of_b is not None else io_
         buf: list[str] = []
         for pa, pb, d, dp, r2 in zip(
             records.pos_a, records.pos_b, records.d, records.d_prime,
@@ -177,7 +186,7 @@ def write_pairs(
             pa, pb = int(pa), int(pb)
             buf.append(
                 f"{co.get(pa, '0')}\t{pa}\t{io_.get(pa, '.')}\t"
-                f"{co.get(pb, '0')}\t{pb}\t{io_.get(pb, '.')}\t"
+                f"{cob.get(pb, '0')}\t{pb}\t{iob.get(pb, '.')}\t"
                 f"{_fmt(r2, ndigits)}\t{_fmt(dp, ndigits)}\t{_fmt(d, ndigits)}"
             )
             if len(buf) >= 4096:

@@ -57,6 +57,7 @@ def make_sharded_stats_runner(
     interpret: bool = False,
     emit_capacity: int | None = None,
     wire_scale: int | None = None,
+    cross_split: int | None = None,
 ):
     """Stats-only sharded pass: evaluate one batch of tiles, apply the r2
     threshold, and return per-tile record counts plus the masked stat
@@ -90,6 +91,7 @@ def make_sharded_stats_runner(
         k_per_batch, engine, planes, seq_chunk, exact_weights, unit_weights,
         wquant, majmin, preplaned, max_site_distance, max_bp_distance,
         windows_by_lookup, interpret, emit_capacity, wire_scale,
+        cross_split,
     )
     cached = _RUNNER_CACHE.get(key)
     if cached is not None:
@@ -181,6 +183,15 @@ def make_sharded_stats_runner(
             if windows_by_lookup:
                 dist = jnp.abs(dist)
             keep = keep & (dist <= max_bp_distance)
+        if cross_split is not None:
+            # Rectangular (inter-region) mode: keep only pairs crossing the
+            # layout split (a in block A, b in block B).  Folded into
+            # `keep`, so records, summarize, top-k, decay, histograms and
+            # matrices all see the same rectangle population.
+            li = jnp.arange(tile, dtype=jnp.int32)
+            gi = tile_i[:, None, None] * tile + li[None, :, None]
+            gj = tile_j[:, None, None] * tile + li[None, None, :]
+            keep = keep & (gi < cross_split) & (gj >= cross_split)
         # Strict > threshold; kept pairs have non-NaN r2 (paircore keep
         # rules skip the reference's crash cases), so thr == -inf emits all.
         mask = keep & (st.r2 > r2_threshold)

@@ -48,7 +48,8 @@ class TilePlan:
 def plan_tiles(n_sites: int, tile: int = 128,
                max_site_distance: int | None = None,
                max_bp_distance: int | None = None,
-               site_map=None) -> TilePlan:
+               site_map=None,
+               cross_split: int | None = None) -> TilePlan:
     """Enumerate upper-triangle tiles (including diagonal tiles) row-major.
 
     Row-major order keeps each tile-row's A-block resident across consecutive
@@ -65,6 +66,12 @@ def plan_tiles(n_sites: int, tile: int = 128,
     dropping tiles whose NEAREST pair spans more than this: tile (i, j>i)'s
     closest pair is (last site of row-tile i, first site of col-tile j).
     Composes with ``max_site_distance`` (intersection).
+
+    ``cross_split``: rectangular (inter-region) mode — keep only tiles that
+    can contain a pair (a < split <= b), i.e. whose row tile intersects
+    block A ([0, split)) and whose column tile intersects block B
+    ([split, S)); the in-tile remainder is masked by the engine.  The
+    triangle's O(S^2/2) becomes O(|A|*|B|).
     """
     if n_sites < 2:
         raise ValueError("need at least 2 sites")
@@ -86,6 +93,12 @@ def plan_tiles(n_sites: int, tile: int = 128,
         col_start = sm[np.minimum(g * tile, n_sites - 1)]
         near = (ti == tj) | (col_start[tj] - row_end[ti] <= max_bp_distance)
         ti, tj = ti[near], tj[near]
+    if cross_split is not None:
+        if not 0 < cross_split < n_sites:
+            raise ValueError(
+                f"cross_split must be in 1..{n_sites - 1}, got {cross_split}")
+        hit = (ti * tile < cross_split) & ((tj + 1) * tile > cross_split)
+        ti, tj = ti[hit], tj[hit]
     return TilePlan(
         n_sites=n_sites,
         tile=tile,

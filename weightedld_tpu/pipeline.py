@@ -237,6 +237,72 @@ def prepare_vcf(path: str | Path, cfg: WldConfig,
     return PipelineResult(alignment=alignment, site_map=site_map, weights=weights)
 
 
+def regions_overlap(spec_a: str, spec_b: str) -> bool:
+    """Whether two ``CHR[:LO-HI]`` regions can share a site (same
+    chromosome with intersecting — or unbounded — POS windows).  Used to
+    refuse ``--cross-regions`` whose blocks would duplicate sites."""
+    from .io.vcf import parse_region
+
+    ca, ra = parse_region(spec_a)
+    cb, rb = parse_region(spec_b)
+    if ca != cb:
+        return False
+    if ra is None or rb is None:
+        return True
+    return ra[0] <= rb[1] and rb[0] <= ra[1]
+
+
+def prepare_vcf_cross(path: str | Path, cfg: WldConfig,
+                      spec_a: str, spec_b: str,
+                      timer=None) -> tuple[PipelineResult, int]:
+    """Inter-region preparation for a rectangular (cross-only) LD scan:
+    ingest region A and region B of one VCF, lay the alignment out as
+    A ++ B, and return ``(result, n_a)`` — ``n_a`` is the layout split for
+    ``DriverConfig.cross_split`` (pairs with one endpoint in each block).
+
+    Weights are Henikoff over the COMBINED A++B haplotype matrix (the
+    analyzed site set, consistent with the VCF pipeline's no-masking
+    semantics, ``WeightedLD.py:385-388``); sample subsetting applies to
+    both blocks.  Overlapping regions are refused (duplicated sites would
+    pair against their own copies).  Capability beyond the reference.
+    """
+    from .io.vcf import parse_region
+    from .runtime.profiling import StageTimer
+
+    timer = timer or StageTimer()
+    if cfg.chrom is not None or cfg.region is not None:
+        raise ValueError("cross-regions is exclusive with chrom/region "
+                         "(it names its own two regions)")
+    if regions_overlap(spec_a, spec_b):
+        raise ValueError(
+            f"cross regions {spec_a!r} and {spec_b!r} overlap — their "
+            "sites would pair against their own copies; pick disjoint "
+            "POS windows (or different chromosomes)")
+    ca, ra = parse_region(spec_a)
+    cb, rb = parse_region(spec_b)
+    with timer.stage("ingest"):
+        aln_a, sm_a = read_vcf(path, chrom=ca, pos_range=ra)
+        aln_b, sm_b = read_vcf(path, chrom=cb, pos_range=rb)
+        if aln_a.shape[0] != aln_b.shape[0]:
+            raise ValueError(
+                f"regions decode different haplotype counts "
+                f"({aln_a.shape[0]} vs {aln_b.shape[0]}) — mixed-ploidy "
+                "records?")
+        if cfg.keep_samples is not None or cfg.exclude_samples is not None:
+            mask = _sample_row_mask(_vcf_row_names(path, aln_a.shape[0]),
+                                    cfg.keep_samples, cfg.exclude_samples)
+            aln_a, aln_b = aln_a[mask], aln_b[mask]
+        alignment = np.concatenate([aln_a, aln_b], axis=1)
+        site_map = np.concatenate([sm_a, sm_b])
+    with timer.stage("weights"):
+        if cfg.unweighted:
+            weights = np.ones(alignment.shape[0], dtype=np.float32)
+        else:
+            weights = _weights_for(alignment, cfg.weighting)
+    return PipelineResult(alignment=alignment, site_map=site_map,
+                          weights=weights), int(aln_a.shape[1])
+
+
 def prepare(path: str | Path, cfg: WldConfig | None = None,
             timer=None) -> PipelineResult:
     """Dispatch on file suffix like the reference driver (``WeightedLD.py:385``).

@@ -92,6 +92,14 @@ class DriverConfig:
                                     # Needs a non-decreasing site_map.
                                     # Composes with max_site_distance
                                     # (intersection).
+    cross_split: int | None = None  # rectangular (inter-region) mode: keep
+                                    # only pairs (a, b) with layout index
+                                    # a < cross_split <= b — LD between two
+                                    # site blocks laid out A then B (the
+                                    # CLI's --cross-regions).  Disables the
+                                    # unsafe-site packing permutation
+                                    # (layout order is load-bearing);
+                                    # exclusive with the window flags.
     weight_quant: str = "none"      # pallas weighted-pass arithmetic:
                                     # "none" (default) = the int8x3
                                     # 3-level cascade — full accuracy
@@ -434,7 +442,20 @@ class LdSession:
         self._site_perm = None
         self._sm_orig_nondecr = None
         self._windowed_packed = False
-        if not majmin and site_counts is not None and sm is None:
+        if cfg.cross_split is not None:
+            if not 0 < cfg.cross_split < self.n_sites:
+                raise ValueError(
+                    f"cross_split must be in 1..{self.n_sites - 1}, got "
+                    f"{cfg.cross_split}")
+            if (cfg.max_site_distance is not None
+                    or cfg.max_bp_distance is not None):
+                raise ValueError(
+                    "cross_split does not compose with the window flags "
+                    "(a rectangle already bounds the pair set; distances "
+                    "across a region boundary are ill-defined for "
+                    "multi-chromosome layouts)")
+        if (not majmin and site_counts is not None and sm is None
+                and cfg.cross_split is None):
             from ..ops.pallas_ld import majmin_site_margins
 
             windowed = (cfg.max_site_distance is not None
@@ -536,7 +557,8 @@ class LdSession:
             self.plan = plan_tiles(self.n_sites, cfg.tile,
                                    cfg.max_site_distance,
                                    max_bp_distance=cfg.max_bp_distance,
-                                   site_map=self.site_map)
+                                   site_map=self.site_map,
+                                   cross_split=cfg.cross_split)
         # Host reference (no copy) for analyses needing per-site stats
         # (prune's minor-allele frequencies); released after the first MAF
         # computation so a chromosome-scale session does not pin the host
@@ -701,6 +723,7 @@ class LdSession:
                 windows_by_lookup=self._windowed_packed,
                 interpret=interpret,
                 preplaned=pp,
+                cross_split=cfg.cross_split,
             )
             self.runner = make_sharded_stats_runner(
                 self.mesh, majmin=majmin or hybrid, **common
@@ -775,6 +798,7 @@ class LdSession:
                 tile=cfg.tile, n_sites=self.n_sites, k_per_batch=k,
                 max_site_distance=cfg.max_site_distance,
                 max_bp_distance=cfg.max_bp_distance,
+                cross_split=cfg.cross_split,
             )
             self.runner = make_sharded_stats_runner(self.mesh, **xla_kw)
             self._fused_common = [(False, xla_kw)]
@@ -1832,7 +1856,7 @@ def run_to_tsv(
     h = hashlib.sha256()
     h.update(repr((
         cfg_r.tile, cfg_r.tiles_per_shard_batch, cfg_r.r2_threshold,
-        cfg_r.max_site_distance, cfg_r.max_bp_distance,
+        cfg_r.max_site_distance, cfg_r.max_bp_distance, cfg_r.cross_split,
         session.engine, cfg_r.seq_chunk,
         cfg_r.weight_quant,  # quantized r2 differs at the 4-dp quantum:
                             # never mix modes in one resumed TSV
