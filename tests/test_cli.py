@@ -791,12 +791,23 @@ def test_plink_duplicate_pos_conflict(tmp_path, capsys):
     f.write_text(header + "\n" + "\n".join(rows) + "\n")
     assert main(["--file", str(f), "--out-format", "plink"]) == 2
     err = capsys.readouterr().err
-    assert "two identities" in err and "--chrom/--region" in err
+    assert "two chromosomes" in err and "--chrom/--region" in err
     # Per-chromosome runs are fine.
     assert main(["--file", str(f), "--out-format", "plink",
                  "--chrom", "chr2"]) == 0
     out = capsys.readouterr().out
     assert "chr2\t100\trsB" in out and "rsA" not in out
+    # Same-chromosome ID collision (multi-allelic split, e.g. bcftools
+    # norm -m-): plink output stays OBTAINABLE — first-seen id + warning.
+    rows2 = [f"chr1\t100\trsSNP\tA\tT\t.\t.\t.\tGT\t{gts}",
+             f"chr1\t100\trsINDEL\tA\tAT\t.\t.\t.\tGT\t{gts}",
+             f"chr1\t200\trsC\tA\tT\t.\t.\t.\tGT\t{gts}"]
+    f2 = tmp_path / "dupid.vcf"
+    f2.write_text(header + "\n" + "\n".join(rows2) + "\n")
+    assert main(["--file", str(f2), "--out-format", "plink"]) == 0
+    captured = capsys.readouterr()
+    assert "first-seen id" in captured.err
+    assert "rsSNP" in captured.out and "rsINDEL" not in captured.out
 
 
 def test_plink_mode_validations(tmp_path, capsys):
@@ -890,6 +901,10 @@ def test_cross_regions_validations(tmp_path, capsys):
     assert main(["--file", T7_PATH, "--cross-regions",
                  "19:1-2", "19:44890150-44890200"]) == 2
     assert "no variant records" in capsys.readouterr().err
+    # Cross-chromosome decay refused (POS distance is meaningless there).
+    assert main(["--file", T7_PATH, "--cross-regions", "18", "19",
+                 "--ld-decay", "0,100,1000"]) == 2
+    assert "ONE chromosome" in capsys.readouterr().err
 
 
 def test_cross_regions_stats_and_top(capsys):

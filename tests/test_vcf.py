@@ -304,3 +304,13 @@ def test_site_annotations_alignment_with_site_map():
     assert ids2[0] == "rs73934845"
     with pytest.raises(VcfError, match="no variant records"):
         site_annotations(T7_PATH, chrom="nope")
+
+
+def test_parse_region_open_ends_and_commas():
+    from weightedld_tpu.io.vcf import parse_region
+
+    assert parse_region("chr1:44,890,000-44,890,200") == \
+        ("chr1", (44890000, 44890200))
+    c, (lo, hi) = parse_region("chr1:100-")
+    assert c == "chr1" and lo == 100 and hi >= (1 << 61)
+    assert parse_region("chr1:-200") == ("chr1", (0, 200))

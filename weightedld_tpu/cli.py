@@ -269,7 +269,7 @@ def _parse_sample_spec(spec: str | None) -> tuple[str, ...] | None:
     return tuple(names)
 
 
-def _build_session(args, res, mesh, r2_threshold=None):
+def _build_session(args, res, mesh, r2_threshold=None, cross_split=None):
     """The one place a CLI mode turns args into a device session (four
     output modes share it; a new DriverConfig field is threaded once)."""
     from .runtime.driver import DriverConfig, LdSession, SiteMajorCodes
@@ -289,7 +289,7 @@ def _build_session(args, res, mesh, r2_threshold=None):
             max_site_distance=args.max_distance,
             max_bp_distance=args.max_distance_bp,
             weight_quant=args.weight_quant,
-            cross_split=getattr(args, "_cross_split", None),
+            cross_split=cross_split,
         ),
         mesh=mesh,
     )
@@ -415,6 +415,14 @@ def main(argv=None) -> int:
         if args.file is None:
             print("error: --cross-regions needs --file", file=sys.stderr)
             return 2
+        if args.ld_decay is not None:
+            from .io.vcf import parse_region as _pr
+
+            if _pr(args.cross_regions[0])[0] != _pr(args.cross_regions[1])[0]:
+                print("error: --ld-decay with --cross-regions needs both "
+                      "regions on ONE chromosome (POS distance between "
+                      "chromosomes is meaningless)", file=sys.stderr)
+                return 2
     try:
         keep_samples = _parse_sample_spec(args.keep_samples)
         exclude_samples = _parse_sample_spec(args.exclude_samples)
@@ -478,6 +486,7 @@ def main(argv=None) -> int:
                 write_site_stats(stats, fh)
         return 0
 
+    cross_split = None
     prep_keys = ("min_acgt", "min_variability", "unweighted", "max_minor",
                  "weight_mask", "weighting", "chrom", "fasta_reader",
                  "region", "keep_samples", "exclude_samples")
@@ -580,7 +589,7 @@ def main(argv=None) -> int:
         except (ValueError, OSError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
-        args._cross_split = cross_split
+
     elif args.file is not None:
         try:
             res = prepare(args.file, cfg, timer=timer)
@@ -616,14 +625,30 @@ def main(argv=None) -> int:
                                                     pos_range)
                 co: dict[int, str] = {}
                 io_: dict[int, str] = {}
+                warned = False
                 for p, c, i in zip(pos.tolist(), chroms, ids):
-                    if p in co and (co[p], io_[p]) != (c, i):
+                    if p in co and co[p] != c:
+                        # Cross-CHROMOSOME collision: CHR_A/CHR_B columns
+                        # would lie.  Resolvable — run per chromosome.
                         raise VcfError(
-                            f"--out-format plink: POS {p} appears with "
-                            f"two identities ({co[p]}:{io_[p]} and "
-                            f"{c}:{i}) — whole-genome VCFs mix "
-                            "chromosomes into one position axis; run per "
-                            "chromosome with --chrom/--region")
+                            f"--out-format plink: POS {p} appears on two "
+                            f"chromosomes ({co[p]} and {c}) — whole-"
+                            "genome VCFs mix chromosomes into one "
+                            "position axis; run per chromosome with "
+                            "--chrom/--region")
+                    if p in co and io_[p] != i:
+                        # Same-chromosome ID collision (e.g. a SNP and an
+                        # indel at one POS after `bcftools norm -m-`):
+                        # records carry POS only, so the id column is
+                        # genuinely ambiguous for these sites — keep the
+                        # first-seen id, warn once.  CHR/BP stay exact.
+                        if not warned:
+                            print(f"warning: --out-format plink: multiple "
+                                  f"records share POS {p} ({io_[p]}, {i}); "
+                                  "SNP id columns use the first-seen id "
+                                  "for such sites", file=sys.stderr)
+                            warned = True
+                        continue
                     co[p] = c
                     io_[p] = i
                 return co, io_
@@ -777,7 +802,8 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 2
         with timer.stage("upload"):
-            session = _build_session(args, res, mesh)
+            session = _build_session(args, res, mesh,
+                                     cross_split=cross_split)
         with timer.stage("scan"):
             mats = session.matrices(dtype=np.dtype(args.matrix_dtype))
         if emit:
@@ -818,7 +844,8 @@ def main(argv=None) -> int:
         else:
             with timer.stage("upload"):
                 session = _build_session(args, res, mesh,
-                                         r2_threshold=args.r2_threshold)
+                                         r2_threshold=args.r2_threshold,
+                                         cross_split=cross_split)
             with timer.stage("scan"):
                 out = session.summarize()
         out["elapsed_s"] = time.monotonic() - t0
@@ -849,7 +876,8 @@ def main(argv=None) -> int:
             print(f"error: --ld-decay: {e}", file=sys.stderr)
             return 2
         with timer.stage("upload"):
-            session = _build_session(args, res, mesh)
+            session = _build_session(args, res, mesh,
+                                     cross_split=cross_split)
         try:
             with device_trace(trace_dir), timer.stage("scan"):
                 out = session.ld_decay(edges)
@@ -874,7 +902,8 @@ def main(argv=None) -> int:
             print(f"error: --r2-hist: {e}", file=sys.stderr)
             return 2
         with timer.stage("upload"):
-            session = _build_session(args, res, mesh)
+            session = _build_session(args, res, mesh,
+                                     cross_split=cross_split)
         with device_trace(trace_dir), timer.stage("scan"):
             out = session.r2_histogram(edges)
         out["elapsed_s"] = time.monotonic() - t0
@@ -901,7 +930,8 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 2
         with timer.stage("upload"):
-            session = _build_session(args, res, mesh)
+            session = _build_session(args, res, mesh,
+                                     cross_split=cross_split)
         try:
             with device_trace(trace_dir), timer.stage("scan"):
                 kept = session.prune(args.prune_r2, rule=args.prune_rule,
@@ -945,7 +975,8 @@ def main(argv=None) -> int:
             rec = LdRecords(*(np.asarray(f)[order] for f in rec))
         else:
             with timer.stage("upload"):
-                session = _build_session(args, res, mesh)
+                session = _build_session(args, res, mesh,
+                                     cross_split=cross_split)
             with device_trace(trace_dir), timer.stage("scan"):
                 rec = session.top_pairs(args.top)
         if emit:
@@ -1022,7 +1053,7 @@ def main(argv=None) -> int:
             max_site_distance=args.max_distance,
             max_bp_distance=args.max_distance_bp,
             weight_quant=args.weight_quant,
-            cross_split=getattr(args, "_cross_split", None),
+            cross_split=cross_split,
         )
         if args.sort:
             from .core.ld_dense import LdRecords

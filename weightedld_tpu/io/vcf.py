@@ -54,9 +54,12 @@ def parse_region(spec: str) -> tuple[str, tuple[int, int] | None]:
     Capability beyond the reference (which has no region handling at all,
     ``WeightedLD.py:311-379``); the filter semantics match ``--chrom`` plus a
     POS window, so ``CHR`` alone is exactly ``--chrom CHR``.  A range needs
-    the full numeric ``START-END`` tail; any other trailing ``:...`` is part
-    of the chromosome name (``HLA-A*01:01`` is a name, not a range) — the
-    LAST ``:`` splits.
+    a ``-`` in the tail — samtools' open ends (``CHR:START-`` = to the end,
+    ``CHR:-END`` = from the start) and digit-grouping commas
+    (``chr1:44,890,000-44,890,200``) are accepted; any other trailing
+    ``:...`` is part of the chromosome name (``HLA-A*01:01`` is a name,
+    not a range; samtools disambiguates against its reference index, which
+    a VCF filter does not have) — the LAST ``:`` splits.
     """
     chrom, sep, rng = spec.rpartition(":")
     if not sep:
@@ -65,7 +68,10 @@ def parse_region(spec: str) -> tuple[str, tuple[int, int] | None]:
     try:
         if not dash:
             raise ValueError
-        lo, hi = int(lo_s), int(hi_s)
+        lo_s = lo_s.replace(",", "")
+        hi_s = hi_s.replace(",", "")
+        lo = int(lo_s) if lo_s else 0
+        hi = int(hi_s) if hi_s else (1 << 62)
     except ValueError:
         # No numeric START-END tail: the whole spec is a chromosome name.
         return spec, None
@@ -85,6 +91,11 @@ def vcf_sample_names(path: str | Path) -> list[str]:
     ``2i+1`` (phased diploid split, ``WeightedLD.py:356``); the alignment's
     ROW order is the reference's ``np.rot90`` reversal (``WeightedLD.py:375``),
     so alignment row ``k`` belongs to sample ``(n_haps-1-k) // 2``.
+
+    Header detection is the substring test ``"#CHROM" in line`` — the same
+    framing the readers inherit from the reference (``WeightedLD.py:320``),
+    so the names always align with the records; a meta line that MENTIONS
+    ``#CHROM`` in free text would confuse both equally (reference parity).
     """
     import io as _io
 
@@ -288,8 +299,10 @@ def site_annotations(
         if first:
             _check_multisample(path, line)
             first = False
-        cols = line.split("\t", 3)
-        if len(cols) < 4:
+        # Same column validation as _decode_record, so the annotation set
+        # can never drift from the record set the readers keep.
+        cols = line.split("\t", 9)
+        if len(cols) < 10:
             raise VcfError(f"{path}:{lineno}: fewer than 10 columns")
         if chrom is not None and cols[0] != chrom:
             continue

@@ -175,6 +175,11 @@ def write_pairs(
         # PLINK-style rows (CHR/BP/SNP per endpoint).  Positions absent
         # from the maps (shouldn't happen — the maps come from the same
         # ingest) degrade to chromosome "0" / id "." rather than crashing.
+        # This branch is a per-row Python loop (the native formatter covers
+        # only the tsv layout): the per-record dict lookups dominate, so a
+        # native plink formatter would need the identity columns resolved
+        # host-side anyway — chromosome-scale outputs preferring write
+        # speed over identity columns should use the default tsv format.
         co, io_ = annot.chrom_of, annot.id_of
         cob = annot.chrom_of_b if annot.chrom_of_b is not None else co
         iob = annot.id_of_b if annot.id_of_b is not None else io_

@@ -132,6 +132,46 @@ def _vcf_row_names(path: str | Path, n_haps: int) -> list[str]:
     )
 
 
+def _wants_subset(cfg: WldConfig) -> bool:
+    return cfg.keep_samples is not None or cfg.exclude_samples is not None
+
+
+def _subset_vcf_rows(path: str | Path, alignment: np.ndarray,
+                     cfg: WldConfig) -> np.ndarray:
+    """Apply cfg's sample subsetting to a VCF haplotype matrix (no-op when
+    no subsetting is requested) — the single definition of the subsetting
+    sequence so the prepare/cross/site_stats paths cannot drift."""
+    if not _wants_subset(cfg):
+        return alignment
+    mask = _sample_row_mask(_vcf_row_names(path, alignment.shape[0]),
+                            cfg.keep_samples, cfg.exclude_samples)
+    return alignment[mask]
+
+
+def _read_fasta_subset(path: str | Path, cfg: WldConfig) -> np.ndarray:
+    """FASTA ingest honouring cfg.fasta_reader and cfg's sample subsetting
+    (names are only materialized when subsetting asks for them)."""
+    if cfg.fasta_reader == "rust":
+        from .io.fasta import read_fasta_rust, read_fasta_rust_with_names
+
+        if not _wants_subset(cfg):
+            return read_fasta_rust(path)
+        alignment, names = read_fasta_rust_with_names(path)
+    elif cfg.fasta_reader == "python":
+        from .io.fasta import read_fasta_with_names
+
+        if not _wants_subset(cfg):
+            return read_fasta(path)
+        alignment, names = read_fasta_with_names(path)
+    else:
+        raise ValueError(
+            f"fasta_reader must be 'python' or 'rust', got "
+            f"{cfg.fasta_reader!r}"
+        )
+    return alignment[_sample_row_mask(names, cfg.keep_samples,
+                                      cfg.exclude_samples)]
+
+
 def _resolve_vcf_filters(cfg: WldConfig):
     """``(chrom, pos_range)`` from cfg.chrom / cfg.region (exclusive)."""
     if cfg.region is None:
@@ -162,33 +202,8 @@ def prepare_fasta(path: str | Path, cfg: WldConfig,
     if cfg.region is not None:
         raise ValueError("region only applies to VCF input (FASTA has no "
                          "chromosome/position columns)")
-    subsetting = cfg.keep_samples is not None or cfg.exclude_samples is not None
     with timer.stage("ingest"):
-        if cfg.fasta_reader == "rust":
-            from .io.fasta import read_fasta_rust
-
-            if subsetting:
-                from .io.fasta import read_fasta_rust_with_names
-
-                alignment, names = read_fasta_rust_with_names(path)
-            else:
-                alignment = read_fasta_rust(path)
-        elif cfg.fasta_reader == "python":
-            if subsetting:
-                from .io.fasta import read_fasta_with_names
-
-                alignment, names = read_fasta_with_names(path)
-            else:
-                alignment = read_fasta(path)
-        else:
-            raise ValueError(
-                f"fasta_reader must be 'python' or 'rust', got "
-                f"{cfg.fasta_reader!r}"
-            )
-        if subsetting:
-            mask = _sample_row_mask(names, cfg.keep_samples,
-                                    cfg.exclude_samples)
-            alignment = alignment[mask]
+        alignment = _read_fasta_subset(path, cfg)
     with timer.stage("mask"):
         # Host f64 masks: bit-exact with the reference at threshold
         # boundaries (see compute_variable_sites_host).
@@ -224,11 +239,7 @@ def prepare_vcf(path: str | Path, cfg: WldConfig,
     chrom, pos_range = _resolve_vcf_filters(cfg)
     with timer.stage("ingest"):
         alignment, site_map = read_vcf(path, chrom=chrom, pos_range=pos_range)
-        if cfg.keep_samples is not None or cfg.exclude_samples is not None:
-            names = _vcf_row_names(path, alignment.shape[0])
-            mask = _sample_row_mask(names, cfg.keep_samples,
-                                    cfg.exclude_samples)
-            alignment = alignment[mask]
+        alignment = _subset_vcf_rows(path, alignment, cfg)
     with timer.stage("weights"):
         if cfg.unweighted:
             weights = np.ones(alignment.shape[0], dtype=np.float32)
@@ -288,7 +299,7 @@ def prepare_vcf_cross(path: str | Path, cfg: WldConfig,
                 f"regions decode different haplotype counts "
                 f"({aln_a.shape[0]} vs {aln_b.shape[0]}) — mixed-ploidy "
                 "records?")
-        if cfg.keep_samples is not None or cfg.exclude_samples is not None:
+        if _wants_subset(cfg):
             mask = _sample_row_mask(_vcf_row_names(path, aln_a.shape[0]),
                                     cfg.keep_samples, cfg.exclude_samples)
             aln_a, aln_b = aln_a[mask], aln_b[mask]
@@ -357,22 +368,12 @@ def site_stats(path: str | Path, cfg: WldConfig | None = None) -> dict:
         chrom, pos_range = _resolve_vcf_filters(cfg)
         alignment, site_map = read_vcf(path, chrom=chrom,
                                        pos_range=pos_range)
-        if cfg.keep_samples is not None or cfg.exclude_samples is not None:
-            alignment = alignment[_sample_row_mask(
-                _vcf_row_names(path, alignment.shape[0]),
-                cfg.keep_samples, cfg.exclude_samples)]
+        alignment = _subset_vcf_rows(path, alignment, cfg)
     else:
         if cfg.region is not None:
             raise ValueError("region only applies to VCF input (FASTA has "
                              "no chromosome/position columns)")
-        if cfg.keep_samples is not None or cfg.exclude_samples is not None:
-            from .io.fasta import read_fasta_with_names
-
-            alignment, names = read_fasta_with_names(path)
-            alignment = alignment[_sample_row_mask(
-                names, cfg.keep_samples, cfg.exclude_samples)]
-        else:
-            alignment = read_fasta(path)
+        alignment = _read_fasta_subset(path, cfg)
         site_map = np.arange(alignment.shape[1], dtype=np.int64)
     n_seqs = alignment.shape[0]
     counts = site_histogram_host(alignment)              # ONE [S, 5] scan
