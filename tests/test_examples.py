@@ -35,6 +35,7 @@ def test_every_example_is_covered():
     assert names == {
         "basic_fasta.py", "serving_session.py", "analytics_workflow.py",
         "per_chromosome.py", "pod_scan.py", "matrix_export.py",
+        "region_workflow.py",
     }, "new example? add a smoke test row"
 
 

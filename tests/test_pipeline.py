@@ -175,3 +175,42 @@ def test_rust_reader_subsetting(tmp_path):
     res = prepare(path, WldConfig(fasta_reader="rust",
                                   exclude_samples=("a",)))
     assert res.alignment.shape[0] == 3
+
+
+def test_haploid_vcf_sample_subsetting(tmp_path):
+    """Haploid records (one GT allele per sample): row k maps to sample
+    n_haps-1-k — the second _vcf_row_names branch."""
+    from weightedld_tpu.io.vcf import read_vcf
+    from weightedld_tpu.pipeline import prepare
+
+    names = [f"h{i}" for i in range(14)]
+    header = ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+              + "\t".join(names))
+    gts1 = "\t".join(["0"] * 7 + ["1"] * 7)
+    gts2 = "\t".join(["1"] * 7 + ["0"] * 7)
+    f = tmp_path / "hap.vcf"
+    f.write_text(header + f"\nchrX\t100\t.\tA\tT\t.\t.\t.\tGT\t{gts1}"
+                 + f"\nchrX\t200\t.\tA\tT\t.\t.\t.\tGT\t{gts2}\n")
+    full, _ = read_vcf(f)
+    assert full.shape == (14, 2)
+    res = prepare(f, WldConfig(keep_samples=("h0", "h1", "h13")))
+    # rot90 order: alignment row k is sample 13-k -> kept rows 0, 12, 13.
+    np.testing.assert_array_equal(res.alignment, full[[0, 12, 13]])
+
+
+def test_mixed_ploidy_subsetting_rejected(tmp_path):
+    from weightedld_tpu.pipeline import prepare
+
+    names = [f"m{i}" for i in range(13)]
+    header = ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+              + "\t".join(names))
+    # 12 diploid + 1 haploid sample -> 25 haplotypes: no consistent map.
+    gts = "\t".join(["0|1"] * 12 + ["1"])
+    f = tmp_path / "mixed.vcf"
+    f.write_text(header + f"\n1\t100\t.\tA\tT\t.\t.\t.\tGT\t{gts}"
+                 + f"\n1\t200\t.\tA\tT\t.\t.\t.\tGT\t{gts}\n")
+    with pytest.raises(ValueError, match="mixed ploidy"):
+        prepare(f, WldConfig(keep_samples=("m0",)))
+    # Without subsetting the same file is fine (reference semantics).
+    res = prepare(f, WldConfig())
+    assert res.alignment.shape[0] == 25
