@@ -923,3 +923,15 @@ def test_cross_regions_stats_and_top(capsys):
     for ln in out[1:]:
         pa, pb = (int(x) for x in ln.split("\t")[:2])
         assert pa <= 44890120 < pb
+
+
+def test_dash_output_means_stdout(tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    path = tmp_path / "e.fasta"
+    write_fasta(path, ["ATAA", "TAAA", "TTAA", "TTAA"])
+    assert main(["--file", str(path), "--weights-output", "-",
+                 "--pair-output", "-"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("sequence\tweight\n")
+    assert "posa\tposb" in out
+    assert not (tmp_path / "-").exists()

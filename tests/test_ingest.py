@@ -281,13 +281,22 @@ def test_cli_stream_ingest_golden(capsys):
     assert lines == want
 
 
-def test_cli_stream_ingest_rejects_fasta(capsys):
+def test_cli_stream_ingest_fasta(capsys):
+    """Round 5: --stream-ingest streams FASTA too (default framing only)."""
     from weightedld_tpu.cli import main
 
-    rc = main(["--file", "/root/reference/tests/example.fasta",
-               "--stream-ingest"])
-    assert rc == 2
-    assert "VCF input only" in capsys.readouterr().err
+    ex = "/root/reference/tests/example.fasta"
+    assert main(["--file", ex, "--engine", "tiled"]) == 0
+    batch = capsys.readouterr().out
+    assert main(["--file", ex, "--engine", "tiled", "--stream-ingest"]) == 0
+    assert capsys.readouterr().out == batch
+    # Rust framing and hk weight-mask need the row-major reader.
+    assert main(["--file", ex, "--stream-ingest", "--engine", "tiled",
+                 "--fasta-reader", "rust"]) == 2
+    assert "FASTA framing" in capsys.readouterr().err
+    assert main(["--file", ex, "--stream-ingest", "--engine", "tiled",
+                 "--weight-mask", "hk"]) == 2
+    assert "row-major reader" in capsys.readouterr().err
 
 
 def test_cli_stream_ingest_rejects_save_prepared(tmp_path, capsys):
@@ -309,3 +318,115 @@ def test_file_changed_between_passes_detected(tmp_path):
     _mk_vcf(tmp_path, _random_rows(rng, 6, start=5000))
     with pytest.raises(Exception, match="changed between ingest passes"):
         read_vcf_site_major(path, scan=(n_haps, sm + 1))
+
+
+# ---------------------------------------------------------------------------
+# Streaming FASTA ingest (round 5): scan_fasta / read_fasta_site_major /
+# prepare_fasta_streamed must be a drop-in for the batch pipeline.
+
+
+def _write_fasta(tmp_path, text, name="x.fasta"):
+    p = tmp_path / name
+    p.write_text(text)
+    return p
+
+
+def test_scan_fasta_matches_batch_reader(tmp_path):
+    from weightedld_tpu.io.fasta import read_fasta_with_names, scan_fasta
+
+    # Wrapped records, blank lines, ambiguity, gaps.
+    p = _write_fasta(tmp_path,
+                     ">a\nAC\nGT\n\n>b\nACGA\n>c desc\nTC\nGA\n>d\nAYG-\n")
+    al, names = read_fasta_with_names(p)
+    n, s, counts = scan_fasta(p)
+    assert (n, s) == al.shape
+    np.testing.assert_array_equal(counts, site_histogram_host(al))
+
+
+def test_scan_fasta_error_parity(tmp_path):
+    from weightedld_tpu.io.fasta import scan_fasta
+
+    with pytest.raises(ValueError, match="ragged alignment: sequence 1"):
+        scan_fasta(_write_fasta(tmp_path, ">a\nACGT\n>b\nACG\n"))
+    with pytest.raises(ValueError, match="before first '>'"):
+        scan_fasta(_write_fasta(tmp_path, "ACGT\n>a\nACGT\n", "y.fasta"))
+    with pytest.raises(ValueError, match="no sequences found"):
+        scan_fasta(_write_fasta(tmp_path, ">a\n>b\n", "z.fasta"))
+
+
+def test_prepare_fasta_streamed_matches_pipeline(tmp_path):
+    from weightedld_tpu.pipeline import WldConfig, prepare
+    from weightedld_tpu.runtime.ingest import prepare_fasta_streamed
+
+    # t1 has junk columns (UNKNOWN-heavy) that the masks drop.
+    for fixture in ("/root/reference/tests/t1_henikoff_paper.fasta",
+                    "/root/reference/tests/example.fasta"):
+        res = prepare(fixture, WldConfig())
+        smc, site_map, hk, ld = prepare_fasta_streamed(fixture)
+        assert site_map.tolist() == res.site_map.tolist()
+        np.testing.assert_array_equal(hk, res.hk_mask)
+        np.testing.assert_array_equal(ld, res.ld_mask)
+        np.testing.assert_array_equal(
+            smc.codes[:smc.n_sites, :smc.n_seqs].T, res.alignment)
+        # Padding is UNKNOWN by the SiteMajorCodes contract.
+        assert (smc.codes[smc.n_sites:] == UNKNOWN).all()
+        w = henikoff_weights_host_site_major(smc.codes, smc.n_sites,
+                                             smc.n_seqs)
+        np.testing.assert_allclose(w, res.weights, rtol=1e-12)
+
+
+def test_streamed_fasta_session_matches_standard(tmp_path):
+    import jax
+
+    from weightedld_tpu.parallel.sharded import default_mesh
+    from weightedld_tpu.runtime.driver import collect_ld_records
+    from weightedld_tpu.runtime.ingest import prepare_fasta_streamed
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(20):
+        seq = rng.choice(list("ACGT-"), size=40,
+                         p=[0.3, 0.28, 0.2, 0.2, 0.02])
+        if i % 7 == 0:  # sprinkle ambiguity -> hybrid/general path
+            seq[rng.integers(40)] = "N"
+        rows.append(">s%d\n%s" % (i, "".join(seq)))
+    p = _write_fasta(tmp_path, "\n".join(rows) + "\n")
+
+    from weightedld_tpu.pipeline import WldConfig, prepare
+
+    res = prepare(p, WldConfig())
+    mesh = default_mesh(jax.devices()[:2])
+    cfg = DriverConfig(tile=16, seq_chunk=128, engine="pallas",
+                       tiles_per_shard_batch=2)
+    smc, site_map, _, _ = prepare_fasta_streamed(p, cfg=cfg, platform="cpu")
+    w = henikoff_weights_host_site_major(smc.codes, smc.n_sites, smc.n_seqs)
+    rec_s = collect_ld_records(smc, w, site_map, cfg, mesh=mesh)
+    rec_b = collect_ld_records(res.alignment, res.weights, res.site_map,
+                               cfg, mesh=mesh)
+    a = sorted(zip(rec_s.pos_a.tolist(), rec_s.pos_b.tolist(),
+                   np.round(rec_s.r2, 5).tolist()))
+    b = sorted(zip(rec_b.pos_a.tolist(), rec_b.pos_b.tolist(),
+                   np.round(rec_b.r2, 5).tolist()))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x[:2] == y[:2] and abs(x[2] - y[2]) < 2e-4
+
+
+def test_streamed_fasta_gzip_and_file_changed(tmp_path):
+    from weightedld_tpu.io.fasta import read_fasta_site_major, scan_fasta
+    from weightedld_tpu.runtime.ingest import prepare_fasta_streamed
+
+    text = ">a\nACGT\n>b\nACGA\n>c\nTCGA\n>d\nAAGA\n"
+    p = _write_fasta(tmp_path, text)
+    gz = tmp_path / "x.fasta.gz"
+    with gzip.open(gz, "wt") as fh:
+        fh.write(text)
+    smc_p, sm_p, _, _ = prepare_fasta_streamed(p)
+    smc_g, sm_g, _, _ = prepare_fasta_streamed(gz)
+    np.testing.assert_array_equal(smc_p.codes, smc_g.codes)
+    assert sm_p.tolist() == sm_g.tolist()
+    # Pass-2 drift detection.
+    n, s, counts = scan_fasta(p)
+    p.write_text(text + ">e\nGGGG\n")
+    with pytest.raises(ValueError, match="changed between ingest passes"):
+        read_fasta_site_major(p, np.ones(s, bool), scan=(n, s))

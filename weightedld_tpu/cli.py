@@ -518,11 +518,20 @@ def main(argv=None) -> int:
             )
     elif args.file is not None and args.stream_ingest:
         # Bounded-memory two-pass ingest straight into the device layout
-        # (VCF only; the FASTA path's masks need whole-site views anyway).
-        if not str(args.file).endswith((".vcf", ".vcf.gz")):
-            print("error: --stream-ingest applies to VCF input only",
-                  file=sys.stderr)
-            return 2
+        # (VCF, or FASTA with the default reader/weight-mask — round 5).
+        is_vcf_in = str(args.file).endswith((".vcf", ".vcf.gz"))
+        if not is_vcf_in:
+            if args.fasta_reader != "python":
+                print("error: --stream-ingest streams the default (python/"
+                      "BioPython) FASTA framing only; drop --fasta-reader "
+                      "rust / --compat rust", file=sys.stderr)
+                return 2
+            if args.weight_mask != "ld":
+                print("error: --stream-ingest weights the LD-trimmed "
+                      "buffer (the reference CLI convention); "
+                      "--weight-mask hk needs the row-major reader",
+                      file=sys.stderr)
+                return 2
         if args.save_prepared is not None:
             print("error: --save-prepared needs the sequence-major matrix; "
                   "drop --stream-ingest to cache this input",
@@ -544,25 +553,35 @@ def main(argv=None) -> int:
             return 2
         from .pipeline import PipelineResult
         from .runtime.driver import DriverConfig
-        from .runtime.ingest import prepare_vcf_streamed
+        from .runtime.ingest import prepare_fasta_streamed, prepare_vcf_streamed
 
         try:
             # The padding must match the session the records mode builds:
             # same tile/seq_chunk flags (auto resolution is deterministic
             # per platform).
-            chrom = args.chrom
-            pos_range = None
-            if args.region is not None:
-                from .io.vcf import parse_region
+            stream_cfg = DriverConfig(tile=args.tile,
+                                      seq_chunk=args.seq_chunk,
+                                      engine="pallas")
+            hk_mask = ld_mask = None
+            if is_vcf_in:
+                chrom = args.chrom
+                pos_range = None
+                if args.region is not None:
+                    from .io.vcf import parse_region
 
-                chrom, pos_range = parse_region(args.region)
-            with timer.stage("ingest"):
-                sm, site_map = prepare_vcf_streamed(
-                    args.file, chrom=chrom,
-                    cfg=DriverConfig(tile=args.tile, seq_chunk=args.seq_chunk,
-                                     engine="pallas"),
-                    pos_range=pos_range,
-                )
+                    chrom, pos_range = parse_region(args.region)
+                with timer.stage("ingest"):
+                    sm, site_map = prepare_vcf_streamed(
+                        args.file, chrom=chrom, cfg=stream_cfg,
+                        pos_range=pos_range,
+                    )
+            else:
+                with timer.stage("ingest"):
+                    sm, site_map, hk_mask, ld_mask = prepare_fasta_streamed(
+                        args.file, min_acgt=args.min_acgt,
+                        min_variability=args.min_variability,
+                        max_minor=args.max_minor, cfg=stream_cfg,
+                    )
             with timer.stage("weights"):
                 if args.unweighted:
                     weights = np.ones(sm.n_seqs, dtype=np.float32)
@@ -578,7 +597,8 @@ def main(argv=None) -> int:
             print(f"error: {e}", file=sys.stderr)
             return 2
         res = PipelineResult(alignment=sm, site_map=site_map,
-                             weights=weights)
+                             weights=weights, hk_mask=hk_mask,
+                             ld_mask=ld_mask)
     elif args.file is not None and args.cross_regions is not None:
         from .pipeline import prepare_vcf_cross
 

@@ -157,6 +157,23 @@ def compute_variable_sites_host(
     n_seqs = alignment.shape[0]
     if counts is None:  # callers with a histogram in hand pass it in
         counts = site_histogram_host(alignment)
+    return compute_variable_sites_from_counts(
+        counts, n_seqs, min_acgt, min_variability, max_minor)
+
+
+def compute_variable_sites_from_counts(
+    counts,
+    n_seqs: int,
+    min_acgt: float,
+    min_variability: float,
+    max_minor: float = 1.0,
+):
+    """:func:`compute_variable_sites_host` from a precomputed ``[S, 5]``
+    histogram alone — the streaming-FASTA ingest's mask stage, where the
+    ``[N, S]`` matrix is never materialized (only per-site counts are)."""
+    import numpy as np
+
+    counts = np.asarray(counts)
     coverage, major, total, minor_fraction = site_fractions_host(
         counts, n_seqs)
     sufficient_data = coverage > min_acgt
@@ -167,7 +184,7 @@ def compute_variable_sites_host(
         nz = total - major > 0
         sorted_counts = np.sort(counts, axis=1)
         dom = sorted_counts[:, -2]
-        dom_frac = np.zeros(alignment.shape[1], dtype=np.float64)
+        dom_frac = np.zeros(counts.shape[0], dtype=np.float64)
         dom_frac[nz] = dom[nz] / np.maximum(major[nz] + dom[nz], 1)
         ld_mask = ld_mask & (dom_frac <= max_minor)
     return sufficient_data, ld_mask

@@ -143,3 +143,119 @@ def read_fasta_rust_with_names(
                 "FASTA lines and keeps line terminators; lib.rs:180)"
             )
     return np.stack(rows, axis=0), names
+
+
+def iter_fasta_rows(path: str | Path):
+    """Stream ``(record_index, encoded int8 row)`` per FASTA record with
+    ONE record resident at a time — the front half of the two-pass
+    streaming ingest (:func:`scan_fasta` / :func:`read_fasta_site_major`).
+
+    Framing is exactly :func:`read_fasta_with_names_python`'s (BioPython /
+    reference-Python semantics, ``WeightedLD.py:21-41``): wrapped sequence
+    lines concatenate, whitespace-only lines are skipped, data before the
+    first ``>`` header is an error; a header with no sequence lines yields
+    a length-0 row (the batch reader's behaviour — the caller's
+    rectangularity check then rejects it unless every record is empty,
+    which the caller reports as "no sequences found").  Gzip inputs
+    inflate incrementally.
+    """
+    from ..core.encode import encode_sequence_bytes
+
+    idx = 0
+    have_record = False
+    current: list[bytes] = []
+    with _open_maybe_gzip(path) as fh:
+        for raw_line in fh:
+            line = raw_line.strip()
+            if not line:
+                continue
+            if line.startswith(b">"):
+                if have_record:
+                    yield idx, encode_sequence_bytes(b"".join(current))
+                    idx += 1
+                    current.clear()
+                have_record = True
+            else:
+                if not have_record:
+                    raise ValueError(
+                        f"{path}: sequence data before first '>' header")
+                current.append(line)
+    if have_record:
+        yield idx, encode_sequence_bytes(b"".join(current))
+
+
+def scan_fasta(path: str | Path,
+               block_rows: int = 1024) -> tuple[int, int, np.ndarray]:
+    """Streaming pass 1 of the two-pass FASTA ingest: ``(n_seqs, n_sites,
+    counts [S, 5])`` — per-site allele histograms over codes 0..4 —
+    without ever materializing the ``[N, S]`` matrix (peak memory: one
+    ``[block_rows, S]`` row block).  Validates rectangularity with the
+    batch reader's error wording; every record is re-validated in pass 2."""
+    from ..core.sites import site_histogram_host
+
+    n_sites = None
+    n_seqs = 0
+    counts = None
+    block: list[np.ndarray] = []
+
+    def flush():
+        nonlocal counts
+        if block:
+            h = site_histogram_host(np.stack(block, axis=0)).astype(np.int64)
+            counts = h if counts is None else counts + h
+            block.clear()
+
+    for idx, row in iter_fasta_rows(path):
+        if n_sites is None:
+            n_sites = len(row)
+        elif len(row) != n_sites:
+            raise ValueError(
+                f"ragged alignment: sequence {idx} has length {len(row)}, "
+                f"expected {n_sites}"
+            )
+        n_seqs += 1
+        block.append(row)
+        if len(block) >= block_rows:
+            flush()
+    flush()
+    if n_seqs == 0 or n_sites == 0:
+        raise ValueError(f"{path}: no sequences found")
+    return n_seqs, n_sites, counts
+
+
+def read_fasta_site_major(
+    path: str | Path,
+    ld_mask: np.ndarray,
+    s_pad: int | None = None,
+    n_pad: int | None = None,
+    scan: tuple[int, int] | None = None,
+) -> np.ndarray:
+    """Streaming pass 2: decode each record straight into its COLUMN of a
+    padded site-major buffer holding only the LD-kept sites — ``codes[s, k]
+    == trimmed_alignment[k, s]`` (the engine's :class:`SiteMajorCodes`
+    layout contract; UNKNOWN padding).  ``scan`` is pass 1's ``(n_seqs,
+    n_sites)``; any drift between passes (file changed) is an error."""
+    from ..core.encode import ALIGNMENT_DTYPE, UNKNOWN
+
+    ld_mask = np.asarray(ld_mask, dtype=bool)
+    n_seqs, n_sites = scan if scan is not None else (None, None)
+    if n_sites is not None and len(ld_mask) != n_sites:
+        raise ValueError("ld_mask length must equal the scanned n_sites")
+    s_kept = int(ld_mask.sum())
+    s_pad = s_kept if s_pad is None else s_pad
+    if n_seqs is None:
+        raise ValueError("read_fasta_site_major needs the scan result")
+    n_pad = n_seqs if n_pad is None else n_pad
+    if s_pad < s_kept or n_pad < n_seqs:
+        raise ValueError(f"padding smaller than data: {(s_pad, n_pad)} < "
+                         f"{(s_kept, n_seqs)}")
+    out = np.full((s_pad, n_pad), UNKNOWN, dtype=ALIGNMENT_DTYPE)
+    k = 0
+    for idx, row in iter_fasta_rows(path):
+        if len(row) != n_sites or k >= n_seqs:
+            raise ValueError(f"{path}: file changed between ingest passes")
+        out[:s_kept, k] = row[ld_mask]
+        k += 1
+    if k != n_seqs:
+        raise ValueError(f"{path}: file changed between ingest passes")
+    return out

@@ -47,14 +47,38 @@ def pair_header(annot: "PairAnnot | None") -> str:
 
 def open_text_output(path):
     """Text handle for TSV output; a ``.gz`` suffix writes gzip-compressed
-    (symmetric with the readers' transparent gzip input support).
+    (symmetric with the readers' transparent gzip input support), and
+    ``-`` means stdout (the ``--site-stats -`` convention, uniformly —
+    previously ``--weights-output -`` wrote a literal file named ``-``).
 
     ``mtime=0`` keeps the gzip header free of the wall clock, so identical
     runs produce byte-identical .gz files (deterministic outputs are an
     advertised property of this framework)."""
+    if str(path) == "-":
+        return _StdoutText()
     if str(path).endswith(".gz"):
         return _DeterministicGzipText(path)
     return open(path, "w")
+
+
+class _StdoutText:
+    """Context-manager stdout wrapper whose close() does NOT close stdout
+    (callers uniformly ``with open_text_output(...)``)."""
+
+    def write(self, s):
+        return sys.stdout.write(s)
+
+    def flush(self):
+        sys.stdout.flush()
+
+    def close(self):
+        sys.stdout.flush()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 class _DeterministicGzipText(io.TextIOWrapper):

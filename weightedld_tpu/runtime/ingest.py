@@ -122,3 +122,54 @@ def session_from_vcf(
             f"{weight_precision!r}"
         )
     return LdSession(sm, weights, site_map, cfg=cfg, mesh=mesh)
+
+
+def prepare_fasta_streamed(
+    path: str | Path,
+    min_acgt: float = 0.8,
+    min_variability: float = 0.02,
+    max_minor: float = 1.0,
+    cfg: DriverConfig | None = None,
+    platform: str | None = None,
+) -> tuple[SiteMajorCodes, np.ndarray, np.ndarray, np.ndarray]:
+    """Two-pass streaming FASTA ingest (the FASTA twin of
+    :func:`prepare_vcf_streamed`): ``(SiteMajorCodes, site_map, hk_mask,
+    ld_mask)`` with peak host memory = ONE padded site-major matrix of the
+    LD-KEPT sites (plus a row block and the [S, 5] histogram) — the
+    reference's BioPython path (``WeightedLD.py:21-41``) materializes the
+    text, the row list, and the [N, S] matrix.
+
+    Pass 1 (:func:`io.fasta.scan_fasta`) streams per-site histograms;
+    the reference's Python masks (``compute_variable_sites_from_counts``,
+    f64 host semantics) come straight from the counts; pass 2
+    (:func:`io.fasta.read_fasta_site_major`) decodes each record into its
+    buffer column, already trimmed to the LD mask — matching the CLI
+    pipeline's "trim then weight" semantics (``WeightedLD.py:303,397``;
+    weights on this buffer via ``henikoff_weights_host_site_major`` are
+    the pipeline weights up to chunked-summation order, ~1 ulp).
+
+    Framing is the Python/BioPython semantics only (wrapped records
+    concatenated); the Rust line-based variant is not streamed.
+    """
+    from ..core.sites import compute_variable_sites_from_counts
+    from ..io.fasta import read_fasta_site_major, scan_fasta
+    from ..ops.pallas_ld import majmin_safe_with_unknown
+
+    cfg = _pin_pallas(cfg)
+    n_seqs, n_sites, counts = scan_fasta(path)
+    hk_mask, ld_mask = compute_variable_sites_from_counts(
+        counts, n_seqs, min_acgt, min_variability, max_minor)
+    site_map = np.flatnonzero(ld_mask).astype(np.int64)
+    s_kept = len(site_map)
+    # Size for the factorized tile band only when the KEPT sites' margins
+    # prove the factorized kernel exact (FASTA can carry UNKNOWNs, unlike
+    # VCF) — the session re-derives the same verdict from the buffer and
+    # slices band padding off if an edit between passes flipped it.
+    majmin = (cfg.kernel != "general") and majmin_safe_with_unknown(
+        None, counts[ld_mask], n_seqs=n_seqs)
+    s_pad, n_pad = LdSession.required_padding(
+        n_seqs, max(s_kept, 1), cfg, majmin=majmin, platform=platform)
+    codes = read_fasta_site_major(
+        path, ld_mask, s_pad=s_pad, n_pad=n_pad, scan=(n_seqs, n_sites))
+    return (SiteMajorCodes(codes=codes, n_seqs=n_seqs, n_sites=s_kept),
+            site_map, hk_mask, ld_mask)
