@@ -430,3 +430,27 @@ def test_streamed_fasta_gzip_and_file_changed(tmp_path):
     p.write_text(text + ">e\nGGGG\n")
     with pytest.raises(ValueError, match="changed between ingest passes"):
         read_fasta_site_major(p, np.ones(s, bool), scan=(n, s))
+
+
+def test_session_from_fasta_matches_standard(tmp_path):
+    import jax
+
+    from weightedld_tpu.parallel.sharded import default_mesh
+    from weightedld_tpu.pipeline import WldConfig, prepare
+    from weightedld_tpu.runtime.ingest import session_from_fasta
+
+    ex = "/root/reference/tests/example.fasta"
+    cfg = DriverConfig(tile=16, seq_chunk=128, engine="pallas",
+                       tiles_per_shard_batch=2)
+    mesh = default_mesh(jax.devices()[:2])
+    s = session_from_fasta(ex, cfg=cfg, mesh=mesh)
+    got = {}
+    for _, r in s.stream():
+        got.update(_records_map(r))
+    assert set(got) == {(0, 1)}
+    d, dp, r2 = got[(0, 1)]
+    assert (round(d, 4), round(dp, 4), round(r2, 4)) == \
+        (0.1029, 0.3429, 0.2236)  # SURVEY A.1 golden
+    # Weights equal the pipeline's (f64, chunked-summation order).
+    res = prepare(ex, WldConfig())
+    np.testing.assert_allclose(s.weights, res.weights, rtol=1e-6)

@@ -250,12 +250,26 @@ def read_fasta_site_major(
         raise ValueError(f"padding smaller than data: {(s_pad, n_pad)} < "
                          f"{(s_kept, n_seqs)}")
     out = np.full((s_pad, n_pad), UNKNOWN, dtype=ALIGNMENT_DTYPE)
+    # Rows land in a small [B, s_kept] row-major block that transposes into
+    # the site-major buffer once per block — a per-row strided column write
+    # (stride n_pad) measured ~2x slower on chromosome-scale inputs.
+    block_rows = 256
+    block = np.empty((block_rows, s_kept), dtype=ALIGNMENT_DTYPE)
     k = 0
+    b = 0
+    full_keep = bool(ld_mask.all())
     for idx, row in iter_fasta_rows(path):
-        if len(row) != n_sites or k >= n_seqs:
+        if len(row) != n_sites or k + b >= n_seqs:
             raise ValueError(f"{path}: file changed between ingest passes")
-        out[:s_kept, k] = row[ld_mask]
-        k += 1
+        block[b] = row if full_keep else row[ld_mask]
+        b += 1
+        if b == block_rows:
+            out[:s_kept, k:k + b] = block.T
+            k += b
+            b = 0
+    if b:
+        out[:s_kept, k:k + b] = block[:b].T
+        k += b
     if k != n_seqs:
         raise ValueError(f"{path}: file changed between ingest passes")
     return out

@@ -173,3 +173,32 @@ def prepare_fasta_streamed(
         path, ld_mask, s_pad=s_pad, n_pad=n_pad, scan=(n_seqs, n_sites))
     return (SiteMajorCodes(codes=codes, n_seqs=n_seqs, n_sites=s_kept),
             site_map, hk_mask, ld_mask)
+
+
+def session_from_fasta(
+    path: str | Path,
+    cfg: DriverConfig | None = None,
+    mesh=None,
+    min_acgt: float = 0.8,
+    min_variability: float = 0.02,
+    max_minor: float = 1.0,
+    unweighted: bool = False,
+    weights: np.ndarray | None = None,
+) -> LdSession:
+    """Build a device session from a (possibly gzipped) FASTA with bounded
+    host memory — the FASTA twin of :func:`session_from_vcf`.  Masking and
+    weighting follow the reference CLI convention (LD-mask trim, Henikoff
+    f64 on the trimmed sites, ``WeightedLD.py:303,397``)."""
+    cfg = _pin_pallas(cfg)
+    platform = (mesh.devices.flat[0].platform if mesh is not None else None)
+    sm, site_map, _hk, _ld = prepare_fasta_streamed(
+        path, min_acgt=min_acgt, min_variability=min_variability,
+        max_minor=max_minor, cfg=cfg, platform=platform)
+    if unweighted:
+        weights = np.ones(sm.n_seqs, dtype=np.float32)
+    elif weights is None:
+        from ..core.henikoff import henikoff_weights_host_site_major
+
+        weights = henikoff_weights_host_site_major(
+            sm.codes, sm.n_sites, sm.n_seqs)
+    return LdSession(sm, weights, site_map, cfg=cfg, mesh=mesh)
