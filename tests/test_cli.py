@@ -935,3 +935,23 @@ def test_dash_output_means_stdout(tmp_path, capsys, monkeypatch):
     assert out.startswith("sequence\tweight\n")
     assert "posa\tposb" in out
     assert not (tmp_path / "-").exists()
+
+
+def test_streamed_fasta_monomorphic_matches_batch(tmp_path, capsys):
+    """Fully conserved alignment: streamed FASTA must exit like the batch
+    path (header only), not crash in the majmin verdict on 0 kept sites."""
+    path = tmp_path / "mono.fasta"
+    write_fasta(path, ["AAAA"] * 6)
+    assert main(["--file", str(path), "--engine", "tiled"]) == 0
+    batch = capsys.readouterr().out
+    assert main(["--file", str(path), "--engine", "tiled",
+                 "--stream-ingest"]) == 0
+    assert capsys.readouterr().out == batch
+
+
+def test_checkpoint_rejects_stdout_output(tmp_path, capsys):
+    path = tmp_path / "e.fasta"
+    write_fasta(path, ["ATAA", "TAAA", "TTAA", "TTAA"])
+    assert main(["--file", str(path), "--engine", "tiled",
+                 "--pair-output", "-", "--checkpoint"]) == 2
+    assert "real --pair-output file" in capsys.readouterr().err

@@ -220,15 +220,16 @@ def build_parser() -> argparse.ArgumentParser:
                    "Python reference (collects all records in memory; the "
                    "default streams in tile order like the Rust reference)")
     p.add_argument("--stream-ingest", action="store_true",
-                   help="VCF only: two-pass streaming ingest straight into "
-                   "the device layout — peak host memory is ONE padded "
-                   "matrix (chunked gzip inflate; chromosome-scale .vcf.gz "
-                   "stays RAM-bounded).  Record semantics are identical to "
-                   "the default reader; Henikoff weights run chunked in "
-                   "f64 (equal to the default's f64 weights up to "
-                   "summation order, ~1 ulp).  Forces the tiled/pallas "
-                   "engine; incompatible with --save-prepared and "
-                   "--weighting paper")
+                   help="two-pass streaming ingest straight into the "
+                   "device layout (VCF, or FASTA with the default reader/"
+                   "weight-mask) — peak host memory is ONE padded matrix "
+                   "(chunked gzip inflate; chromosome-scale .vcf.gz / "
+                   ".fasta.gz stays RAM-bounded).  Record semantics are "
+                   "identical to the default readers; Henikoff weights "
+                   "run chunked in f64 (equal to the default's f64 "
+                   "weights up to summation order, ~1 ulp).  Forces the "
+                   "tiled/pallas engine; incompatible with "
+                   "--save-prepared and --weighting paper")
     p.add_argument("--coordinator", type=str, default=None, metavar="HOST:PORT",
                    help="distributed runtime coordinator address for manual "
                    "multi-process bring-up (TPU pods / Slurm / Open MPI are "
@@ -367,6 +368,11 @@ def main(argv=None) -> int:
     if args.matrix_output is not None and args.r2_threshold is not None:
         print("warning: --matrix-output writes complete matrices; "
               "--r2-threshold is ignored in this mode", file=sys.stderr)
+    if args.checkpoint and str(args.pair_output) == "-":
+        print("error: --checkpoint needs a real --pair-output file "
+              "(resume truncates to a recorded byte offset; stdout has "
+              "none)", file=sys.stderr)
+        return 2
 
     if args.compat == "rust":
         # Reference Rust binary semantics (main.rs:19-68 defaults); explicit

@@ -48,37 +48,50 @@ def _open_maybe_gzip(path: str | Path):
     return open(path, "rb")
 
 
-def read_fasta_with_names_python(
-    path: str | Path,
-) -> tuple[np.ndarray, list[str]]:
-    """Pure-Python fallback/oracle for :func:`read_fasta_with_names`."""
-    names: list[str] = []
-    rows: list[bytes] = []
+def _iter_fasta_raw(path: str | Path):
+    """THE FASTA framing (BioPython / reference-Python semantics,
+    ``WeightedLD.py:21-41``), defined once: yield ``(name, raw_bytes)`` per
+    record with one record resident at a time.  Wrapped sequence lines
+    concatenate, whitespace-only lines are skipped, data before the first
+    ``>`` header is an error, a header with no sequence lines yields
+    ``b""``.  Both the batch reader and the streaming ingest build on this
+    generator, so batch-vs-streamed framing cannot drift.  Gzip inputs
+    inflate incrementally."""
+    name = None
     current: list[bytes] = []
-
-    def flush() -> None:
-        if names and len(rows) < len(names):
-            rows.append(b"".join(current))
-        current.clear()
-
     with _open_maybe_gzip(path) as fh:
         for raw_line in fh:
             line = raw_line.strip()
             if not line:
                 continue
             if line.startswith(b">"):
-                flush()
-                names.append(line[1:].decode("utf-8", "replace").strip())
+                if name is not None:
+                    yield name, b"".join(current)
+                    current.clear()
+                name = line[1:].decode("utf-8", "replace").strip()
             else:
-                if not names:
-                    raise ValueError(f"{path}: sequence data before first '>' header")
+                if name is None:
+                    raise ValueError(
+                        f"{path}: sequence data before first '>' header")
                 current.append(line)
-    flush()
+    if name is not None:
+        yield name, b"".join(current)
+
+
+def read_fasta_with_names_python(
+    path: str | Path,
+) -> tuple[np.ndarray, list[str]]:
+    """Pure-Python fallback/oracle for :func:`read_fasta_with_names`."""
+    names: list[str] = []
+    rows: list[bytes] = []
+    for name, raw in _iter_fasta_raw(path):
+        names.append(name)
+        rows.append(raw)
 
     if not rows or not any(rows):
-        # `not any(rows)` catches header-only files: flush() appends b"" for
-        # each empty record, which would otherwise yield an [N, 0] alignment
-        # and NaN weights downstream instead of a clean ingest error.
+        # `not any(rows)` catches header-only files: each empty record is a
+        # b"" row, which would otherwise yield an [N, 0] alignment and NaN
+        # weights downstream instead of a clean ingest error.
         raise ValueError(f"{path}: no sequences found")
     return encode_alignment(rows), names
 
@@ -150,38 +163,18 @@ def iter_fasta_rows(path: str | Path):
     ONE record resident at a time — the front half of the two-pass
     streaming ingest (:func:`scan_fasta` / :func:`read_fasta_site_major`).
 
-    Framing is exactly :func:`read_fasta_with_names_python`'s (BioPython /
-    reference-Python semantics, ``WeightedLD.py:21-41``): wrapped sequence
-    lines concatenate, whitespace-only lines are skipped, data before the
-    first ``>`` header is an error; a header with no sequence lines yields
-    a length-0 row (the batch reader's behaviour — the caller's
-    rectangularity check then rejects it unless every record is empty,
-    which the caller reports as "no sequences found").  Gzip inputs
-    inflate incrementally.
+    Framing comes from the shared :func:`_iter_fasta_raw` generator (the
+    batch reader builds on the same one): wrapped sequence lines
+    concatenate, whitespace-only lines are skipped, data before the first
+    ``>`` header is an error; a header with no sequence lines yields a
+    length-0 row (the caller's rectangularity check then rejects it unless
+    every record is empty, which the caller reports as "no sequences
+    found").  Gzip inputs inflate incrementally.
     """
     from ..core.encode import encode_sequence_bytes
 
-    idx = 0
-    have_record = False
-    current: list[bytes] = []
-    with _open_maybe_gzip(path) as fh:
-        for raw_line in fh:
-            line = raw_line.strip()
-            if not line:
-                continue
-            if line.startswith(b">"):
-                if have_record:
-                    yield idx, encode_sequence_bytes(b"".join(current))
-                    idx += 1
-                    current.clear()
-                have_record = True
-            else:
-                if not have_record:
-                    raise ValueError(
-                        f"{path}: sequence data before first '>' header")
-                current.append(line)
-    if have_record:
-        yield idx, encode_sequence_bytes(b"".join(current))
+    for idx, (_name, raw) in enumerate(_iter_fasta_raw(path)):
+        yield idx, encode_sequence_bytes(raw)
 
 
 def scan_fasta(path: str | Path,

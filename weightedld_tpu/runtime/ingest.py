@@ -165,8 +165,12 @@ def prepare_fasta_streamed(
     # prove the factorized kernel exact (FASTA can carry UNKNOWNs, unlike
     # VCF) — the session re-derives the same verdict from the buffer and
     # slices band padding off if an edit between passes flipped it.
-    majmin = (cfg.kernel != "general") and majmin_safe_with_unknown(
-        None, counts[ld_mask], n_seqs=n_seqs)
+    # s_kept == 0 (fully conserved input): no sites to judge — callers
+    # handle the empty result before any session is built (the CLI's
+    # "fewer than 2 sites" path), matching the batch pipeline.
+    majmin = (s_kept > 0 and cfg.kernel != "general"
+              and majmin_safe_with_unknown(None, counts[ld_mask],
+                                           n_seqs=n_seqs))
     s_pad, n_pad = LdSession.required_padding(
         n_seqs, max(s_kept, 1), cfg, majmin=majmin, platform=platform)
     codes = read_fasta_site_major(
