@@ -454,3 +454,42 @@ def test_session_from_fasta_matches_standard(tmp_path):
     # Weights equal the pipeline's (f64, chunked-summation order).
     res = prepare(ex, WldConfig())
     np.testing.assert_allclose(s.weights, res.weights, rtol=1e-6)
+
+
+def test_streamed_fasta_sample_subsetting(tmp_path, capsys):
+    """Streamed FASTA subsetting equals the batch pipeline's (subset
+    before masks/weights), including under wrapped records and gzip."""
+    from weightedld_tpu.cli import main
+    from weightedld_tpu.pipeline import WldConfig, prepare
+    from weightedld_tpu.runtime.ingest import prepare_fasta_streamed
+
+    rows = ["ATAA", "TAAA", "TAAA", "TAAA", "T-AA",
+            "TTAA", "TTAA", "TTAA", "TTAA", "TTAY"]
+    path = tmp_path / "e.fasta"
+    path.write_text("".join(f">seq{i}\n{r[:2]}\n{r[2:]}\n"
+                            for i, r in enumerate(rows)))
+    keep = tuple(f"seq{i}" for i in range(1, 9))
+    res = prepare(path, WldConfig(keep_samples=keep))
+    smc, site_map, hk, ld = prepare_fasta_streamed(path, keep_samples=keep)
+    assert site_map.tolist() == res.site_map.tolist()
+    np.testing.assert_array_equal(
+        smc.codes[:smc.n_sites, :smc.n_seqs].T, res.alignment)
+    np.testing.assert_allclose(
+        henikoff_weights_host_site_major(smc.codes, smc.n_sites,
+                                         smc.n_seqs),
+        res.weights, rtol=1e-12)
+    # Typo safety survives streaming.
+    with pytest.raises(ValueError, match="unknown sample name"):
+        prepare_fasta_streamed(path, keep_samples=("nope",))
+    # CLI byte parity, batch vs streamed, with the subset applied.
+    spec = ",".join(keep)
+    assert main(["--file", str(path), "--engine", "tiled",
+                 "--keep-samples", spec]) == 0
+    batch = capsys.readouterr().out
+    assert main(["--file", str(path), "--engine", "tiled",
+                 "--keep-samples", spec, "--stream-ingest"]) == 0
+    assert capsys.readouterr().out == batch
+    # VCF streamed subsetting is still the clear error.
+    assert main(["--file", T7_PATH, "--stream-ingest", "--engine", "tiled",
+                 "--keep-samples", "HG00096"]) == 2
+    assert "row-major reader" in capsys.readouterr().err

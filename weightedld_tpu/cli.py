@@ -547,10 +547,12 @@ def main(argv=None) -> int:
             print("error: --stream-ingest supports the default (python) "
                   "weighting only", file=sys.stderr)
             return 2
-        if keep_samples is not None or exclude_samples is not None:
-            print("error: --keep-samples/--exclude-samples need the "
-                  "row-major reader; drop --stream-ingest to subset "
-                  "samples", file=sys.stderr)
+        if is_vcf_in and (keep_samples is not None
+                          or exclude_samples is not None):
+            print("error: --keep-samples/--exclude-samples on VCF need "
+                  "the row-major reader; drop --stream-ingest to subset "
+                  "samples (streamed FASTA supports subsetting)",
+                  file=sys.stderr)
             return 2
         if args.engine in ("dense", "reference"):
             print(f"error: --stream-ingest requires the tiled engine "
@@ -587,6 +589,8 @@ def main(argv=None) -> int:
                         args.file, min_acgt=args.min_acgt,
                         min_variability=args.min_variability,
                         max_minor=args.max_minor, cfg=stream_cfg,
+                        keep_samples=keep_samples,
+                        exclude_samples=exclude_samples,
                     )
             with timer.stage("weights"):
                 if args.unweighted:

@@ -177,13 +177,27 @@ def iter_fasta_rows(path: str | Path):
         yield idx, encode_sequence_bytes(raw)
 
 
+def fasta_names(path: str | Path) -> list[str]:
+    """Record names in file order, streaming (one record resident) — the
+    cheap front pass for sample subsetting under the streamed ingest."""
+    return [name for name, _raw in _iter_fasta_raw(path)]
+
+
 def scan_fasta(path: str | Path,
-               block_rows: int = 1024) -> tuple[int, int, np.ndarray]:
+               block_rows: int = 1024,
+               row_mask: np.ndarray | None = None,
+               ) -> tuple[int, int, np.ndarray]:
     """Streaming pass 1 of the two-pass FASTA ingest: ``(n_seqs, n_sites,
     counts [S, 5])`` — per-site allele histograms over codes 0..4 —
     without ever materializing the ``[N, S]`` matrix (peak memory: one
     ``[block_rows, S]`` row block).  Validates rectangularity with the
-    batch reader's error wording; every record is re-validated in pass 2."""
+    batch reader's error wording; every record is re-validated in pass 2.
+
+    ``row_mask`` (bool per RECORD, file order): records with a False entry
+    are skipped — sample subsetting, matching the batch pipeline's
+    subset-before-masks semantics.  Rectangularity is still validated over
+    EVERY record (the batch reader rejects ragged inputs before
+    subsetting)."""
     from ..core.sites import site_histogram_host
 
     n_sites = None
@@ -198,7 +212,9 @@ def scan_fasta(path: str | Path,
             counts = h if counts is None else counts + h
             block.clear()
 
+    n_records = 0
     for idx, row in iter_fasta_rows(path):
+        n_records += 1
         if n_sites is None:
             n_sites = len(row)
         elif len(row) != n_sites:
@@ -206,11 +222,15 @@ def scan_fasta(path: str | Path,
                 f"ragged alignment: sequence {idx} has length {len(row)}, "
                 f"expected {n_sites}"
             )
+        if row_mask is not None and not row_mask[idx]:
+            continue
         n_seqs += 1
         block.append(row)
         if len(block) >= block_rows:
             flush()
     flush()
+    if row_mask is not None and n_records != len(row_mask):
+        raise ValueError(f"{path}: file changed between ingest passes")
     if n_seqs == 0 or n_sites == 0:
         raise ValueError(f"{path}: no sequences found")
     return n_seqs, n_sites, counts
@@ -222,12 +242,15 @@ def read_fasta_site_major(
     s_pad: int | None = None,
     n_pad: int | None = None,
     scan: tuple[int, int] | None = None,
+    row_mask: np.ndarray | None = None,
 ) -> np.ndarray:
     """Streaming pass 2: decode each record straight into its COLUMN of a
     padded site-major buffer holding only the LD-kept sites — ``codes[s, k]
     == trimmed_alignment[k, s]`` (the engine's :class:`SiteMajorCodes`
     layout contract; UNKNOWN padding).  ``scan`` is pass 1's ``(n_seqs,
-    n_sites)``; any drift between passes (file changed) is an error."""
+    n_sites)`` (with ``row_mask``: n_seqs = the KEPT count); any drift
+    between passes (file changed) is an error.  ``row_mask`` skips
+    records exactly like :func:`scan_fasta`'s."""
     from ..core.encode import ALIGNMENT_DTYPE, UNKNOWN
 
     ld_mask = np.asarray(ld_mask, dtype=bool)
@@ -252,6 +275,12 @@ def read_fasta_site_major(
     b = 0
     full_keep = bool(ld_mask.all())
     for idx, row in iter_fasta_rows(path):
+        if row_mask is not None and (idx >= len(row_mask)
+                                     or not row_mask[idx]):
+            if idx >= len(row_mask) or len(row) != n_sites:
+                raise ValueError(
+                    f"{path}: file changed between ingest passes")
+            continue
         if len(row) != n_sites or k + b >= n_seqs:
             raise ValueError(f"{path}: file changed between ingest passes")
         block[b] = row if full_keep else row[ld_mask]

@@ -131,6 +131,8 @@ def prepare_fasta_streamed(
     max_minor: float = 1.0,
     cfg: DriverConfig | None = None,
     platform: str | None = None,
+    keep_samples: tuple[str, ...] | None = None,
+    exclude_samples: tuple[str, ...] | None = None,
 ) -> tuple[SiteMajorCodes, np.ndarray, np.ndarray, np.ndarray]:
     """Two-pass streaming FASTA ingest (the FASTA twin of
     :func:`prepare_vcf_streamed`): ``(SiteMajorCodes, site_map, hk_mask,
@@ -156,7 +158,18 @@ def prepare_fasta_streamed(
     from ..ops.pallas_ld import majmin_safe_with_unknown
 
     cfg = _pin_pallas(cfg)
-    n_seqs, n_sites, counts = scan_fasta(path)
+    row_mask = None
+    if keep_samples is not None or exclude_samples is not None:
+        # A cheap names-only streaming pass resolves the subset up front
+        # (typo-safe, like the batch pipeline); both data passes then skip
+        # the dropped records — subsetting happens BEFORE masking and
+        # weighting, matching pipeline semantics.
+        from ..io.fasta import fasta_names
+        from ..pipeline import _sample_row_mask
+
+        row_mask = _sample_row_mask(fasta_names(path), keep_samples,
+                                    exclude_samples)
+    n_seqs, n_sites, counts = scan_fasta(path, row_mask=row_mask)
     hk_mask, ld_mask = compute_variable_sites_from_counts(
         counts, n_seqs, min_acgt, min_variability, max_minor)
     site_map = np.flatnonzero(ld_mask).astype(np.int64)
@@ -174,7 +187,8 @@ def prepare_fasta_streamed(
     s_pad, n_pad = LdSession.required_padding(
         n_seqs, max(s_kept, 1), cfg, majmin=majmin, platform=platform)
     codes = read_fasta_site_major(
-        path, ld_mask, s_pad=s_pad, n_pad=n_pad, scan=(n_seqs, n_sites))
+        path, ld_mask, s_pad=s_pad, n_pad=n_pad, scan=(n_seqs, n_sites),
+        row_mask=row_mask)
     return (SiteMajorCodes(codes=codes, n_seqs=n_seqs, n_sites=s_kept),
             site_map, hk_mask, ld_mask)
 
@@ -188,6 +202,8 @@ def session_from_fasta(
     max_minor: float = 1.0,
     unweighted: bool = False,
     weights: np.ndarray | None = None,
+    keep_samples: tuple[str, ...] | None = None,
+    exclude_samples: tuple[str, ...] | None = None,
 ) -> LdSession:
     """Build a device session from a (possibly gzipped) FASTA with bounded
     host memory — the FASTA twin of :func:`session_from_vcf`.  Masking and
@@ -197,7 +213,8 @@ def session_from_fasta(
     platform = (mesh.devices.flat[0].platform if mesh is not None else None)
     sm, site_map, _hk, _ld = prepare_fasta_streamed(
         path, min_acgt=min_acgt, min_variability=min_variability,
-        max_minor=max_minor, cfg=cfg, platform=platform)
+        max_minor=max_minor, cfg=cfg, platform=platform,
+        keep_samples=keep_samples, exclude_samples=exclude_samples)
     if unweighted:
         weights = np.ones(sm.n_seqs, dtype=np.float32)
     elif weights is None:
