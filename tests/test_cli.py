@@ -678,10 +678,17 @@ def test_stream_ingest_region_parity(tmp_path, capsys):
     assert main(["--file", T7_PATH, "--region", f"19:{lo}-{hi}",
                  "--engine", "tiled", "--stream-ingest"]) == 0
     assert capsys.readouterr().out == row_major
-    # Sample subsetting needs the row-major reader.
-    assert main(["--file", T7_PATH, "--keep-samples", "HG00096",
-                 "--stream-ingest", "--engine", "tiled"]) == 2
-    assert "row-major reader" in capsys.readouterr().err
+    # Sample subsetting composes with streamed VCF ingest (round 5):
+    # byte parity against the row-major path under the same subset.
+    from weightedld_tpu.io.vcf import vcf_sample_names
+
+    keep = ",".join(vcf_sample_names(T7_PATH)[:32])
+    assert main(["--file", T7_PATH, "--engine", "tiled",
+                 "--keep-samples", keep]) == 0
+    row_major_sub = capsys.readouterr().out
+    assert main(["--file", T7_PATH, "--engine", "tiled",
+                 "--keep-samples", keep, "--stream-ingest"]) == 0
+    assert capsys.readouterr().out == row_major_sub
 
 
 # ---------------------------------------------------------------------------

@@ -489,7 +489,27 @@ def test_streamed_fasta_sample_subsetting(tmp_path, capsys):
     assert main(["--file", str(path), "--engine", "tiled",
                  "--keep-samples", spec, "--stream-ingest"]) == 0
     assert capsys.readouterr().out == batch
-    # VCF streamed subsetting is still the clear error.
-    assert main(["--file", T7_PATH, "--stream-ingest", "--engine", "tiled",
-                 "--keep-samples", "HG00096"]) == 2
-    assert "row-major reader" in capsys.readouterr().err
+
+
+
+def test_streamed_vcf_sample_subsetting():
+    """Streamed VCF subsetting: buffer equals the batch pipeline's subset
+    alignment (rot90-aware mapping), weights match."""
+    from weightedld_tpu.io.vcf import vcf_sample_names
+    from weightedld_tpu.pipeline import WldConfig, prepare
+
+    names = vcf_sample_names(T7_PATH)
+    keep = tuple(names[:40])
+    res = prepare(T7_PATH, WldConfig(keep_samples=keep))
+    sm, site_map = prepare_vcf_streamed(
+        T7_PATH, cfg=DriverConfig(tile=8, seq_chunk=8, engine="pallas"),
+        keep_samples=keep)
+    assert sm.n_seqs == 80 and site_map.tolist() == res.site_map.tolist()
+    np.testing.assert_array_equal(
+        sm.codes[:sm.n_sites, :sm.n_seqs].T, res.alignment)
+    w = henikoff_weights_host_site_major(sm.codes, sm.n_sites, sm.n_seqs)
+    np.testing.assert_allclose(w, res.weights, rtol=1e-12)
+    with pytest.raises(ValueError, match="unknown sample name"):
+        prepare_vcf_streamed(T7_PATH, keep_samples=("NOPE",),
+                             cfg=DriverConfig(tile=8, seq_chunk=8,
+                                              engine="pallas"))

@@ -547,13 +547,6 @@ def main(argv=None) -> int:
             print("error: --stream-ingest supports the default (python) "
                   "weighting only", file=sys.stderr)
             return 2
-        if is_vcf_in and (keep_samples is not None
-                          or exclude_samples is not None):
-            print("error: --keep-samples/--exclude-samples on VCF need "
-                  "the row-major reader; drop --stream-ingest to subset "
-                  "samples (streamed FASTA supports subsetting)",
-                  file=sys.stderr)
-            return 2
         if args.engine in ("dense", "reference"):
             print(f"error: --stream-ingest requires the tiled engine "
                   f"(--engine {args.engine} holds the matrix in sequence-"
@@ -581,7 +574,8 @@ def main(argv=None) -> int:
                 with timer.stage("ingest"):
                     sm, site_map = prepare_vcf_streamed(
                         args.file, chrom=chrom, cfg=stream_cfg,
-                        pos_range=pos_range,
+                        pos_range=pos_range, keep_samples=keep_samples,
+                        exclude_samples=exclude_samples,
                     )
             else:
                 with timer.stage("ingest"):

@@ -410,6 +410,7 @@ def read_vcf_site_major(
     n_pad: int | None = None,
     scan: tuple[int, np.ndarray] | None = None,
     pos_range: tuple[int, int] | None = None,
+    row_mask: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Two-pass streaming ingest straight into the engine's padded
     SITE-MAJOR layout: ``(codes [s_pad, n_pad] int8, site_map, n_haps)``.
@@ -438,12 +439,20 @@ def read_vcf_site_major(
     """
     n_haps, site_map = scan if scan is not None \
         else scan_vcf(path, chrom, pos_range)
+    if row_mask is not None:
+        # Boolean over ALIGNMENT rows (reversed haplotype order — the
+        # rot90 row k is haplotype n_haps-1-k): sample subsetting applied
+        # while decoding, so the buffer holds only the kept rows.
+        row_mask = np.asarray(row_mask, dtype=bool)
+        if len(row_mask) != n_haps:
+            raise ValueError("row_mask length must equal n_haplotypes")
+    n_kept = n_haps if row_mask is None else int(row_mask.sum())
     s = len(site_map)
     s_pad = s if s_pad is None else s_pad
-    n_pad = n_haps if n_pad is None else n_pad
-    if s_pad < s or n_pad < n_haps:
+    n_pad = n_kept if n_pad is None else n_pad
+    if s_pad < s or n_pad < n_kept:
         raise ValueError(f"padding smaller than data: {(s_pad, n_pad)} < "
-                         f"{(s, n_haps)}")
+                         f"{(s, n_kept)}")
     out = np.full((s_pad, n_pad), UNKNOWN, dtype=ALIGNMENT_DTYPE)
     i = 0
     for lineno, line in _iter_variant_lines(path):
@@ -458,11 +467,12 @@ def read_vcf_site_major(
             )
         if i >= s or pos != site_map[i]:
             raise VcfError(f"{path}: file changed between ingest passes")
-        out[i, :n_haps] = row[::-1]   # rot90 parity: reversed haplotypes
+        rev = row[::-1]               # rot90 parity: reversed haplotypes
+        out[i, :n_kept] = rev if row_mask is None else rev[row_mask]
         i += 1
     if i != s:
         raise VcfError(f"{path}: file changed between ingest passes")
-    return out, site_map, n_haps
+    return out, site_map, n_kept
 
 
 def read_vcf_python(path: str | Path,

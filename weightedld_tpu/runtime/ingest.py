@@ -54,6 +54,8 @@ def prepare_vcf_streamed(
     cfg: DriverConfig | None = None,
     platform: str | None = None,
     pos_range: tuple[int, int] | None = None,
+    keep_samples: tuple[str, ...] | None = None,
+    exclude_samples: tuple[str, ...] | None = None,
 ) -> tuple[SiteMajorCodes, np.ndarray]:
     """Two-pass streaming ingest sized for ``cfg``'s resolved padding:
     ``(SiteMajorCodes, site_map)`` ready for a zero-copy
@@ -64,6 +66,17 @@ def prepare_vcf_streamed(
     the ``--region`` POS window (1-based inclusive, ``io.vcf.parse_region``)."""
     cfg = _pin_pallas(cfg)
     n_haps, site_map = scan_vcf(path, chrom, pos_range)
+    row_mask = None
+    if keep_samples is not None or exclude_samples is not None:
+        # Sample subsetting while decoding (round 5): resolve the boolean
+        # alignment-row mask from the header samples up front (typo-safe,
+        # rot90-aware — pipeline semantics), size the buffer for the KEPT
+        # rows, and let pass 2 drop the rest column-wise.
+        from ..pipeline import _sample_row_mask, _vcf_row_names
+
+        row_mask = _sample_row_mask(_vcf_row_names(path, n_haps),
+                                    keep_samples, exclude_samples)
+    n_kept = n_haps if row_mask is None else int(row_mask.sum())
     # VCF codes are 0..5 (an ALT5+ allele maps to UNKNOWN for reference
     # parity) — majmin USUALLY applies, so size for the factorized tile
     # band (required_padding docstring); if an ALT5 cell breaks the
@@ -71,13 +84,13 @@ def prepare_vcf_streamed(
     # (zero-copy) rather than rejecting the buffer.  A forced general
     # kernel keeps the default tile.
     s_pad, n_pad = LdSession.required_padding(
-        n_haps, len(site_map), cfg, majmin=(cfg.kernel != "general"),
+        n_kept, len(site_map), cfg, majmin=(cfg.kernel != "general"),
         platform=platform)
-    codes, site_map, n_haps = read_vcf_site_major(
+    codes, site_map, n_kept = read_vcf_site_major(
         path, chrom=chrom, s_pad=s_pad, n_pad=n_pad,
-        scan=(n_haps, site_map), pos_range=pos_range,
+        scan=(n_haps, site_map), pos_range=pos_range, row_mask=row_mask,
     )
-    return SiteMajorCodes(codes=codes, n_seqs=n_haps,
+    return SiteMajorCodes(codes=codes, n_seqs=n_kept,
                           n_sites=len(site_map)), site_map
 
 
@@ -90,6 +103,8 @@ def session_from_vcf(
     weights: np.ndarray | None = None,
     weight_precision: str = "f64",
     pos_range: tuple[int, int] | None = None,
+    keep_samples: tuple[str, ...] | None = None,
+    exclude_samples: tuple[str, ...] | None = None,
 ) -> LdSession:
     """Build a device session from a (possibly gzipped) VCF with bounded
     host memory — the streaming twin of ``prepare_vcf`` + ``LdSession``.
@@ -107,7 +122,9 @@ def session_from_vcf(
     platform = (mesh.devices.flat[0].platform if mesh is not None else None)
     sm, site_map = prepare_vcf_streamed(path, chrom=chrom, cfg=cfg,
                                         platform=platform,
-                                        pos_range=pos_range)
+                                        pos_range=pos_range,
+                                        keep_samples=keep_samples,
+                                        exclude_samples=exclude_samples)
     if unweighted:
         weights = np.ones(sm.n_seqs, dtype=np.float32)
     elif weights is None and weight_precision == "f64":
