@@ -338,7 +338,7 @@ def test_scan_fasta_matches_batch_reader(tmp_path):
     p = _write_fasta(tmp_path,
                      ">a\nAC\nGT\n\n>b\nACGA\n>c desc\nTC\nGA\n>d\nAYG-\n")
     al, names = read_fasta_with_names(p)
-    n, s, counts = scan_fasta(p)
+    n, s, counts, _ = scan_fasta(p)
     assert (n, s) == al.shape
     np.testing.assert_array_equal(counts, site_histogram_host(al))
 
@@ -426,7 +426,7 @@ def test_streamed_fasta_gzip_and_file_changed(tmp_path):
     np.testing.assert_array_equal(smc_p.codes, smc_g.codes)
     assert sm_p.tolist() == sm_g.tolist()
     # Pass-2 drift detection.
-    n, s, counts = scan_fasta(p)
+    n, s, counts, _ = scan_fasta(p)
     p.write_text(text + ">e\nGGGG\n")
     with pytest.raises(ValueError, match="changed between ingest passes"):
         read_fasta_site_major(p, np.ones(s, bool), scan=(n, s))
@@ -513,3 +513,19 @@ def test_streamed_vcf_sample_subsetting():
         prepare_vcf_streamed(T7_PATH, keep_samples=("NOPE",),
                              cfg=DriverConfig(tile=8, seq_chunk=8,
                                               engine="pallas"))
+
+
+def test_streamed_fasta_subset_drift_detected(tmp_path):
+    """Records appended between passes under subsetting: pass 2 refuses
+    with the clean 'file changed' error (not an IndexError)."""
+    from weightedld_tpu.io.fasta import read_fasta_site_major, scan_fasta
+
+    text = ">a\nACGT\n>b\nACGA\n>c\nTCGA\n"
+    p = tmp_path / "x.fasta"
+    p.write_text(text)
+    n, s, counts, row_mask = scan_fasta(p, keep_samples=("a", "b"))
+    assert n == 2 and row_mask.tolist() == [True, True, False]
+    p.write_text(text + ">d\nGGGG\n")
+    with pytest.raises(ValueError, match="changed between ingest passes"):
+        read_fasta_site_major(p, np.ones(s, bool), scan=(n, s),
+                              row_mask=row_mask)

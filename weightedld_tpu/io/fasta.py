@@ -178,28 +178,37 @@ def iter_fasta_rows(path: str | Path):
 
 
 def fasta_names(path: str | Path) -> list[str]:
-    """Record names in file order, streaming (one record resident) — the
-    cheap front pass for sample subsetting under the streamed ingest."""
+    """Record names in file order, streaming (one record resident)."""
     return [name for name, _raw in _iter_fasta_raw(path)]
 
 
 def scan_fasta(path: str | Path,
                block_rows: int = 1024,
-               row_mask: np.ndarray | None = None,
-               ) -> tuple[int, int, np.ndarray]:
+               keep_samples: tuple[str, ...] | None = None,
+               exclude_samples: tuple[str, ...] | None = None,
+               ) -> tuple[int, int, np.ndarray, np.ndarray | None]:
     """Streaming pass 1 of the two-pass FASTA ingest: ``(n_seqs, n_sites,
-    counts [S, 5])`` — per-site allele histograms over codes 0..4 —
-    without ever materializing the ``[N, S]`` matrix (peak memory: one
-    ``[block_rows, S]`` row block).  Validates rectangularity with the
+    counts [S, 5], row_mask)`` — per-site allele histograms over codes
+    0..4 — without ever materializing the ``[N, S]`` matrix (peak memory:
+    one ``[block_rows, S]`` row block).  Validates rectangularity with the
     batch reader's error wording; every record is re-validated in pass 2.
 
-    ``row_mask`` (bool per RECORD, file order): records with a False entry
-    are skipped — sample subsetting, matching the batch pipeline's
-    subset-before-masks semantics.  Rectangularity is still validated over
-    EVERY record (the batch reader rejects ragged inputs before
-    subsetting)."""
+    ``keep_samples``/``exclude_samples``: sample subsetting by record
+    name, decided per record DURING this pass (no extra file pass) —
+    skipped records contribute to neither ``n_seqs`` nor ``counts``
+    (subset-before-masks, the batch pipeline's semantics).  Unknown names
+    and <2 survivors are errors (the pipeline's typo safety), validated
+    from the names this pass collects; the returned ``row_mask`` (bool
+    per record, file order; None without subsetting) drives pass 2.
+    Rectangularity is still validated over EVERY record (the batch
+    reader rejects ragged inputs before subsetting)."""
+    from ..core.encode import encode_sequence_bytes
     from ..core.sites import site_histogram_host
 
+    subsetting = keep_samples is not None or exclude_samples is not None
+    ks = set(keep_samples) if keep_samples is not None else None
+    es = set(exclude_samples) if exclude_samples is not None else None
+    names: list[str] = []
     n_sites = None
     n_seqs = 0
     counts = None
@@ -212,9 +221,8 @@ def scan_fasta(path: str | Path,
             counts = h if counts is None else counts + h
             block.clear()
 
-    n_records = 0
-    for idx, row in iter_fasta_rows(path):
-        n_records += 1
+    for idx, (name, raw) in enumerate(_iter_fasta_raw(path)):
+        row = encode_sequence_bytes(raw)
         if n_sites is None:
             n_sites = len(row)
         elif len(row) != n_sites:
@@ -222,18 +230,27 @@ def scan_fasta(path: str | Path,
                 f"ragged alignment: sequence {idx} has length {len(row)}, "
                 f"expected {n_sites}"
             )
-        if row_mask is not None and not row_mask[idx]:
-            continue
+        if subsetting:
+            names.append(name)
+            if (ks is not None and name not in ks) \
+                    or (es is not None and name in es):
+                continue
         n_seqs += 1
         block.append(row)
         if len(block) >= block_rows:
             flush()
     flush()
-    if row_mask is not None and n_records != len(row_mask):
-        raise ValueError(f"{path}: file changed between ingest passes")
-    if n_seqs == 0 or n_sites == 0:
+    row_mask = None
+    if subsetting and names:
+        # Validation AND the pass-2 mask from the same semantics: raises on
+        # unknown names / <2 survivors; its mask equals the per-record
+        # decisions above by construction.
+        from ..pipeline import _sample_row_mask
+
+        row_mask = _sample_row_mask(names, keep_samples, exclude_samples)
+    if (n_sites or 0) == 0 or (not subsetting and n_seqs == 0):
         raise ValueError(f"{path}: no sequences found")
-    return n_seqs, n_sites, counts
+    return n_seqs, n_sites, counts, row_mask
 
 
 def read_fasta_site_major(

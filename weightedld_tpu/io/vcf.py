@@ -413,7 +413,16 @@ def read_vcf_site_major(
     row_mask: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Two-pass streaming ingest straight into the engine's padded
-    SITE-MAJOR layout: ``(codes [s_pad, n_pad] int8, site_map, n_haps)``.
+    SITE-MAJOR layout: ``(codes [s_pad, n_pad] int8, site_map, n_kept)``
+    — ``n_kept`` is the number of haplotype COLUMNS in the buffer: the
+    file's haplotype count, or ``row_mask.sum()`` under sample
+    subsetting.
+
+    ``row_mask``: boolean over ALIGNMENT rows (the rot90-reversed
+    haplotype order — row ``k`` is haplotype ``n_haps-1-k``); False rows
+    are dropped while decoding, so the buffer holds only the kept rows
+    (``runtime.ingest.prepare_vcf_streamed`` resolves it from the header
+    sample names).
 
     Pass 1 (:func:`scan_vcf`) learns the shape; the output buffer is then
     allocated ONCE (UNKNOWN-padded, the kernel's layout contract) and pass

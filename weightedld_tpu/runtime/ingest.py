@@ -175,18 +175,12 @@ def prepare_fasta_streamed(
     from ..ops.pallas_ld import majmin_safe_with_unknown
 
     cfg = _pin_pallas(cfg)
-    row_mask = None
-    if keep_samples is not None or exclude_samples is not None:
-        # A cheap names-only streaming pass resolves the subset up front
-        # (typo-safe, like the batch pipeline); both data passes then skip
-        # the dropped records — subsetting happens BEFORE masking and
-        # weighting, matching pipeline semantics.
-        from ..io.fasta import fasta_names
-        from ..pipeline import _sample_row_mask
-
-        row_mask = _sample_row_mask(fasta_names(path), keep_samples,
-                                    exclude_samples)
-    n_seqs, n_sites, counts = scan_fasta(path, row_mask=row_mask)
+    # Sample subsetting is decided per record DURING pass 1 (no extra file
+    # pass; typo-safe like the batch pipeline — scan_fasta docstring);
+    # subsetting happens BEFORE masking and weighting, matching pipeline
+    # semantics, and the returned row_mask drives pass 2.
+    n_seqs, n_sites, counts, row_mask = scan_fasta(
+        path, keep_samples=keep_samples, exclude_samples=exclude_samples)
     hk_mask, ld_mask = compute_variable_sites_from_counts(
         counts, n_seqs, min_acgt, min_variability, max_minor)
     site_map = np.flatnonzero(ld_mask).astype(np.int64)
