@@ -962,3 +962,13 @@ def test_checkpoint_rejects_stdout_output(tmp_path, capsys):
     assert main(["--file", str(path), "--engine", "tiled",
                  "--pair-output", "-", "--checkpoint"]) == 2
     assert "real --pair-output file" in capsys.readouterr().err
+
+
+def test_version_flag(capsys):
+    with pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    import weightedld_tpu
+
+    assert weightedld_tpu.__version__ in out

@@ -1134,11 +1134,13 @@ def _rect_oracle(aln, w, sm, split):
 
 
 @pytest.mark.parametrize("engine", ["xla", "pallas"])
-def test_cross_split_matches_dense_rectangle(rng, engine):
+@pytest.mark.parametrize("seed", [2, 5])
+def test_cross_split_matches_dense_rectangle(engine, seed):
     import jax
 
     from weightedld_tpu.parallel.sharded import default_mesh
 
+    rng = np.random.default_rng(seed)
     N, S, split = 32, 70, 37
     aln = random_alignment(rng, N, S, p_gap=0.03, p_unknown=0.02)
     w = rng.random(N).astype(np.float32) + 0.1

@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native weighted linkage disequilibrium (D, D', r2) "
         "with Henikoff sequence weighting",
     )
+    from . import __version__
+
+    p.add_argument("--version", action="version",
+                   version=f"%(prog)s {__version__}")
     p.add_argument("--file", type=Path, default=None,
                    help="input alignment: .fasta/.fa (or .vcf for multi-sample "
                    "VCF); required unless --load-prepared is given")
