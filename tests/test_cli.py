@@ -972,3 +972,15 @@ def test_version_flag(capsys):
     import weightedld_tpu
 
     assert weightedld_tpu.__version__ in out
+
+
+def test_prune_plink_emits_snp_ids(capsys):
+    from .fixtures import T7_PATH
+
+    assert main(["--file", T7_PATH, "--prune-r2", "0.013"]) == 0
+    assert capsys.readouterr().out.strip() == "44890114"
+    assert main(["--file", T7_PATH, "--prune-r2", "0.013",
+                 "--out-format", "plink"]) == 0
+    out = capsys.readouterr()
+    assert out.out.strip() == "rs73934845"  # plink --extract file format
+    assert "ignored" not in out.err  # no spurious auto-engine warning

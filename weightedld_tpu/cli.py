@@ -352,9 +352,11 @@ def main(argv=None) -> int:
               "output modes", file=sys.stderr)
         return 2
     if args.out_format == "plink":
-        # --top emits pair records (plink applies); every other query mode
-        # emits JSON/TSV of its own shape.
-        non_pair = [m for m in modes if m != "--top"]
+        # --top emits pair records (plink applies); --prune-r2 emits a
+        # site list, which plink mode turns into SNP ids (the plink
+        # --extract file format); every other query mode emits JSON/TSV
+        # of its own shape.
+        non_pair = [m for m in modes if m not in ("--top", "--prune-r2")]
         if non_pair:
             print(f"error: --out-format plink only applies to pair-record "
                   f"output, not {non_pair[0]}", file=sys.stderr)
@@ -777,8 +779,13 @@ def main(argv=None) -> int:
             return 0
         body = "posa\tposb\tD\tD'\tR2\n"
         if args.prune_r2 is not None:
-            # A lone site is trivially conflict-free: emit its position.
-            body = "".join(f"{int(p)}\n" for p in res.site_map)
+            # A lone site is trivially conflict-free: emit its position
+            # (SNP id in plink mode).
+            if annot is not None:
+                body = "".join(f"{annot.id_of.get(int(p), '.')}\n"
+                               for p in res.site_map)
+            else:
+                body = "".join(f"{int(p)}\n" for p in res.site_map)
         if args.pair_output:
             with open_text_output(args.pair_output) as fh:
                 fh.write(body)
@@ -893,9 +900,10 @@ def main(argv=None) -> int:
         if args.r2_threshold is not None:
             print("warning: --ld-decay is threshold-free; --r2-threshold "
                   "is ignored in this mode", file=sys.stderr)
-        if engine in ("dense", "reference"):
+        if args.engine in ("dense", "reference"):
             print(f"warning: --ld-decay always runs the tiled session "
-                  f"engine (--engine {engine} ignored)", file=sys.stderr)
+                  f"engine (--engine {args.engine} ignored)",
+                  file=sys.stderr)
         try:
             # Validate BEFORE building the session: a bad edge list must
             # not cost the alignment upload + kernel compile.
@@ -947,9 +955,10 @@ def main(argv=None) -> int:
         if args.r2_threshold is not None:
             print("warning: --prune-r2 supplies its own threshold; "
                   "--r2-threshold is ignored in this mode", file=sys.stderr)
-        if engine in ("dense", "reference"):
+        if args.engine in ("dense", "reference"):
             print(f"warning: --prune-r2 always runs the tiled session "
-                  f"engine (--engine {engine} ignored)", file=sys.stderr)
+                  f"engine (--engine {args.engine} ignored)",
+                  file=sys.stderr)
         if len(np.unique(res.site_map)) != s:
             # Validate BEFORE the session upload/compile (the session-level
             # check would raise after minutes of setup on big inputs).
@@ -971,8 +980,13 @@ def main(argv=None) -> int:
             out = open_text_output(args.pair_output) if args.pair_output \
                 else sys.stdout
             try:
-                for pos in kept:
-                    out.write(f"{int(pos)}\n")
+                if annot is not None:
+                    # plink --extract file format: one SNP id per line.
+                    for pos in kept:
+                        out.write(f"{annot.id_of.get(int(pos), '.')}\n")
+                else:
+                    for pos in kept:
+                        out.write(f"{int(pos)}\n")
             finally:
                 if args.pair_output:
                     out.close()
