@@ -19,7 +19,13 @@ from .core.sites import compute_variable_sites
 from .io.fasta import read_fasta
 from .io.vcf import list_chromosomes, read_vcf
 from .pipeline import PipelineResult, WldConfig, prepare, run, site_stats
-from .runtime.ingest import prepare_vcf_streamed, session_from_vcf
+from .io.vcf import parse_region, vcf_sample_names
+from .runtime.ingest import (
+    prepare_fasta_streamed,
+    prepare_vcf_streamed,
+    session_from_fasta,
+    session_from_vcf,
+)
 
 __version__ = "0.1.0"
 
@@ -37,6 +43,10 @@ __all__ = [
     "read_fasta",
     "read_vcf",
     "list_chromosomes",
+    "parse_region",
+    "vcf_sample_names",
+    "prepare_fasta_streamed",
+    "session_from_fasta",
     "PipelineResult",
     "WldConfig",
     "prepare",
