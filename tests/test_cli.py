@@ -984,3 +984,22 @@ def test_prune_plink_emits_snp_ids(capsys):
     out = capsys.readouterr()
     assert out.out.strip() == "rs73934845"  # plink --extract file format
     assert "ignored" not in out.err  # no spurious auto-engine warning
+
+
+def test_cross_regions_matrix_output(tmp_path, capsys):
+    from .fixtures import T7_PATH
+
+    dst = tmp_path / "m.npz"
+    assert main(["--file", T7_PATH, "--cross-regions",
+                 "19:44890000-44890120", "19:44890150-44890200",
+                 "--matrix-output", str(dst)]) == 0
+    capsys.readouterr()
+    z = np.load(dst)
+    keep = z["keep"]
+    assert keep.shape == (5, 5)
+    ij = np.argwhere(keep)
+    # Rectangle: rows from block A (sites 0-1), cols from block B (2-4).
+    assert len(ij) == 6
+    assert (ij[:, 0] < 2).all() and (ij[:, 1] >= 2).all()
+    assert np.isfinite(z["r2"][keep]).all()
+    assert np.isnan(z["r2"][~keep]).all()
