@@ -74,6 +74,10 @@ def main():
     run(["--file", vcf, "--cross-regions", "chr7:10000-11000",
          "chr7:60000-61000", "--top", "3"])
 
+    print("\n== 5. LD pruning as a plink --extract file (SNP ids)")
+    run(["--file", vcf, "--region", "chr7:10000-11000",
+         "--prune-r2", "0.5", "--out-format", "plink"])
+
 
 if __name__ == "__main__":
     main()
