@@ -214,3 +214,66 @@ def test_mixed_ploidy_subsetting_rejected(tmp_path):
     # Without subsetting the same file is fine (reference semantics).
     res = prepare(f, WldConfig())
     assert res.alignment.shape[0] == 25
+
+
+@pytest.mark.parametrize("seed", [3, 9])
+def test_region_subset_window_composition(tmp_path, seed):
+    """Interaction coverage: --region + --keep-samples + --max-distance-bp
+    together must equal manually slicing the full matrix and running the
+    dense engine on the slice with the same window filter."""
+    import jax.numpy as jnp
+
+    from weightedld_tpu.core.henikoff import henikoff_weights_host
+    from weightedld_tpu.core.ld_dense import (
+        extract_records,
+        ld_all_pairs_dense,
+    )
+    from weightedld_tpu.io.vcf import read_vcf
+    from weightedld_tpu.pipeline import prepare
+    from weightedld_tpu.runtime.driver import DriverConfig, collect_ld_records
+
+    rng = np.random.default_rng(seed)
+    n_samp = 14
+    names = [f"s{i}" for i in range(n_samp)]
+    header = ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+              + "\t".join(names))
+    rows = []
+    pos = 100
+    for i in range(30):
+        pos += int(rng.integers(5, 60))
+        gts = "\t".join(f"{rng.integers(0, 2)}|{rng.integers(0, 2)}"
+                        for _ in range(n_samp))
+        rows.append(f"chr3\t{pos}\trs{i}\tA\tT\t.\t.\t.\tGT\t{gts}")
+    f = tmp_path / "c.vcf"
+    f.write_text(header + "\n" + "\n".join(rows) + "\n")
+
+    keep = tuple(names[:9])
+    lo, hi = 150, pos - 40
+    res = prepare(f, WldConfig(region=f"chr3:{lo}-{hi}", keep_samples=keep))
+
+    # Oracle: full read -> manual column+row slice -> dense engine.
+    full, sm = read_vcf(f)
+    col = (sm >= lo) & (sm <= hi)
+    n = full.shape[0]
+    rows_keep = [k for k in range(n) if (n - 1 - k) // 2 < 9]
+    sub = full[np.ix_(rows_keep, np.flatnonzero(col))]
+    w = henikoff_weights_host(sub)
+    np.testing.assert_array_equal(res.alignment, sub)
+    np.testing.assert_allclose(res.weights, w)
+
+    W = 120
+    stats = ld_all_pairs_dense(jnp.asarray(sub), jnp.asarray(w))
+    oracle = extract_records(stats, sm[col], None)
+    om = (np.asarray(oracle.pos_b) - np.asarray(oracle.pos_a)) <= W
+    want = sorted(zip(np.asarray(oracle.pos_a)[om].tolist(),
+                      np.asarray(oracle.pos_b)[om].tolist(),
+                      np.round(np.asarray(oracle.r2)[om], 5).tolist()))
+
+    rec = collect_ld_records(res.alignment, res.weights, res.site_map,
+                             DriverConfig(engine="xla", tile=8,
+                                          max_bp_distance=W))
+    got = sorted(zip(rec.pos_a.tolist(), rec.pos_b.tolist(),
+                     np.round(rec.r2, 5).tolist()))
+    assert len(got) == len(want) > 0
+    for g, o in zip(got, want):
+        assert g[:2] == o[:2] and abs(g[2] - o[2]) < 1e-4, (g, o)
