@@ -1003,3 +1003,59 @@ def test_cross_regions_matrix_output(tmp_path, capsys):
     assert (ij[:, 0] < 2).all() and (ij[:, 1] >= 2).all()
     assert np.isfinite(z["r2"][keep]).all()
     assert np.isnan(z["r2"][~keep]).all()
+
+
+def test_cross_prune_plink_ids_cover_both_blocks(tmp_path, capsys):
+    """Pruned survivors from block B keep their SNP ids (regression:
+    the prune output consulted only the block-A identity map)."""
+    header = ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+              + "\t".join(f"s{i}" for i in range(14)))
+    gts1 = "\t".join(["0|1"] * 7 + ["1|0"] * 7)
+    gts2 = "\t".join(["1|0"] * 7 + ["0|1"] * 7)
+    rows = [f"chr1\t100\trsA1\tA\tT\t.\t.\t.\tGT\t{gts1}",
+            f"chr1\t200\trsA2\tA\tT\t.\t.\t.\tGT\t{gts2}",
+            f"chr1\t600\trsB1\tA\tT\t.\t.\t.\tGT\t{gts1}",
+            f"chr1\t700\trsB2\tA\tT\t.\t.\t.\tGT\t{gts2}"]
+    f = tmp_path / "x.vcf"
+    f.write_text(header + "\n" + "\n".join(rows) + "\n")
+    assert main(["--file", str(f), "--cross-regions", "chr1:1-300",
+                 "chr1:500-800", "--prune-r2", "1.01",
+                 "--out-format", "plink"]) == 0
+    ids = set(capsys.readouterr().out.split())
+    # Threshold above 1: no conflicts, every site survives WITH its id.
+    assert ids == {"rsA1", "rsA2", "rsB1", "rsB2"}
+
+
+def test_plink_header_on_empty_result(tmp_path, capsys):
+    """<2 surviving sites in plink mode emits the PLINK header, not tsv."""
+    path = tmp_path / "mono.fasta"
+    write_fasta(path, ["AAAA"] * 6)
+    assert main(["--file", str(path), "--out-format", "plink"]) == 0
+    assert capsys.readouterr().out == \
+        "CHR_A\tBP_A\tSNP_A\tCHR_B\tBP_B\tSNP_B\tR2\tDP\tD\n"
+
+
+def test_cross_regions_rejects_site_stats(capsys):
+    from .fixtures import T7_PATH
+
+    assert main(["--file", T7_PATH, "--cross-regions", "19:1-2", "19:3-4",
+                 "--site-stats", "-"]) == 2
+    assert "--site-stats" in capsys.readouterr().err
+
+
+def test_site_annotations_multi_one_pass():
+    from .fixtures import T7_PATH
+    from weightedld_tpu.io.vcf import (
+        VcfError,
+        site_annotations,
+        site_annotations_multi,
+    )
+
+    a, b = site_annotations_multi(
+        T7_PATH, [("19", (44890000, 44890120)), ("19", (44890150, 44890200))])
+    sa = site_annotations(T7_PATH, "19", (44890000, 44890120))
+    sb = site_annotations(T7_PATH, "19", (44890150, 44890200))
+    assert a[0].tolist() == sa[0].tolist() and a[2] == sa[2]
+    assert b[0].tolist() == sb[0].tolist() and b[2] == sb[2]
+    with pytest.raises(VcfError, match="no variant records"):
+        site_annotations_multi(T7_PATH, [("19", (1, 2))])

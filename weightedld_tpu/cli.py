@@ -256,6 +256,29 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _prune_site_id(annot, pos: int) -> str:
+    """SNP id for a PRUNE output line: a pruned site can come from either
+    endpoint block under --cross-regions, so consult both identity maps;
+    a POS carried by both blocks with different ids (different
+    chromosomes) is genuinely ambiguous -> '.'."""
+    a = annot.id_of.get(pos)
+    b = (annot.id_of_b or {}).get(pos)
+    if a is not None and b is not None and a != b:
+        return "."
+    return a if a is not None else (b if b is not None else ".")
+
+
+def _chrom_range(args):
+    """``(chrom, pos_range)`` from --chrom/--region (mutual exclusivity is
+    validated up front in main) — ONE definition so the ingest filter and
+    the plink identity maps can never use different record sets."""
+    if args.region is not None:
+        from .io.vcf import parse_region
+
+        return parse_region(args.region)
+    return args.chrom, None
+
+
 def _parse_sample_spec(spec: str | None) -> tuple[str, ...] | None:
     """``--keep-samples``/``--exclude-samples`` SPEC -> name tuple:
     ``@FILE`` reads one name per line (blank lines and ``#`` comments
@@ -414,6 +437,8 @@ def main(argv=None) -> int:
             ("--stream-ingest", args.stream_ingest),
             ("--save-prepared", args.save_prepared is not None),
             ("--load-prepared", args.load_prepared is not None),
+            ("--site-stats", args.site_stats is not None),
+            ("--list-chroms", args.list_chroms),
         ) if on]
         if conflicts:
             print(f"error: --cross-regions is exclusive with "
@@ -571,12 +596,7 @@ def main(argv=None) -> int:
                                       engine="pallas")
             hk_mask = ld_mask = None
             if is_vcf_in:
-                chrom = args.chrom
-                pos_range = None
-                if args.region is not None:
-                    from .io.vcf import parse_region
-
-                    chrom, pos_range = parse_region(args.region)
+                chrom, pos_range = _chrom_range(args)
                 with timer.stage("ingest"):
                     sm, site_map = prepare_vcf_streamed(
                         args.file, chrom=chrom, cfg=stream_cfg,
@@ -650,9 +670,9 @@ def main(argv=None) -> int:
         if str(args.file).endswith((".vcf", ".vcf.gz")):
             from .io.vcf import VcfError, parse_region, site_annotations
 
-            def _maps(chrom, pos_range):
-                pos, chroms, ids = site_annotations(args.file, chrom,
-                                                    pos_range)
+            def _maps(chrom, pos_range, ann=None):
+                pos, chroms, ids = ann if ann is not None \
+                    else site_annotations(args.file, chrom, pos_range)
                 co: dict[int, str] = {}
                 io_: dict[int, str] = {}
                 warned = False
@@ -687,16 +707,18 @@ def main(argv=None) -> int:
                 if args.cross_regions is not None:
                     # Per-endpoint maps: block A feeds posa, block B posb
                     # (the blocks may share POS values across chromosomes).
+                    # Both collected in ONE file pass.
+                    from .io.vcf import site_annotations_multi
+
                     ca, ra = parse_region(args.cross_regions[0])
                     cb, rb = parse_region(args.cross_regions[1])
-                    chrom_of, id_of = _maps(ca, ra)
-                    chrom_of_b, id_of_b = _maps(cb, rb)
+                    ann_a, ann_b = site_annotations_multi(
+                        args.file, [(ca, ra), (cb, rb)])
+                    chrom_of, id_of = _maps(ca, ra, ann_a)
+                    chrom_of_b, id_of_b = _maps(cb, rb, ann_b)
                     annot = PairAnnot(chrom_of, id_of, chrom_of_b, id_of_b)
                 else:
-                    chrom, pos_range = args.chrom, None
-                    if args.region is not None:
-                        chrom, pos_range = parse_region(args.region)
-                    chrom_of, id_of = _maps(chrom, pos_range)
+                    chrom_of, id_of = _maps(*_chrom_range(args))
             except (VcfError, OSError) as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 2
@@ -777,12 +799,14 @@ def main(argv=None) -> int:
             print(json.dumps({"edges": list(edges),
                               "n_pairs": [0] * (len(edges) - 1)}))
             return 0
-        body = "posa\tposb\tD\tD'\tR2\n"
+        from .io.writer import pair_header
+
+        body = pair_header(annot) + "\n"
         if args.prune_r2 is not None:
             # A lone site is trivially conflict-free: emit its position
             # (SNP id in plink mode).
             if annot is not None:
-                body = "".join(f"{annot.id_of.get(int(p), '.')}\n"
+                body = "".join(f"{_prune_site_id(annot, int(p))}\n"
                                for p in res.site_map)
             else:
                 body = "".join(f"{int(p)}\n" for p in res.site_map)
@@ -983,7 +1007,7 @@ def main(argv=None) -> int:
                 if annot is not None:
                     # plink --extract file format: one SNP id per line.
                     for pos in kept:
-                        out.write(f"{annot.id_of.get(int(pos), '.')}\n")
+                        out.write(f"{_prune_site_id(annot, int(pos))}\n")
                 else:
                     for pos in kept:
                         out.write(f"{int(pos)}\n")

@@ -320,6 +320,43 @@ def site_annotations(
     return np.asarray(positions, dtype=np.int64), chroms, ids
 
 
+def site_annotations_multi(
+    path: str | Path,
+    filters: list[tuple[str | None, tuple[int, int] | None]],
+) -> list[tuple[np.ndarray, list[str], list[str]]]:
+    """:func:`site_annotations` for several (chrom, pos_range) filters in
+    ONE streaming pass — the ``--cross-regions --out-format plink`` path,
+    which would otherwise scan the file once per region.  Returns one
+    ``(positions, chroms, ids)`` tuple per filter; a filter matching no
+    records raises the same error the single-filter form does."""
+    outs = [([], [], []) for _ in filters]
+    first = True
+    for lineno, line in _iter_variant_lines(path):
+        if first:
+            _check_multisample(path, line)
+            first = False
+        cols = line.split("\t", 9)
+        if len(cols) < 10:
+            raise VcfError(f"{path}:{lineno}: fewer than 10 columns")
+        pos = int(cols[1])
+        for (chrom, pos_range), (ps, cs, ids) in zip(filters, outs):
+            if chrom is not None and cols[0] != chrom:
+                continue
+            if pos_range is not None \
+                    and not (pos_range[0] <= pos <= pos_range[1]):
+                continue
+            ps.append(pos)
+            cs.append(cols[0])
+            ids.append(cols[2] if cols[2] else ".")
+    if first:
+        raise VcfError(f"{path}: no variant records")
+    for (chrom, pos_range), (ps, _cs, _ids) in zip(filters, outs):
+        if not ps:
+            raise VcfError(_no_records_msg(path, chrom, pos_range))
+    return [(np.asarray(ps, dtype=np.int64), cs, ids)
+            for ps, cs, ids in outs]
+
+
 def _decode_record(path, lineno, line, chrom, pos_range=None):
     """Parse one variant line -> ``(pos, row int8)`` or None (chrom/region
     filtered).  Shared by the row-list and streaming readers."""

@@ -292,6 +292,10 @@ def prepare_vcf_cross(path: str | Path, cfg: WldConfig,
     ca, ra = parse_region(spec_a)
     cb, rb = parse_region(spec_b)
     with timer.stage("ingest"):
+        # One full read per region (read_vcf reuse); a single-pass
+        # two-block classifier would halve chromosome-scale ingest but
+        # needs a dedicated reader mode — acceptable tradeoff while cross
+        # runs target locus-sized regions.
         aln_a, sm_a = read_vcf(path, chrom=ca, pos_range=ra)
         aln_b, sm_b = read_vcf(path, chrom=cb, pos_range=rb)
         if aln_a.shape[0] != aln_b.shape[0]:
